@@ -1,0 +1,643 @@
+"""Vectorized contact generation.
+
+Replaces Jolt's narrowphase (GJK/EPA + specialized collide functions) with
+TPU-friendly closed-form contact routines, vmapped over the padded pair list
+from the broadphase:
+
+- sphere-sphere / sphere-box / sphere-capsule: analytic closest points
+- box-box: SAT over 15 axes + reference/incident face clipping, up to a
+  4-point manifold (the approach of ODE's dBoxBox / Box2D clipping, written
+  branch-free for vmap)
+- capsule-capsule: segment-segment closest points
+- box-capsule: convex ternary search of the segment-to-box distance (the
+  distance along the segment to a convex set is convex, so a fixed-iteration
+  ternary search converges deterministically)
+- convex hulls collide as their principal-frame OBB against other dynamic
+  shapes (hull_id in shape_params[0], OBB half extents in shape_params[1:4]);
+  against static world geometry they use true sampled vertices.
+
+Static world contacts (heightfield + static trimesh) are generated per body
+from up to 8 shape sample points (box corners, capsule endpoints, hull
+contact vertices), mirroring what matters from Jolt's mesh/heightfield
+collision for resting/rolling behaviour (reference shape factories:
+gui_client/PhysicsWorld.cpp:735-1135).
+
+Contact convention: ``normal`` points from body B (or the static world)
+toward body A; positive ``penetration`` = overlapping; negative values down
+to -margin are speculative contacts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+import flax.struct
+
+from substrata_tpu.maths import quat as quatm
+from substrata_tpu.physics.state import (
+    BodyState, ShapeType, SimConfig, StaticWorld,
+)
+
+CONTACT_MARGIN = 0.04  # speculative contact distance, metres
+
+
+@flax.struct.dataclass
+class Contacts:
+    """Flat padded contact batch (the TPU analogue of Jolt's contact
+    constraint buffer, capacity reference PhysicsWorld.cpp:506)."""
+
+    a: jnp.ndarray            # [C] i32 body slot
+    b: jnp.ndarray            # [C] i32 body slot, -1 = static world
+    point: jnp.ndarray        # [C, 3] world position
+    normal: jnp.ndarray       # [C, 3] from b to a
+    penetration: jnp.ndarray  # [C]
+    valid: jnp.ndarray        # [C] bool
+    friction: jnp.ndarray     # [C] combined
+    restitution: jnp.ndarray  # [C] combined
+
+    @property
+    def capacity(self):
+        return self.a.shape[0]
+
+
+def _safe_normalize(v, fallback=(0.0, 0.0, 1.0), eps=1e-12):
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    safe = v * jax.lax.rsqrt(jnp.maximum(n2, eps))
+    return jnp.where(n2 > eps, safe, jnp.asarray(fallback, v.dtype))
+
+
+def combine_friction(fa, fb):
+    return jnp.sqrt(jnp.maximum(fa * fb, 0.0))
+
+
+def combine_restitution(ra, rb):
+    return jnp.maximum(ra, rb)
+
+
+# ---------------------------------------------------------------------------
+# Per-pair contact routines (scalar; vmapped over pairs).
+# Each returns (points [4,3], pens [4], normal [3], valid [4]).
+# ---------------------------------------------------------------------------
+
+def _no_contact():
+    return (jnp.zeros((4, 3)), jnp.full((4,), -1e9), jnp.array([0.0, 0.0, 1.0]),
+            jnp.zeros((4,), bool))
+
+
+def _one_point(point, pen, normal, ok):
+    pts = jnp.zeros((4, 3)).at[0].set(point)
+    pens = jnp.full((4,), -1e9).at[0].set(pen)
+    valid = jnp.zeros((4,), bool).at[0].set(ok)
+    return pts, pens, normal, valid
+
+
+def _sphere_sphere(pa, ra, pb, rb):
+    d = pa - pb
+    dist = jnp.linalg.norm(d)
+    n = _safe_normalize(d)
+    pen = ra + rb - dist
+    point = pb + n * (rb - 0.5 * pen)
+    return _one_point(point, pen, n, pen > -CONTACT_MARGIN)
+
+
+def _sphere_box(ps, rs, pb, qb, he):
+    # Sphere center in box frame.
+    p = quatm.inverse_rotate_vec(qb, ps - pb)
+    c = jnp.clip(p, -he, he)
+    delta = p - c
+    dist = jnp.linalg.norm(delta)
+    outside = dist > 1e-9
+    # Inside: push out along the axis of least depth.
+    depth_axes = he - jnp.abs(p)
+    ax = jnp.argmin(depth_axes)
+    n_in = jnp.zeros(3).at[ax].set(jnp.sign(p[ax]) + (p[ax] == 0))
+    n_local = jnp.where(outside, _safe_normalize(delta), n_in)
+    pen = jnp.where(outside, rs - dist, rs + depth_axes[ax])
+    surf_local = jnp.where(outside, c, p + n_in * depth_axes[ax])
+    n = quatm.rotate_vec(qb, n_local)
+    point = pb + quatm.rotate_vec(qb, surf_local)
+    return _one_point(point, pen, n, pen > -CONTACT_MARGIN)
+
+
+def _closest_pt_segment_segment(p1, d1, p2, d2):
+    """Closest points between segments p1±d1 and p2±d2 (d = half-vector).
+
+    Returns (t1, t2) in [-1, 1] parametrising each segment.
+    Ericson, Real-Time Collision Detection 5.1.9, branch-free.
+    """
+    r = p1 - p2
+    a = jnp.dot(d1, d1) + 1e-12
+    e = jnp.dot(d2, d2) + 1e-12
+    b = jnp.dot(d1, d2)
+    c = jnp.dot(d1, r)
+    f = jnp.dot(d2, r)
+    denom = a * e - b * b
+    t1 = jnp.where(denom > 1e-9, jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-9), -1.0, 1.0), 0.0)
+    t2 = (b * t1 + f) / e
+    t2c = jnp.clip(t2, -1.0, 1.0)
+    t1 = jnp.clip((b * t2c - c) / a, -1.0, 1.0)
+    return t1, t2c
+
+
+def _capsule_capsule(pa, qa, ra, ha, pb, qb, rb, hb):
+    za = quatm.rotate_vec(qa, jnp.array([0.0, 0.0, 1.0])) * ha
+    zb = quatm.rotate_vec(qb, jnp.array([0.0, 0.0, 1.0])) * hb
+    t1, t2 = _closest_pt_segment_segment(pa, za, pb, zb)
+    ca = pa + za * t1
+    cb = pb + zb * t2
+    return _sphere_sphere(ca, ra, cb, rb)
+
+
+def _sphere_capsule(ps, rs, pc, qc, rc, hc):
+    z = quatm.rotate_vec(qc, jnp.array([0.0, 0.0, 1.0])) * hc
+    t = jnp.clip(jnp.dot(ps - pc, z) / (jnp.dot(z, z) + 1e-12), -1.0, 1.0)
+    c = pc + z * t
+    return _sphere_sphere(ps, rs, c, rc)
+
+
+def _box_sdf(p, he):
+    """Signed distance from point p (box frame) to box surface."""
+    q = jnp.abs(p) - he
+    outside = jnp.linalg.norm(jnp.maximum(q, 0.0))
+    inside = jnp.minimum(jnp.max(q), 0.0)
+    return outside + inside
+
+
+def _capsule_box(pc, qc, rc, hc, pb, qb, he):
+    """Capsule vs box: ternary search along the capsule segment for the point
+    closest to the box, then 3 candidate sphere contacts (t*, both endpoints);
+    keep the deepest 2."""
+    z = quatm.rotate_vec(qc, jnp.array([0.0, 0.0, 1.0])) * hc
+
+    def seg_pt_box_dist(t):
+        p = quatm.inverse_rotate_vec(qb, (pc + z * t) - pb)
+        return _box_sdf(p, he)
+
+    lo, hi = jnp.float32(-1.0), jnp.float32(1.0)
+
+    def ternary(_, lohi):
+        lo, hi = lohi
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        f1, f2 = seg_pt_box_dist(m1), seg_pt_box_dist(m2)
+        return jnp.where(f1 < f2, lo, m1), jnp.where(f1 < f2, m2, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 14, ternary, (lo, hi))
+    tstar = 0.5 * (lo + hi)
+
+    cands = jnp.stack([tstar, jnp.float32(-1.0), jnp.float32(1.0)])
+    pts = jnp.zeros((4, 3))
+    pens = jnp.full((4,), -1e9)
+    valid = jnp.zeros((4,), bool)
+    normal = jnp.array([0.0, 0.0, 1.0])
+    for k in range(3):
+        cpts, cpens, cn, cvalid = _sphere_box(pc + z * cands[k], rc, pb, qb, he)
+        if k == 0:
+            # slot 0 = closest point on the segment
+            pts = pts.at[0].set(cpts[0])
+            pens = pens.at[0].set(cpens[0])
+            valid = valid.at[0].set(cvalid[0])
+            normal = cn
+        else:
+            # slot 1 = deeper of the two endpoints
+            better = cvalid[0] & (cpens[0] > pens[1])
+            pts = jnp.where(better, pts.at[1].set(cpts[0]), pts)
+            pens = jnp.where(better, pens.at[1].set(cpens[0]), pens)
+            valid = jnp.where(better, valid.at[1].set(True), valid)
+    # Avoid duplicating the same point in both slots.
+    dup = jnp.linalg.norm(pts[0] - pts[1]) < 0.5 * rc
+    valid = valid.at[1].set(valid[1] & ~dup)
+    return pts, pens, normal, valid
+
+
+# --- Box-box SAT + clipping --------------------------------------------------
+
+def _box_box(pa, qa, hea, pb, qb, heb):
+    """SAT over 6 face axes + 9 edge cross axes; manifold by clipping the
+    incident face against the reference face side planes (up to 4 points)."""
+    ra = quatm.to_matrix(qa)  # columns = A's axes in world
+    rb = quatm.to_matrix(qb)
+    c = ra.T @ rb             # rotation of B in A frame
+    absc = jnp.abs(c) + 1e-5
+    t_w = pb - pa
+    t = ra.T @ t_w            # B center in A frame
+
+    # Face axes of A (in A frame): separation = |t_i| - (hea_i + (absc @ heb)_i)
+    sep_a = jnp.abs(t) - (hea + absc @ heb)
+    # Face axes of B: t in B frame = c.T @ t
+    tb = c.T @ t
+    sep_b = jnp.abs(tb) - (heb + absc.T @ hea)
+
+    # Edge-edge axes: L = A_i x B_j expressed in A frame.
+    # Ericson / ODE closed forms.
+    sep_e = jnp.full((3, 3), -1e9)
+    axes_e = jnp.zeros((3, 3, 3))
+    for i in range(3):
+        for j in range(3):
+            i1, i2 = (i + 1) % 3, (i + 2) % 3
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            # axis in A frame: e_i x c[:, j]
+            axis = jnp.zeros(3).at[i1].set(-c[i2, j]).at[i2].set(c[i1, j])
+            alen = jnp.linalg.norm(axis)
+            axis_n = axis / jnp.maximum(alen, 1e-9)
+            ra_proj = hea[i1] * absc[i2, j] + hea[i2] * absc[i1, j]
+            rb_proj = heb[j1] * absc[i, j2] + heb[j2] * absc[i, j1]
+            dist = jnp.abs(jnp.dot(t, axis_n)) - (ra_proj + rb_proj) / jnp.maximum(alen, 1e-9)
+            # Degenerate (parallel edges): disable this axis.
+            dist = jnp.where(alen > 1e-6, dist, -1e9)
+            sep_e = sep_e.at[i, j].set(dist)
+            axes_e = axes_e.at[i, j].set(axis_n)
+
+    best_face_a = jnp.max(sep_a)
+    best_face_b = jnp.max(sep_b)
+    best_edge = jnp.max(sep_e)
+    best_face = jnp.maximum(best_face_a, best_face_b)
+    separated = jnp.maximum(best_face, best_edge) > CONTACT_MARGIN
+
+    # Prefer face axes unless the edge axis is clearly better (Box2D-style bias).
+    use_edge = best_edge > best_face * 0.98 + 0.001
+    use_b_face = (~use_edge) & (best_face_b > best_face_a * 0.98 + 0.001)
+
+    # --- Reference/incident face setup (computed for both A-ref and B-ref,
+    # then selected; vmap-friendly). ---
+    def face_manifold(p_ref, q_ref, he_ref, p_inc, q_inc, he_inc, sep_vec):
+        ax = jnp.argmax(sep_vec)
+        r_ref = quatm.to_matrix(q_ref)
+        t_ref = r_ref.T @ (p_inc - p_ref)
+        sgn = jnp.sign(t_ref[ax]) + (t_ref[ax] == 0)
+        # Reference face normal in world (pointing from ref box toward inc box).
+        n_world = sgn * r_ref[:, ax]
+        # Incident face: the face of inc whose normal is most anti-parallel.
+        r_inc = quatm.to_matrix(q_inc)
+        dots = n_world @ r_inc  # [3] dot with each axis of inc
+        inc_ax = jnp.argmax(jnp.abs(dots))
+        inc_sgn = -(jnp.sign(dots[inc_ax]) + (dots[inc_ax] == 0))
+        # Incident face corners (world).
+        u1 = (inc_ax + 1) % 3
+        u2 = (inc_ax + 2) % 3
+        e0 = r_inc[:, inc_ax] * he_inc[inc_ax] * inc_sgn
+        e1 = r_inc[:, u1] * he_inc[u1]
+        e2 = r_inc[:, u2] * he_inc[u2]
+        corners = jnp.stack([
+            p_inc + e0 + e1 + e2,
+            p_inc + e0 - e1 + e2,
+            p_inc + e0 - e1 - e2,
+            p_inc + e0 + e1 - e2,
+        ])  # [4, 3]
+
+        # Clip against the 4 side planes of the reference face
+        # (Sutherland-Hodgman with fixed 8-vertex buffer).
+        v1 = (ax + 1) % 3
+        v2 = (ax + 2) % 3
+        poly = jnp.zeros((8, 3)).at[:4].set(corners)
+        count = jnp.int32(4)
+        for side_ax, side_sgn in ((v1, 1.0), (v1, -1.0), (v2, 1.0), (v2, -1.0)):
+            plane_n = -side_sgn * r_ref[:, side_ax]            # inward normal
+            plane_d = jnp.dot(plane_n, p_ref) - he_ref[side_ax]
+            d = poly @ plane_n - plane_d                       # >= 0 => inside
+            new_poly = jnp.zeros((8, 3))
+            new_count = jnp.int32(0)
+            for k in range(8):
+                kn = (k + 1) % 8
+                valid_k = k < count
+                valid_kn = kn < count
+                dk = d[k]
+                dkn = jnp.where(valid_kn, d[kn], d[0])
+                pk = poly[k]
+                pkn = jnp.where(valid_kn, poly[kn], poly[0])
+                inside_k = dk >= 0.0
+                inside_kn = dkn >= 0.0
+                # Emit current vertex if inside.
+                emit_v = valid_k & inside_k
+                new_poly = jnp.where(emit_v & (jnp.arange(8)[:, None] == new_count), pk, new_poly)
+                new_count = new_count + emit_v.astype(jnp.int32)
+                # Emit intersection if edge crosses.
+                crosses = valid_k & (inside_k != inside_kn)
+                tt = dk / jnp.where(jnp.abs(dk - dkn) > 1e-9, dk - dkn, 1e-9)
+                ip = pk + (pkn - pk) * jnp.clip(tt, 0.0, 1.0)
+                new_poly = jnp.where(crosses & (jnp.arange(8)[:, None] == new_count), ip, new_poly)
+                new_count = new_count + crosses.astype(jnp.int32)
+            poly = new_poly
+            count = jnp.minimum(new_count, 8)
+
+        # Keep points at/below the reference face, take 4 deepest.
+        face_center = p_ref + n_world * (jnp.abs(he_ref[ax]))
+        depth = -(poly - face_center) @ n_world  # >0 = below face = penetrating
+        pt_valid = (jnp.arange(8) < count) & (depth > -CONTACT_MARGIN)
+        score = jnp.where(pt_valid, depth, -1e9)
+        top4 = jnp.argsort(-score)[:4]
+        pts = poly[top4] + n_world[None, :] * (depth[top4] * 0.5)[:, None]
+        pens = score[top4]
+        vmask = pt_valid[top4]
+        return pts, pens, n_world, vmask
+
+    pts_a, pens_a, n_a, val_a = face_manifold(pa, qa, hea, pb, qb, heb, sep_a)
+    pts_b, pens_b, n_b, val_b = face_manifold(pb, qb, heb, pa, qa, hea, sep_b)
+
+    # Edge-edge single point.
+    eidx = jnp.argmax(sep_e.reshape(-1))
+    ei, ej = eidx // 3, eidx % 3
+    axis_a_frame = axes_e.reshape(9, 3)[eidx]
+    n_edge_w = ra @ axis_a_frame
+    # Orient the axis from A toward B.
+    flip_sgn = jnp.sign(jnp.dot(n_edge_w, t_w)) + (jnp.dot(n_edge_w, t_w) == 0)
+    n_edge_w = n_edge_w * flip_sgn
+    # Support edge of A along +normal: corner signs from the normal projected
+    # into A's frame, with the edge-axis component zeroed (edge runs along it).
+    def _sgn(v):
+        return jnp.sign(v) + (v == 0)
+    sa = _sgn(ra.T @ n_edge_w)
+    sb = _sgn(-(rb.T @ n_edge_w))
+    not_ei = 1.0 - jax.nn.one_hot(ei, 3)
+    not_ej = 1.0 - jax.nn.one_hot(ej, 3)
+    a_center = pa + ra @ (sa * hea * not_ei)
+    b_center = pb + rb @ (sb * heb * not_ej)
+    da = ra[:, ei]
+    db = rb[:, ej]
+    ea_half = da * hea[ei]
+    eb_half = db * heb[ej]
+    t1, t2 = _closest_pt_segment_segment(a_center, ea_half, b_center, eb_half)
+    pe_a = a_center + ea_half * t1
+    pe_b = b_center + eb_half * t2
+    edge_pen = -best_edge
+    edge_pt = 0.5 * (pe_a + pe_b)
+    # Normal from b to a:
+    n_edge_ba = -n_edge_w
+    pts_e, pens_e, n_e, val_e = _one_point(edge_pt, edge_pen, n_edge_ba, edge_pen > -CONTACT_MARGIN)
+
+    # Select manifold. Face-A reference: normal from A toward B -> flip to b->a.
+    pts = jnp.where(use_edge, pts_e, jnp.where(use_b_face, pts_b, pts_a))
+    pens = jnp.where(use_edge, pens_e, jnp.where(use_b_face, pens_b, pens_a))
+    normal = jnp.where(use_edge, n_e, jnp.where(use_b_face, n_b, -n_a))
+    valid = jnp.where(use_edge, val_e, jnp.where(use_b_face, val_b, val_a))
+    valid = valid & ~separated
+    return pts, pens, normal, valid
+
+
+# ---------------------------------------------------------------------------
+# Pair dispatch
+# ---------------------------------------------------------------------------
+
+def _effective_shape(shape_type, params):
+    """Map hulls to their principal-frame OBB for dynamic-pair collision."""
+    is_hull = shape_type == int(ShapeType.HULL)
+    eff_type = jnp.where(is_hull, int(ShapeType.BOX), shape_type)
+    eff_params = jnp.where(is_hull, jnp.concatenate([params[1:4], params[:1]]), params)
+    return eff_type, eff_params
+
+
+def _pair_contact_single(pos_a, quat_a, type_a, params_a,
+                         pos_b, quat_b, type_b, params_b):
+    """Contact manifold for one pair; computes all shape-combo branches and
+    selects (vmap-friendly)."""
+    type_a, params_a = _effective_shape(type_a, params_a)
+    type_b, params_b = _effective_shape(type_b, params_b)
+
+    S, B, C = int(ShapeType.SPHERE), int(ShapeType.BOX), int(ShapeType.CAPSULE)
+
+    results = []
+
+    def add(cond, res, flip=False):
+        pts, pens, n, val = res
+        n = -n if flip else n
+        results.append((cond, (pts, pens, n, val)))
+
+    # sphere-sphere
+    add((type_a == S) & (type_b == S),
+        _sphere_sphere(pos_a, params_a[0], pos_b, params_b[0]))
+    # sphere-box (normal from box to sphere = b to a: OK)
+    add((type_a == S) & (type_b == B),
+        _sphere_box(pos_a, params_a[0], pos_b, quat_b, params_b[:3]))
+    add((type_a == B) & (type_b == S),
+        _sphere_box(pos_b, params_b[0], pos_a, quat_a, params_a[:3]), flip=True)
+    # sphere-capsule
+    add((type_a == S) & (type_b == C),
+        _sphere_capsule(pos_a, params_a[0], pos_b, quat_b, params_b[0], params_b[1]))
+    add((type_a == C) & (type_b == S),
+        _sphere_capsule(pos_b, params_b[0], pos_a, quat_a, params_a[0], params_a[1]), flip=True)
+    # box-box
+    add((type_a == B) & (type_b == B),
+        _box_box(pos_a, quat_a, params_a[:3], pos_b, quat_b, params_b[:3]))
+    # capsule-capsule
+    add((type_a == C) & (type_b == C),
+        _capsule_capsule(pos_a, quat_a, params_a[0], params_a[1],
+                         pos_b, quat_b, params_b[0], params_b[1]))
+    # capsule-box (normal from box to capsule)
+    add((type_a == C) & (type_b == B),
+        _capsule_box(pos_a, quat_a, params_a[0], params_a[1], pos_b, quat_b, params_b[:3]))
+    add((type_a == B) & (type_b == C),
+        _capsule_box(pos_b, quat_b, params_b[0], params_b[1], pos_a, quat_a, params_a[:3]),
+        flip=True)
+
+    pts, pens, normal, valid = _no_contact()
+    for cond, (p, pe, n, v) in results:
+        pts = jnp.where(cond, p, pts)
+        pens = jnp.where(cond, pe, pens)
+        normal = jnp.where(cond, n, normal)
+        valid = jnp.where(cond, v, valid)
+    return pts, pens, normal, valid
+
+
+_pair_contacts_vmapped = jax.vmap(_pair_contact_single)
+
+
+def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig):
+    """Generate manifolds for the broadphase pair list.
+
+    Returns a Contacts batch of capacity max_pairs * 4.
+    """
+    a = jnp.maximum(pair_a, 0)
+    b = jnp.maximum(pair_b, 0)
+    pts, pens, normal, valid = _pair_contacts_vmapped(
+        body.pos[a], body.quat[a], body.shape_type[a], body.shape_params[a],
+        body.pos[b], body.quat[b], body.shape_type[b], body.shape_params[b],
+    )  # pts [P,4,3], pens [P,4], normal [P,3], valid [P,4]
+    p = pair_a.shape[0]
+    valid = valid & pair_valid[:, None]
+    # No impulses for sensors; the step still reports their touches as events.
+    sensor = body.is_sensor[a] | body.is_sensor[b]
+    fr = combine_friction(body.friction[a], body.friction[b])
+    re = combine_restitution(body.restitution[a], body.restitution[b])
+    c4 = p * 4
+    return Contacts(
+        a=jnp.repeat(a, 4)[:c4],
+        b=jnp.repeat(b, 4)[:c4],
+        point=pts.reshape(c4, 3),
+        normal=jnp.repeat(normal, 4, axis=0)[:c4],
+        penetration=pens.reshape(c4),
+        valid=(valid & ~sensor[:, None]).reshape(c4),
+        friction=jnp.repeat(fr, 4)[:c4],
+        restitution=jnp.repeat(re, 4)[:c4],
+    ), valid  # per-pair manifold validity for contact events
+
+
+# ---------------------------------------------------------------------------
+# Static world contacts
+# ---------------------------------------------------------------------------
+
+def shape_sample_points(body: BodyState, hull_contact_verts):
+    """Per-body sample points for static-geometry collision: [N, 8, 3] world
+    points and [N] sample radii.
+
+    sphere: center (radius r); capsule: 2 endpoints (radius r);
+    box: 8 corners (radius 0); hull: 8 precomputed contact verts (radius 0).
+    Unused slots repeat the first point (harmless duplicates are deduped by
+    the deepest-point selection in the solver's mass splitting).
+    """
+    n = body.capacity
+    st = body.shape_type
+    p = body.shape_params
+
+    corners = jnp.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                        jnp.float32)  # [8, 3]
+
+    # box: corners * he
+    box_local = corners[None, :, :] * p[:, None, :3]
+    # capsule endpoints
+    cap_local = jnp.zeros((n, 8, 3)).at[:, 0, 2].set(p[:, 1]).at[:, 1, 2].set(-p[:, 1])
+    # sphere center
+    sph_local = jnp.zeros((n, 8, 3))
+    # hull contact verts
+    hull_ids = jnp.clip(p[:, 0].astype(jnp.int32), 0, hull_contact_verts.shape[0] - 1)
+    hull_local = hull_contact_verts[hull_ids]  # [N, 8, 3]
+
+    local = jnp.where((st == int(ShapeType.BOX))[:, None, None], box_local,
+             jnp.where((st == int(ShapeType.CAPSULE))[:, None, None], cap_local,
+              jnp.where((st == int(ShapeType.HULL))[:, None, None], hull_local, sph_local)))
+    n_samples = jnp.where(st == int(ShapeType.BOX), 8,
+                 jnp.where(st == int(ShapeType.CAPSULE), 2,
+                  jnp.where(st == int(ShapeType.HULL), 8, 1)))
+    radius = jnp.where((st == int(ShapeType.SPHERE)) | (st == int(ShapeType.CAPSULE)),
+                       p[:, 0], 0.0)
+    world = body.pos[:, None, :] + quatm.rotate_vec(body.quat[:, None, :], local)
+    slot_valid = jnp.arange(8)[None, :] < n_samples[:, None]
+    return world, radius, slot_valid
+
+
+def _closest_point_triangle(p, v0, v1, v2):
+    """Closest point on triangle to p (Ericson 5.1.5, branch-free)."""
+    ab = v1 - v0
+    ac = v2 - v0
+    ap = p - v0
+    d1 = jnp.dot(ab, ap)
+    d2 = jnp.dot(ac, ap)
+    bp = p - v1
+    d3 = jnp.dot(ab, bp)
+    d4 = jnp.dot(ac, bp)
+    cp = p - v2
+    d5 = jnp.dot(ab, cp)
+    d6 = jnp.dot(ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = va + vb + vc
+    v = vb / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    w = vc / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    interior = v0 + ab * v + ac * w
+
+    # Vertex regions
+    res = interior
+    res = jnp.where((d1 <= 0) & (d2 <= 0), v0, res)
+    res = jnp.where((d3 >= 0) & (d4 <= d3), v1, res)
+    res = jnp.where((d6 >= 0) & (d5 <= d6), v2, res)
+    # Edge AB
+    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    t_ab = d1 / jnp.where(jnp.abs(d1 - d3) > 1e-12, d1 - d3, 1e-12)
+    res = jnp.where(on_ab, v0 + jnp.clip(t_ab, 0, 1) * ab, res)
+    # Edge AC
+    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    t_ac = d2 / jnp.where(jnp.abs(d2 - d6) > 1e-12, d2 - d6, 1e-12)
+    res = jnp.where(on_ac, v0 + jnp.clip(t_ac, 0, 1) * ac, res)
+    # Edge BC
+    on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+    t_bc = (d4 - d3) / jnp.where(jnp.abs((d4 - d3) + (d5 - d6)) > 1e-12, (d4 - d3) + (d5 - d6), 1e-12)
+    res = jnp.where(on_bc, v1 + jnp.clip(t_bc, 0, 1) * (v2 - v1), res)
+    return res
+
+
+def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
+                    config: SimConfig):
+    """Contacts of every body's sample points against heightfield + trimesh.
+
+    One contact slot per sample point (8/body); each slot takes the deeper of
+    its heightfield and trimesh candidate.
+    """
+    n = body.capacity
+    pts, radius, slot_valid = shape_sample_points(body, hull_contact_verts)  # [N,8,3]
+    flat = pts.reshape(n * 8, 3)
+    rad = jnp.repeat(radius, 8)
+
+    # --- Heightfield ---
+    hf = world.heightfield
+    h = hf.sample(flat[:, :2])
+    hf_n = hf.normal(flat[:, :2])
+    hf_pen = (h - (flat[:, 2] - rad))
+    # Project penetration onto the surface normal (slope correction).
+    hf_pen = hf_pen * hf_n[:, 2]
+    hf_point = jnp.concatenate([flat[:, :2], h[:, None]], axis=1)
+    hf_ok = world.has_heightfield & (hf_pen > -CONTACT_MARGIN)
+
+    # --- Trimesh: candidates from this point's grid cell ---
+    tm = world.trimesh
+    gx, gy, cap = tm.cell_tris.shape
+    ci = jnp.clip(((flat[:, 0] - tm.origin[0]) / tm.cell_w).astype(jnp.int32), 0, gx - 1)
+    cj = jnp.clip(((flat[:, 1] - tm.origin[1]) / tm.cell_w).astype(jnp.int32), 0, gy - 1)
+    cand = tm.cell_tris[ci, cj]  # [N*8, cap]
+    k = min(cap, config.max_tri_candidates)
+    cand = cand[:, :k]
+    cand_ok = cand >= 0
+    tri = tm.tris[jnp.maximum(cand, 0)]  # [N*8, k, 3]
+    v0 = tm.verts[tri[..., 0]]
+    v1 = tm.verts[tri[..., 1]]
+    v2 = tm.verts[tri[..., 2]]
+    cp = jax.vmap(jax.vmap(_closest_point_triangle))(
+        jnp.broadcast_to(flat[:, None, :], v0.shape), v0, v1, v2)
+    delta = flat[:, None, :] - cp
+    dist = jnp.linalg.norm(delta, axis=-1)
+    tri_n = jnp.cross(v1 - v0, v2 - v0)
+    tri_n = _safe_normalize(tri_n)
+    signed_side = jnp.sum((flat[:, None, :] - v0) * tri_n, axis=-1)
+    # Below the triangle plane: treat distance as negative (penetrating through).
+    sdist = jnp.where(signed_side >= 0, dist, -dist)
+    tm_pen_k = rad[:, None] - sdist
+    tm_pen_k = jnp.where(cand_ok, tm_pen_k, -1e9)
+    # Contact normal: from surface to point when outside, else triangle normal.
+    cn = jnp.where((dist > 1e-6)[..., None] & (signed_side >= 0)[..., None],
+                   delta / jnp.maximum(dist, 1e-6)[..., None], tri_n)
+    best = jnp.argmax(tm_pen_k, axis=1)
+    bi = jnp.arange(n * 8)
+    tm_pen = tm_pen_k[bi, best]
+    tm_point = cp[bi, best]
+    tm_normal = cn[bi, best]
+    tm_ok = (tm_pen > -CONTACT_MARGIN) & (tm_pen < 1e8) & cand_ok[bi, best]
+
+    use_tm = tm_ok & (~hf_ok | (tm_pen > hf_pen))
+    pen = jnp.where(use_tm, tm_pen, hf_pen)
+    point = jnp.where(use_tm[:, None], tm_point, hf_point)
+    normal = jnp.where(use_tm[:, None], tm_normal, hf_n)
+    ok = (use_tm | hf_ok) & slot_valid.reshape(-1)
+
+    body_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 8)
+    ok &= body.alive[body_idx] & body.collidable[body_idx] & body.dynamic[body_idx]
+    ok &= ~body.is_sensor[body_idx]
+    # Clamp runaway penetrations (deep tunnelling) for solver stability.
+    pen = jnp.clip(pen, -1e9, 0.5)
+    return Contacts(
+        a=body_idx,
+        b=jnp.full((n * 8,), -1, jnp.int32),
+        point=point,
+        normal=normal,
+        penetration=pen,
+        valid=ok,
+        friction=combine_friction(body.friction[body_idx], jnp.full((n * 8,), 0.5)),
+        restitution=body.restitution[body_idx],
+    )
+
+
+def concat_contacts(*batches: Contacts) -> Contacts:
+    return Contacts(*[jnp.concatenate([getattr(b, f) for b in batches])
+                      for f in ("a", "b", "point", "normal", "penetration",
+                                "valid", "friction", "restitution")])

@@ -1,0 +1,407 @@
+"""SoA body state, shape tables and static world geometry.
+
+The device-resident mirror of the reference's per-body bookkeeping:
+- PhysicsObject fields (gui_client/PhysicsObject.h:77-127): pos/rot/scale,
+  motion type {STATIC, KINEMATIC, DYNAMIC}, mass/friction/restitution,
+  collidable / is_sensor flags, underwater state.
+- Object layers (gui_client/PhysicsWorld.h:67-74): NON_MOVING, MOVING,
+  NON_MOVING_NON_COLLIDABLE, MOVING_NON_COLLIDABLE; the layer-pair collision
+  matrix (PhysicsWorld.cpp:85-189) reduces to: collidable layers collide with
+  everything collidable; *_NON_COLLIDABLE layers collide with nothing.
+- Capacity limits mirror PhysicsWorld.cpp:490-520 (65536 max bodies default,
+  configurable down for tests).
+
+Everything is fixed-capacity: dead slots are masked out with ``alive`` and
+recycled by the host-side free list in physics.world.PhysicsWorld.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from substrata_tpu.maths import quat as quatm
+from substrata_tpu.maths import transform as tmath
+
+
+class MotionType(enum.IntEnum):
+    """PhysicsObject.h:112-119 (semi_static treated as kinematic-until-hit)."""
+
+    STATIC = 0
+    KINEMATIC = 1
+    DYNAMIC = 2
+
+
+class ShapeType(enum.IntEnum):
+    SPHERE = 0
+    BOX = 1
+    CAPSULE = 2  # axis = local Z; params (radius, half_cyl_height)
+    HULL = 3     # params[0] = hull slot id in HullLibrary
+
+
+class Layer(enum.IntEnum):
+    """gui_client/PhysicsWorld.h:67-74."""
+
+    NON_MOVING = 0
+    MOVING = 1
+    NON_MOVING_NON_COLLIDABLE = 2
+    MOVING_NON_COLLIDABLE = 3
+
+
+# Seawater constants of the buoyancy pass (PhysicsWorld.cpp:1367-1442).
+WATER_DENSITY = 1020.0
+WATER_LINEAR_DRAG = 0.1
+WATER_ANGULAR_DRAG = 3.0
+DEFAULT_GRAVITY = (0.0, 0.0, -9.81)  # PhysicsWorld.cpp:517 (z-up world)
+
+
+@flax.struct.dataclass
+class BodyState:
+    """SoA state for all bodies, capacity-N fixed."""
+
+    pos: jnp.ndarray          # [N, 3] f32
+    quat: jnp.ndarray         # [N, 4] f32 (x, y, z, w)
+    linvel: jnp.ndarray       # [N, 3]
+    angvel: jnp.ndarray       # [N, 3]
+    inv_mass: jnp.ndarray     # [N]
+    inv_inertia: jnp.ndarray  # [N, 3] diagonal local-space inverse inertia
+    friction: jnp.ndarray     # [N]
+    restitution: jnp.ndarray  # [N]
+    motion_type: jnp.ndarray  # [N] i32
+    layer: jnp.ndarray        # [N] i32
+    is_sensor: jnp.ndarray    # [N] bool
+    shape_type: jnp.ndarray   # [N] i32
+    shape_params: jnp.ndarray  # [N, 4] f32 (see ShapeType)
+    alive: jnp.ndarray        # [N] bool — slot in use
+    awake: jnp.ndarray        # [N] bool — participating in sim
+    sleep_timer: jnp.ndarray  # [N] f32 — seconds below sleep velocity
+    gravity_factor: jnp.ndarray  # [N]
+    linear_damping: jnp.ndarray  # [N]
+    angular_damping: jnp.ndarray  # [N]
+    use_zero_linear_drag: jnp.ndarray  # [N] bool (PhysicsObject.h: boats do custom drag)
+    underwater: jnp.ndarray   # [N] bool
+    # Per-shape submerged-volume proxy: bounding radius used by buoyancy.
+    bound_radius: jnp.ndarray  # [N] f32 — radius of bounding sphere around COM
+    volume: jnp.ndarray       # [N] f32 — shape volume for buoyancy
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def dynamic(self):
+        return self.motion_type == int(MotionType.DYNAMIC)
+
+    @property
+    def collidable(self):
+        return (self.layer == int(Layer.NON_MOVING)) | (self.layer == int(Layer.MOVING))
+
+
+def zero_body_state(capacity: int) -> BodyState:
+    n = capacity
+    f = jnp.float32
+    return BodyState(
+        pos=jnp.zeros((n, 3), f),
+        quat=quatm.identity((n,)),
+        linvel=jnp.zeros((n, 3), f),
+        angvel=jnp.zeros((n, 3), f),
+        inv_mass=jnp.zeros((n,), f),
+        inv_inertia=jnp.zeros((n, 3), f),
+        friction=jnp.full((n,), 0.5, f),
+        restitution=jnp.zeros((n,), f),
+        motion_type=jnp.zeros((n,), jnp.int32),
+        layer=jnp.zeros((n,), jnp.int32),
+        is_sensor=jnp.zeros((n,), bool),
+        shape_type=jnp.zeros((n,), jnp.int32),
+        shape_params=jnp.zeros((n, 4), f),
+        alive=jnp.zeros((n,), bool),
+        awake=jnp.zeros((n,), bool),
+        sleep_timer=jnp.zeros((n,), f),
+        gravity_factor=jnp.ones((n,), f),
+        linear_damping=jnp.full((n,), 0.05, f),
+        angular_damping=jnp.full((n,), 0.05, f),
+        use_zero_linear_drag=jnp.zeros((n,), bool),
+        underwater=jnp.zeros((n,), bool),
+        bound_radius=jnp.zeros((n,), f),
+        volume=jnp.zeros((n,), f),
+    )
+
+
+@flax.struct.dataclass
+class HullLibrary:
+    """Padded convex-hull vertex table, uploaded once at load time.
+
+    Replaces the Jolt ConvexHullShape factory path
+    (PhysicsWorld.cpp:871-1083 createJoltShapeForBatchedMesh dynamic branch).
+    Hull vertices are stored centered on the COM in principal axes, so bodies
+    referencing a hull use a diagonal local inertia.
+    """
+
+    verts: jnp.ndarray   # [H, MAX_HULL_VERTS, 3] f32, padded with repeats
+    n_verts: jnp.ndarray  # [H] i32
+
+    @property
+    def capacity(self) -> int:
+        return self.verts.shape[0]
+
+    @property
+    def max_verts(self) -> int:
+        return self.verts.shape[1]
+
+
+def empty_hull_library(capacity: int = 64, max_verts: int = 32) -> HullLibrary:
+    return HullLibrary(
+        verts=jnp.zeros((capacity, max_verts, 3), jnp.float32),
+        n_verts=jnp.zeros((capacity,), jnp.int32),
+    )
+
+
+@flax.struct.dataclass
+class Heightfield:
+    """Regular-grid heightfield (reference: heightfield shape with block
+    size 4, PhysicsWorld.cpp:1086-1119; terrain queries
+    TerrainSystem::evalTerrainHeight, TerrainSystem.h:190)."""
+
+    heights: jnp.ndarray  # [HX, HY] f32, z-up
+    origin: jnp.ndarray   # [2] world xy of heights[0, 0]
+    cell_w: jnp.ndarray   # [] spacing in x and y
+
+    def sample(self, xy):
+        """Bilinear height at world xy [..., 2]; clamps at borders."""
+        hx, hy = self.heights.shape
+        u = (xy[..., 0] - self.origin[0]) / self.cell_w
+        v = (xy[..., 1] - self.origin[1]) / self.cell_w
+        u = jnp.clip(u, 0.0, hx - 1.001)
+        v = jnp.clip(v, 0.0, hy - 1.001)
+        i0 = jnp.floor(u).astype(jnp.int32)
+        j0 = jnp.floor(v).astype(jnp.int32)
+        fu = u - i0
+        fv = v - j0
+        h00 = self.heights[i0, j0]
+        h10 = self.heights[i0 + 1, j0]
+        h01 = self.heights[i0, j0 + 1]
+        h11 = self.heights[i0 + 1, j0 + 1]
+        return (h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
+                + h01 * (1 - fu) * fv + h11 * fu * fv)
+
+    def normal(self, xy):
+        """Central-difference surface normal at world xy."""
+        eps = self.cell_w * 0.5
+        ex = jnp.stack([jnp.broadcast_to(eps, xy[..., 0].shape), jnp.zeros_like(xy[..., 0])], -1)
+        ey = jnp.stack([jnp.zeros_like(xy[..., 0]), jnp.broadcast_to(eps, xy[..., 0].shape)], -1)
+        dzdx = (self.sample(xy + ex) - self.sample(xy - ex)) / (2 * eps)
+        dzdy = (self.sample(xy + ey) - self.sample(xy - ey)) / (2 * eps)
+        n = jnp.stack([-dzdx, -dzdy, jnp.ones_like(dzdx)], axis=-1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def flat_heightfield(extent: float = 1000.0, z: float = 0.0, res: int = 8) -> Heightfield:
+    return Heightfield(
+        heights=jnp.full((res, res), z, jnp.float32),
+        origin=jnp.array([-extent / 2, -extent / 2], jnp.float32),
+        cell_w=jnp.float32(extent / (res - 1)),
+    )
+
+
+@flax.struct.dataclass
+class TriMesh:
+    """Static triangle soup with a uniform-grid triangle index for TPU-friendly
+    candidate gathering (replaces Jolt's MeshShape midphase,
+    PhysicsWorld.cpp:735-868 static branch).
+
+    ``cell_tris`` buckets triangle indices into a fixed 2D grid over xy
+    (world geometry is predominantly z-up ground-like); slot -1 = empty.
+    """
+
+    verts: jnp.ndarray      # [V, 3] f32
+    tris: jnp.ndarray       # [T, 3] i32
+    tri_mats: jnp.ndarray   # [T] i32 per-triangle material index (traceRay parity)
+    cell_tris: jnp.ndarray  # [GX, GY, CAP] i32 triangle ids, -1 padded
+    origin: jnp.ndarray     # [2] grid origin xy
+    cell_w: jnp.ndarray     # [] cell width
+    n_tris: jnp.ndarray     # [] i32
+
+
+def empty_trimesh(grid=(4, 4), cap=4) -> TriMesh:
+    return TriMesh(
+        verts=jnp.zeros((3, 3), jnp.float32),
+        tris=jnp.zeros((1, 3), jnp.int32),
+        tri_mats=jnp.zeros((1,), jnp.int32),
+        cell_tris=jnp.full(grid + (cap,), -1, jnp.int32),
+        origin=jnp.array([-1e3, -1e3], jnp.float32),
+        cell_w=jnp.float32(1e3),
+        n_tris=jnp.int32(0),
+    )
+
+
+def build_trimesh(verts: np.ndarray, tris: np.ndarray, tri_mats: np.ndarray | None = None,
+                  grid_dim: int = 64, cell_cap: int = 32) -> TriMesh:
+    """Host-side build: bucket triangles into an xy uniform grid by AABB overlap."""
+    verts = np.asarray(verts, np.float32)
+    tris = np.asarray(tris, np.int32)
+    if tri_mats is None:
+        tri_mats = np.zeros((len(tris),), np.int32)
+    tv = verts[tris]  # [T, 3, 3]
+    lo = tv.min(axis=1)[:, :2]
+    hi = tv.max(axis=1)[:, :2]
+    gmin = verts[:, :2].min(axis=0) - 1e-3
+    gmax = verts[:, :2].max(axis=0) + 1e-3
+    cell_w = float(max((gmax - gmin).max() / grid_dim, 1e-3))
+    gx = max(1, min(grid_dim, int(np.ceil((gmax[0] - gmin[0]) / cell_w))))
+    gy = max(1, min(grid_dim, int(np.ceil((gmax[1] - gmin[1]) / cell_w))))
+    cell_tris = np.full((gx, gy, cell_cap), -1, np.int32)
+    counts = np.zeros((gx, gy), np.int32)
+    ilo = np.clip(((lo - gmin) / cell_w).astype(np.int32), 0, [gx - 1, gy - 1])
+    ihi = np.clip(((hi - gmin) / cell_w).astype(np.int32), 0, [gx - 1, gy - 1])
+    for t in range(len(tris)):
+        for i in range(ilo[t, 0], ihi[t, 0] + 1):
+            for j in range(ilo[t, 1], ihi[t, 1] + 1):
+                c = counts[i, j]
+                if c < cell_cap:
+                    cell_tris[i, j, c] = t
+                    counts[i, j] = c + 1
+    return TriMesh(
+        verts=jnp.asarray(verts),
+        tris=jnp.asarray(tris),
+        tri_mats=jnp.asarray(tri_mats),
+        cell_tris=jnp.asarray(cell_tris),
+        origin=jnp.asarray(gmin, dtype=jnp.float32),
+        cell_w=jnp.float32(cell_w),
+        n_tris=jnp.int32(len(tris)),
+    )
+
+
+@flax.struct.dataclass
+class StaticWorld:
+    """Device-resident static environment: heightfield terrain, static
+    trimesh geometry, hull library, and the water plane
+    (water_z, PhysicsWorld.h water_z member used by the buoyancy pass)."""
+
+    heightfield: Heightfield
+    has_heightfield: jnp.ndarray  # [] bool
+    trimesh: TriMesh
+    hulls: HullLibrary
+    water_z: jnp.ndarray  # [] f32; -1e10 = no water
+
+
+def default_static_world(ground_z: float = 0.0, water_z: float = -1e10) -> StaticWorld:
+    return StaticWorld(
+        heightfield=flat_heightfield(z=ground_z),
+        has_heightfield=jnp.array(True),
+        trimesh=empty_trimesh(),
+        hulls=empty_hull_library(),
+        water_z=jnp.float32(water_z),
+    )
+
+
+@flax.struct.dataclass
+class SimParams:
+    """Tunable (traced) solver parameters."""
+
+    gravity: jnp.ndarray           # [3]
+    baumgarte: jnp.ndarray         # [] position-correction factor per step
+    contact_slop: jnp.ndarray      # [] allowed penetration
+    restitution_threshold: jnp.ndarray  # [] min approach speed for bounce
+    sleep_lin_vel: jnp.ndarray     # [] sleep velocity threshold (Jolt: 0.03 m/s)
+    sleep_ang_vel: jnp.ndarray     # [] (Jolt: ~0.5 deg/s -> rad/s)
+    sleep_time: jnp.ndarray        # [] time below threshold before sleeping (0.5 s)
+    water_z: jnp.ndarray           # [] mirrors StaticWorld.water_z for the step
+
+
+def default_sim_params() -> SimParams:
+    return SimParams(
+        gravity=jnp.array(DEFAULT_GRAVITY, jnp.float32),
+        baumgarte=jnp.float32(0.2),
+        contact_slop=jnp.float32(0.005),
+        restitution_threshold=jnp.float32(1.0),
+        sleep_lin_vel=jnp.float32(0.03),
+        sleep_ang_vel=jnp.float32(0.03),
+        sleep_time=jnp.float32(0.5),
+        water_z=jnp.float32(-1e10),
+    )
+
+
+class SimConfig:
+    """Static (compile-time) capacity configuration.
+
+    Mirrors the Jolt init limits (PhysicsWorld.cpp:490-506: 65536 max bodies,
+    65536 body pairs, 10240 contact constraints) but scaled per scenario.
+    Hashable so it can be a static jit argument.
+    """
+
+    def __init__(
+        self,
+        capacity: int = 1024,
+        max_pairs: int = 4096,
+        max_contacts_per_pair: int = 4,
+        grid_dim: int = 64,
+        cell_capacity: int = 8,
+        cell_size: float = 2.0,
+        solver_iters: int = 10,
+        static_contacts_per_body: int = 8,
+        max_tri_candidates: int = 16,
+    ):
+        self.capacity = capacity
+        self.max_pairs = max_pairs
+        self.max_contacts_per_pair = max_contacts_per_pair
+        self.grid_dim = grid_dim
+        self.cell_capacity = cell_capacity
+        self.cell_size = cell_size
+        self.solver_iters = solver_iters
+        self.static_contacts_per_body = static_contacts_per_body
+        self.max_tri_candidates = max_tri_candidates
+
+    def _key(self):
+        return tuple(sorted(self.__dict__.items()))
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other: Any):
+        return isinstance(other, SimConfig) and self._key() == other._key()
+
+    def __repr__(self):
+        return f"SimConfig({self.__dict__})"
+
+
+def compute_shape_mass_props(shape_type: int, params: np.ndarray, density: float = 1000.0,
+                             mass_override: float = 0.0):
+    """Host-side mass/inertia/volume/bound-radius for a shape.
+
+    Returns (mass, inv_mass, inv_inertia_diag[3], volume, bound_radius).
+    Mirrors how the reference passes WorldObject.mass into Jolt's
+    MassProperties (PhysicsWorld.cpp: ScaledMassOverride usage).
+    """
+    p = np.asarray(params, np.float32)
+    if shape_type == ShapeType.SPHERE:
+        r = float(p[0])
+        vol = 4.0 / 3.0 * np.pi * r ** 3
+        bound = r
+        mass = mass_override if mass_override > 0 else density * vol
+        inertia = np.asarray(tmath.sphere_inertia(jnp.float32(r), jnp.float32(mass)))
+    elif shape_type == ShapeType.BOX:
+        he = p[:3]
+        vol = float(8.0 * he[0] * he[1] * he[2])
+        bound = float(np.linalg.norm(he))
+        mass = mass_override if mass_override > 0 else density * vol
+        inertia = np.asarray(tmath.box_inertia(jnp.asarray(he), jnp.float32(mass)))
+    elif shape_type == ShapeType.CAPSULE:
+        r, hh = float(p[0]), float(p[1])
+        vol = float(np.pi * r * r * 2 * hh + 4.0 / 3.0 * np.pi * r ** 3)
+        bound = hh + r
+        mass = mass_override if mass_override > 0 else density * vol
+        inertia = np.asarray(tmath.capsule_inertia(jnp.float32(r), jnp.float32(hh), jnp.float32(mass)))
+    else:  # HULL — caller supplies bound radius/volume via params[1:3]
+        vol = float(p[2]) if p[2] > 0 else 1.0
+        bound = float(p[1]) if p[1] > 0 else 1.0
+        mass = mass_override if mass_override > 0 else density * vol
+        # Inertia approximated as a solid sphere of the bound radius; the
+        # hull builder replaces this with the true principal inertia.
+        inertia = np.asarray(tmath.sphere_inertia(jnp.float32(bound * 0.7), jnp.float32(mass)))
+    inv_mass = 1.0 / mass if mass > 0 else 0.0
+    inv_inertia = np.where(inertia > 0, 1.0 / inertia, 0.0)
+    return float(mass), float(inv_mass), inv_inertia.astype(np.float32), float(vol), float(bound)

@@ -1,0 +1,108 @@
+"""The fused physics step: one jitted device program per tick.
+
+Equivalent of PhysicsWorld::think (gui_client/PhysicsWorld.cpp:1356-1442) =
+Jolt physics_system->Update + buoyancy pass, re-architected as a single XLA
+program over SoA state:
+
+  forces (gravity/damping/buoyancy) -> broadphase grid -> narrowphase ->
+  mass-splitting impulse solve -> integrate -> sleeping update
+
+Outputs a StepEvents record giving the host everything the reference's
+listeners deliver via callbacks (PhysicsWorldEventListener contact events,
+activation sets, underwater transitions) as packed arrays it can DMA once
+per tick.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from substrata_tpu.physics import broadphase, integrate, narrowphase, solver
+from substrata_tpu.physics.state import BodyState, SimConfig, SimParams, StaticWorld
+
+
+@flax.struct.dataclass
+class StepEvents:
+    """Per-tick host-visible events (replaces Jolt listener callbacks,
+    PhysicsWorld.cpp:1446-1520)."""
+
+    # Contact pairs that touched this step (for script onUserTouchedObject /
+    # ownership claims; capacity = max_pairs).
+    contact_pair_a: jnp.ndarray   # [P] i32
+    contact_pair_b: jnp.ndarray   # [P] i32
+    contact_touching: jnp.ndarray  # [P] bool
+    newly_awake: jnp.ndarray      # [N] bool (newly_activated_obs parity)
+    newly_asleep: jnp.ndarray     # [N] bool
+    entered_water: jnp.ndarray    # [N] bool (physicsObjectEnteredWater parity)
+    num_pairs: jnp.ndarray        # [] i32
+    broadphase_overflow: jnp.ndarray  # [] i32 diagnostics
+
+
+@flax.struct.dataclass
+class StepDiagnostics:
+    num_pairs: jnp.ndarray
+    num_contacts: jnp.ndarray
+    num_awake: jnp.ndarray
+    max_penetration: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("config",))
+def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
+                 dt, params: SimParams, config: SimConfig):
+    """Advance the world one fixed substep (60 Hz in the reference tick,
+    GUIClient.cpp:6365-6368).  Returns (new_body, events, diagnostics)."""
+    dt = jnp.asarray(dt, jnp.float32)
+    prev_awake = body.awake
+
+    # 1. External forces + buoyancy.
+    linvel, angvel, in_water = integrate.apply_forces(body, dt, params)
+    body = body.replace(linvel=linvel, angvel=angvel)
+
+    # 2. Broadphase.
+    pair_a, pair_b, pair_valid, num_pairs, overflow = broadphase.find_pairs(body, config)
+
+    # 3. Narrowphase.
+    pair_cts, pair_manifold_valid = narrowphase.pair_contacts(
+        body, pair_a, pair_b, pair_valid, config)
+    static_cts = narrowphase.static_contacts(body, world, hull_contact_verts, config)
+    contacts = narrowphase.concat_contacts(pair_cts, static_cts)
+
+    # 4. Solve velocity constraints.
+    linvel, angvel, lambda_n = solver.solve_contacts(body, contacts, dt, params, config)
+
+    # 5. Integrate.
+    pos, quat = integrate.integrate_positions(body, linvel, angvel, dt)
+
+    # 6. Sleeping.
+    awake, sleep_timer, linvel, angvel = integrate.update_sleeping(
+        body, linvel, angvel, contacts.a, contacts.b, lambda_n, contacts.valid,
+        dt, params)
+
+    new_body = body.replace(
+        pos=pos, quat=quat, linvel=linvel, angvel=angvel,
+        awake=awake, sleep_timer=sleep_timer,
+        underwater=in_water,
+    )
+
+    touching = jnp.any(pair_manifold_valid & (jnp.ones_like(pair_manifold_valid)), axis=1)
+    events = StepEvents(
+        contact_pair_a=pair_a,
+        contact_pair_b=pair_b,
+        contact_touching=touching,
+        newly_awake=awake & ~prev_awake,
+        newly_asleep=prev_awake & ~awake,
+        entered_water=in_water & ~body.underwater,
+        num_pairs=num_pairs,
+        broadphase_overflow=overflow,
+    )
+    diags = StepDiagnostics(
+        num_pairs=num_pairs,
+        num_contacts=jnp.sum(contacts.valid),
+        num_awake=jnp.sum(awake & new_body.alive),
+        max_penetration=jnp.max(jnp.where(contacts.valid, contacts.penetration, 0.0)),
+    )
+    return new_body, events, diags

@@ -1,0 +1,459 @@
+"""Host-side PhysicsWorld facade.
+
+Preserves the shape of the reference API (gui_client/PhysicsWorld.h:90-238):
+addObject / removeObject / setNewObToWorldTransform / moveKinematicObject /
+think(dt) / traceRay / doesRayHitAnything / activated-object sets /
+water_z + buoyancy toggle / getDiagnostics, and PhysicsObject
+(gui_client/PhysicsObject.h:77-140) as the per-object host mirror.
+
+Architecture: the authoritative body state lives on-device as a
+physics.state.BodyState; host mutations are queued and flushed as ONE
+batched scatter per tick (the host/device boundary discipline from
+SURVEY.md §7 — dirty slices in, packed events out).  think(dt) runs the
+fused jitted step and refreshes the activated sets from the packed
+StepEvents, mirroring the reference's activation listeners
+(PhysicsWorld.cpp:1446-1486).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field as dfield
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from substrata_tpu.maths import quat as quatm
+from substrata_tpu.physics import queries, shapes as shape_factories
+from substrata_tpu.physics.state import (
+    BodyState, Heightfield, Layer, MotionType, ShapeType, SimConfig, SimParams,
+    StaticWorld, TriMesh, default_sim_params, default_static_world,
+    empty_hull_library, zero_body_state,
+)
+from substrata_tpu.physics.step import physics_step
+
+# User-data types (PhysicsObject.h:84).
+USERDATA_WORLD_OBJECT = 0
+USERDATA_PARCEL = 1
+USERDATA_INSTANCE = 2
+USERDATA_AVATAR = 3
+
+
+@dataclass(eq=False)  # identity hashing — objects live in activation sets
+class PhysicsObject:
+    """Host mirror of one body (gui_client/PhysicsObject.h)."""
+
+    shape: shape_factories.PhysicsShape
+    pos: np.ndarray = dfield(default_factory=lambda: np.zeros(3, np.float32))
+    rot: np.ndarray = dfield(default_factory=lambda: np.array([0, 0, 0, 1], np.float32))
+    scale: np.ndarray = dfield(default_factory=lambda: np.ones(3, np.float32))
+    linvel: np.ndarray = dfield(default_factory=lambda: np.zeros(3, np.float32))
+    angvel: np.ndarray = dfield(default_factory=lambda: np.zeros(3, np.float32))
+    motion_type: int = int(MotionType.STATIC)
+    friction: float = 0.5
+    restitution: float = 0.0
+    collidable: bool = True
+    is_sensor: bool = False
+    userdata: Any = None
+    userdata_type: int = USERDATA_WORLD_OBJECT
+    gravity_factor: float = 1.0
+    use_zero_linear_drag: bool = False
+    # Network-smoothing state (PhysicsObject.h:93-105): render transform =
+    # smoothing ∘ snapshot, decayed toward identity by the client tick.
+    smooth_translation: np.ndarray = dfield(default_factory=lambda: np.zeros(3, np.float32))
+    smooth_rotation: np.ndarray = dfield(default_factory=lambda: np.array([0, 0, 0, 1], np.float32))
+    # Filled by PhysicsWorld:
+    slot: int = -1
+    underwater: bool = False
+
+    @property
+    def mass(self) -> float:
+        return self.shape.mass
+
+    def get_smoothed_ob_to_world(self) -> np.ndarray:
+        """getSmoothedObToWorldMatrix parity (PhysicsObject.h:93-105)."""
+        from substrata_tpu.maths import transform as tmath
+        base = np.asarray(tmath.trs_matrix(
+            jnp.asarray(self.pos), jnp.asarray(self.rot), jnp.asarray(self.scale)))
+        sm = np.asarray(tmath.trs_matrix(
+            jnp.asarray(self.smooth_translation), jnp.asarray(self.smooth_rotation),
+            jnp.ones(3, np.float32)))
+        return sm @ base
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_updates(state: BodyState, idx, pos, quat, linvel, angvel, inv_mass,
+                     inv_inertia, friction, restitution, motion_type, layer,
+                     is_sensor, shape_type, shape_params, alive, awake,
+                     gravity_factor, zero_drag, bound_radius, volume):
+    """Apply a batch of K slot records (idx may contain out-of-range = skip)."""
+    return state.replace(
+        pos=state.pos.at[idx].set(pos, mode="drop"),
+        quat=state.quat.at[idx].set(quat, mode="drop"),
+        linvel=state.linvel.at[idx].set(linvel, mode="drop"),
+        angvel=state.angvel.at[idx].set(angvel, mode="drop"),
+        inv_mass=state.inv_mass.at[idx].set(inv_mass, mode="drop"),
+        inv_inertia=state.inv_inertia.at[idx].set(inv_inertia, mode="drop"),
+        friction=state.friction.at[idx].set(friction, mode="drop"),
+        restitution=state.restitution.at[idx].set(restitution, mode="drop"),
+        motion_type=state.motion_type.at[idx].set(motion_type, mode="drop"),
+        layer=state.layer.at[idx].set(layer, mode="drop"),
+        is_sensor=state.is_sensor.at[idx].set(is_sensor, mode="drop"),
+        shape_type=state.shape_type.at[idx].set(shape_type, mode="drop"),
+        shape_params=state.shape_params.at[idx].set(shape_params, mode="drop"),
+        alive=state.alive.at[idx].set(alive, mode="drop"),
+        awake=state.awake.at[idx].set(awake, mode="drop"),
+        sleep_timer=state.sleep_timer.at[idx].set(jnp.zeros_like(state.sleep_timer[0]), mode="drop"),
+        gravity_factor=state.gravity_factor.at[idx].set(gravity_factor, mode="drop"),
+        use_zero_linear_drag=state.use_zero_linear_drag.at[idx].set(zero_drag, mode="drop"),
+        bound_radius=state.bound_radius.at[idx].set(bound_radius, mode="drop"),
+        volume=state.volume.at[idx].set(volume, mode="drop"),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_velocities(state: BodyState, idx, linvel, angvel, awake):
+    return state.replace(
+        linvel=state.linvel.at[idx].set(linvel, mode="drop"),
+        angvel=state.angvel.at[idx].set(angvel, mode="drop"),
+        awake=state.awake.at[idx].set(awake, mode="drop"),
+        sleep_timer=state.sleep_timer.at[idx].set(0.0, mode="drop"),
+    )
+
+
+class PhysicsWorld:
+    """The engine-facing world object.  One instance per simulated world."""
+
+    UPDATE_CHUNK = 256  # records per flush kernel call (padded)
+
+    def __init__(self, config: SimConfig | None = None,
+                 params: SimParams | None = None):
+        self.config = config or SimConfig()
+        self.params = params or default_sim_params()
+        self.state = zero_body_state(self.config.capacity)
+        self.static_world = default_static_world(ground_z=-1e10)
+        self.water_buoyancy_enabled = False
+        self._water_z = -1e10
+
+        self.objects: dict[int, PhysicsObject] = {}   # slot -> ob
+        self._free = list(range(self.config.capacity - 1, -1, -1))
+        self._dirty: dict[int, PhysicsObject] = {}
+        self._vel_dirty: dict[int, PhysicsObject] = {}
+
+        # Hull library staging (uploaded on flush when it grows).
+        self._hulls = empty_hull_library()
+        self._hull_contact_verts = jnp.zeros((64, 8, 3), jnp.float32)
+        self._num_hulls = 0
+        self._hulls_dirty = False
+
+        # Activation sets (PhysicsWorld.h:195-198 activated_obs etc.).
+        self.activated_obs: set[PhysicsObject] = set()
+        self.newly_activated_obs: set[PhysicsObject] = set()
+        self.event_listener: Any = None  # PhysicsWorldEventListener-like
+
+        self.last_events = None
+        self.last_diags = None
+        self._steps = 0
+
+    # ------------------------------------------------------------------
+    # Water (PhysicsWorld.h water_z / water_buoyancy_enabled)
+    # ------------------------------------------------------------------
+    @property
+    def water_z(self):
+        return self._water_z
+
+    @water_z.setter
+    def water_z(self, z):
+        self._water_z = float(z)
+        wz = jnp.float32(z if self.water_buoyancy_enabled else -1e10)
+        self.params = self.params.replace(water_z=wz)
+        self.static_world = self.static_world.replace(water_z=wz)
+
+    def set_water_buoyancy_enabled(self, enabled: bool):
+        self.water_buoyancy_enabled = bool(enabled)
+        self.water_z = self._water_z
+
+    # ------------------------------------------------------------------
+    # Static environment
+    # ------------------------------------------------------------------
+    def set_heightfield(self, heights, origin, cell_w):
+        hf = Heightfield(heights=jnp.asarray(heights, jnp.float32),
+                         origin=jnp.asarray(origin, jnp.float32),
+                         cell_w=jnp.float32(cell_w))
+        self.static_world = self.static_world.replace(
+            heightfield=hf, has_heightfield=jnp.array(True))
+
+    def set_ground_plane(self, z: float = 0.0):
+        from substrata_tpu.physics.state import flat_heightfield
+        self.static_world = self.static_world.replace(
+            heightfield=flat_heightfield(z=z), has_heightfield=jnp.array(True))
+
+    def set_static_trimesh(self, verts, tris, tri_mats=None):
+        from substrata_tpu.physics.state import build_trimesh
+        self.static_world = self.static_world.replace(
+            trimesh=build_trimesh(verts, tris, tri_mats))
+
+    # ------------------------------------------------------------------
+    # Object management (PhysicsWorld.h addObject/removeObject)
+    # ------------------------------------------------------------------
+    def add_object(self, ob: PhysicsObject) -> PhysicsObject:
+        if not self._free:
+            raise RuntimeError(f"PhysicsWorld at capacity {self.config.capacity}")
+        # Bake scale into the shape (reference re-decoration semantics).
+        if not np.allclose(ob.scale, 1.0):
+            ob.shape = shape_factories.scaled(ob.shape, ob.scale)
+        if ob.shape.shape_type == int(ShapeType.HULL) and ob.shape.hull_verts is not None:
+            ob.shape.params[0] = self._intern_hull(ob.shape)
+        slot = self._free.pop()
+        ob.slot = slot
+        self.objects[slot] = ob
+        self._dirty[slot] = (ob, True)
+        return ob
+
+    def remove_object(self, ob: PhysicsObject):
+        if ob.slot < 0:
+            return
+        slot = ob.slot
+        self.objects.pop(slot, None)
+        self.activated_obs.discard(ob)
+        dead = PhysicsObject(shape=shape_factories.make_sphere(1e-4))
+        dead.slot = slot
+        dead.collidable = False
+        self._dirty[slot] = (dead, False)
+        ob.slot = -1
+        self._free.append(slot)
+
+    def _intern_hull(self, shape) -> int:
+        if self._num_hulls >= self._hulls.capacity:
+            raise RuntimeError("hull library full")
+        h = self._num_hulls
+        mv = self._hulls.max_verts
+        v = shape.hull_verts[:mv]
+        pad = np.zeros((mv, 3), np.float32)
+        pad[: len(v)] = v
+        if len(v) < mv:
+            pad[len(v):] = v[0]
+        self._hulls = self._hulls.replace(
+            verts=self._hulls.verts.at[h].set(jnp.asarray(pad)),
+            n_verts=self._hulls.n_verts.at[h].set(len(v)),
+        )
+        self._hull_contact_verts = self._hull_contact_verts.at[h].set(
+            jnp.asarray(shape.hull_contact_verts))
+        self._num_hulls += 1
+        return h
+
+    # ------------------------------------------------------------------
+    # Transform setters (PhysicsWorld.cpp:546-722)
+    # ------------------------------------------------------------------
+    def set_new_ob_to_world_transform(self, ob: PhysicsObject, pos, rot,
+                                      linvel=None, angvel=None, scale=None):
+        ob.pos = np.asarray(pos, np.float32)
+        ob.rot = np.asarray(rot, np.float32)
+        if linvel is not None:
+            ob.linvel = np.asarray(linvel, np.float32)
+        if angvel is not None:
+            ob.angvel = np.asarray(angvel, np.float32)
+        if scale is not None and not np.allclose(scale, ob.scale):
+            ob.scale = np.asarray(scale, np.float32)
+            ob.shape = shape_factories.scaled(ob.shape, ob.scale)
+            if ob.shape.shape_type == int(ShapeType.HULL) and ob.shape.hull_verts is not None:
+                ob.shape.params[0] = self._intern_hull(ob.shape)
+        self._dirty[ob.slot] = (ob, True)
+
+    def move_kinematic_object(self, ob: PhysicsObject, pos, rot, dt):
+        """MoveKinematic parity (PhysicsWorld.cpp:707-722): set velocities so
+        the body arrives at (pos, rot) after dt — contacts feel the motion."""
+        pos = np.asarray(pos, np.float32)
+        rot = np.asarray(rot, np.float32)
+        ob.linvel = (pos - ob.pos) / max(dt, 1e-9)
+        # Angular velocity from delta quaternion.
+        dq = np.asarray(quatm.mul(jnp.asarray(rot), quatm.conjugate(jnp.asarray(ob.rot))))
+        axis, angle = quatm.to_axis_angle(jnp.asarray(dq))
+        ob.angvel = np.asarray(axis) * float(angle) / max(dt, 1e-9)
+        ob.pos = pos
+        ob.rot = rot
+        self._dirty[ob.slot] = (ob, True)
+
+    def set_linear_and_angular_vel(self, ob: PhysicsObject, linvel, angvel,
+                                   activate: bool = True):
+        ob.linvel = np.asarray(linvel, np.float32)
+        ob.angvel = np.asarray(angvel, np.float32)
+        self._vel_dirty[ob.slot] = ob
+
+    def activate_object(self, ob: PhysicsObject):
+        self._vel_dirty[ob.slot] = ob
+
+    # ------------------------------------------------------------------
+    # Flush / think
+    # ------------------------------------------------------------------
+    def _flush(self):
+        if self._dirty:
+            items = list(self._dirty.items())
+            self._dirty.clear()
+            k = self.UPDATE_CHUNK
+            for i in range(0, len(items), k):
+                chunk = items[i:i + k]
+                pad = k - len(chunk)
+                recs = [(s, o) for s, (o, _alive) in chunk]
+                idx = np.array([s for s, _ in recs] + [self.config.capacity] * pad, np.int32)
+
+                def f(fn, shape, dtype=np.float32):
+                    out = np.zeros((k,) + shape, dtype)
+                    for j, (_, o) in enumerate(recs):
+                        out[j] = fn(o)
+                    return out
+
+                alive = np.array([a for _, (_, a) in chunk] + [False] * pad)
+                self.state = _scatter_updates(
+                    self.state, jnp.asarray(idx),
+                    jnp.asarray(f(lambda o: o.pos, (3,))),
+                    jnp.asarray(f(lambda o: o.rot, (4,))),
+                    jnp.asarray(f(lambda o: o.linvel, (3,))),
+                    jnp.asarray(f(lambda o: o.angvel, (3,))),
+                    jnp.asarray(f(lambda o: 0.0 if o.motion_type != int(MotionType.DYNAMIC)
+                                 else o.shape.inv_mass, ())),
+                    jnp.asarray(f(lambda o: o.shape.inv_inertia
+                                 if o.motion_type == int(MotionType.DYNAMIC)
+                                 else np.zeros(3), (3,))),
+                    jnp.asarray(f(lambda o: o.friction, ())),
+                    jnp.asarray(f(lambda o: o.restitution, ())),
+                    jnp.asarray(f(lambda o: o.motion_type, (), np.int32)),
+                    jnp.asarray(f(lambda o: (int(Layer.MOVING) if o.motion_type != int(MotionType.STATIC)
+                                             else int(Layer.NON_MOVING)) if o.collidable
+                                 else (int(Layer.MOVING_NON_COLLIDABLE)
+                                       if o.motion_type != int(MotionType.STATIC)
+                                       else int(Layer.NON_MOVING_NON_COLLIDABLE)), (), np.int32)),
+                    jnp.asarray(f(lambda o: o.is_sensor, (), bool)),
+                    jnp.asarray(f(lambda o: o.shape.shape_type, (), np.int32)),
+                    jnp.asarray(f(lambda o: o.shape.params, (4,))),
+                    jnp.asarray(alive),
+                    jnp.asarray(f(lambda o: o.motion_type != int(MotionType.STATIC), (), bool)),
+                    jnp.asarray(f(lambda o: o.gravity_factor, ())),
+                    jnp.asarray(f(lambda o: o.use_zero_linear_drag, (), bool)),
+                    jnp.asarray(f(lambda o: o.shape.bound_radius, ())),
+                    jnp.asarray(f(lambda o: o.shape.volume, ())),
+                )
+        if self._vel_dirty:
+            items = list(self._vel_dirty.items())
+            self._vel_dirty.clear()
+            k = self.UPDATE_CHUNK
+            for i in range(0, len(items), k):
+                chunk = items[i:i + k]
+                pad = k - len(chunk)
+                idx = np.array([s for s, _ in chunk] + [self.config.capacity] * pad, np.int32)
+                lv = np.zeros((k, 3), np.float32)
+                av = np.zeros((k, 3), np.float32)
+                for j, (_, o) in enumerate(chunk):
+                    lv[j] = o.linvel
+                    av[j] = o.angvel
+                self.state = _scatter_velocities(
+                    self.state, jnp.asarray(idx), jnp.asarray(lv), jnp.asarray(av),
+                    jnp.ones((k,), bool))
+
+    def think(self, dt: float):
+        """One substep: PhysicsWorld::think parity (PhysicsWorld.cpp:1356-1442)."""
+        self._flush()
+        self.state, events, diags = physics_step(
+            self.state, self.static_world, self._hull_contact_verts,
+            jnp.float32(dt), self.params, self.config)
+        self.last_events = events
+        self.last_diags = diags
+        self._steps += 1
+        self._refresh_activation_sets(events)
+        return events
+
+    def _refresh_activation_sets(self, events):
+        newly = np.asarray(events.newly_awake)
+        asleep = np.asarray(events.newly_asleep)
+        self.newly_activated_obs = set()
+        for slot in np.nonzero(newly)[0]:
+            ob = self.objects.get(int(slot))
+            if ob is not None:
+                self.activated_obs.add(ob)
+                self.newly_activated_obs.add(ob)
+        for slot in np.nonzero(asleep)[0]:
+            ob = self.objects.get(int(slot))
+            if ob is not None:
+                self.activated_obs.discard(ob)
+        if self.event_listener is not None:
+            ent = np.asarray(events.entered_water)
+            for slot in np.nonzero(ent)[0]:
+                ob = self.objects.get(int(slot))
+                if ob is not None and hasattr(self.event_listener, "physics_object_entered_water"):
+                    self.event_listener.physics_object_entered_water(ob)
+            touching = np.asarray(events.contact_touching)
+            if touching.any() and hasattr(self.event_listener, "contact_added"):
+                pa = np.asarray(events.contact_pair_a)
+                pb = np.asarray(events.contact_pair_b)
+                for i in np.nonzero(touching)[0]:
+                    oa = self.objects.get(int(pa[i]))
+                    obj_b = self.objects.get(int(pb[i]))
+                    if oa is not None and obj_b is not None:
+                        self.event_listener.contact_added(oa, obj_b)
+
+    # ------------------------------------------------------------------
+    # Readback
+    # ------------------------------------------------------------------
+    def sync_transforms(self):
+        """Pull pos/rot/vel of all alive bodies into the host mirrors — the
+        activated-objects readback of the client tick (GUIClient.cpp:6576-6692),
+        batched into one DMA."""
+        pos = np.asarray(self.state.pos)
+        rot = np.asarray(self.state.quat)
+        lv = np.asarray(self.state.linvel)
+        av = np.asarray(self.state.angvel)
+        uw = np.asarray(self.state.underwater)
+        for slot, ob in self.objects.items():
+            if ob.motion_type != int(MotionType.STATIC):
+                ob.pos = pos[slot]
+                ob.rot = rot[slot]
+                ob.linvel = lv[slot]
+                ob.angvel = av[slot]
+                ob.underwater = bool(uw[slot])
+
+    # ------------------------------------------------------------------
+    # Queries (PhysicsWorld.cpp:1668-1725)
+    # ------------------------------------------------------------------
+    def trace_ray(self, origin, direction, max_t: float, n_steps: int = 16):
+        """Single-ray traceRay; returns (hit, t, normal, ob, material)."""
+        self._flush()
+        hits = queries.trace_rays(
+            jnp.asarray(np.asarray(origin, np.float32)[None]),
+            jnp.asarray(np.asarray(direction, np.float32)[None]),
+            jnp.asarray(np.array([max_t], np.float32)),
+            self.state, self.static_world, self.config, n_steps=n_steps)
+        hit = bool(np.asarray(hits.hit)[0])
+        ob = self.objects.get(int(np.asarray(hits.body)[0]))
+        return hit, float(np.asarray(hits.t)[0]), np.asarray(hits.normal)[0], ob, int(np.asarray(hits.material)[0])
+
+    def trace_rays_batched(self, origins, dirs, max_ts, n_steps: int = 16):
+        self._flush()
+        return queries.trace_rays(
+            jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(max_ts),
+            self.state, self.static_world, self.config, n_steps=n_steps)
+
+    def does_ray_hit_anything(self, origin, direction, max_t: float) -> bool:
+        hit, *_ = self.trace_ray(origin, direction, max_t)
+        return hit
+
+    # ------------------------------------------------------------------
+    # Diagnostics (PhysicsWorld.cpp:1529-1604)
+    # ------------------------------------------------------------------
+    def get_diagnostics(self) -> str:
+        d = self.last_diags
+        lines = [
+            f"PhysicsWorld: {len(self.objects)}/{self.config.capacity} objects, "
+            f"{self._num_hulls} hulls, steps={self._steps}",
+        ]
+        if d is not None:
+            lines.append(
+                f"  pairs={int(d.num_pairs)} contacts={int(d.num_contacts)} "
+                f"awake={int(d.num_awake)} max_pen={float(d.max_penetration):.4f}")
+        return "\n".join(lines)
+
+    def total_memory_bytes(self) -> int:
+        return sum(np.prod(v.shape) * v.dtype.itemsize
+                   for v in jax.tree_util.tree_leaves(self.state))
