@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+North-star metric (BASELINE.json): physics steps/sec at 10k bodies (target:
+>= 60 Hz real time on one TPU v5e chip; Jolt-backed reference designs for
+60 Hz substeps, gui_client/GUIClient.cpp:6365-6368).
+
+The step runs fully on device: K substeps are chained inside one jitted
+lax.scan so host dispatch is off the critical path (the reference's
+equivalent: Jolt's Update called once per substep from the client tick).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from substrata_tpu.physics import shapes
+from substrata_tpu.physics.state import MotionType, SimConfig
+from substrata_tpu.physics.step import physics_step
+from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
+
+N_BODIES = 10_000
+STEPS_PER_CALL = 30
+DT = 1.0 / 60.0
+BASELINE_STEPS_PER_SEC = 60.0  # real-time 60 Hz = reference design rate
+
+
+def build_world():
+    cfg = SimConfig(
+        capacity=10_240,
+        max_pairs=32_768,
+        grid_dim=128,
+        cell_size=2.0,
+        cell_capacity=8,
+        solver_iters=10,
+    )
+    w = PhysicsWorld(cfg)
+    w.set_ground_plane(0.0)
+    rng = np.random.default_rng(0)
+    # 10k interacting boxes raining onto the ground in a 100x100 m area.
+    side = int(np.ceil(N_BODIES ** (1 / 3)))
+    n = 0
+    for iz in range(side * 2):
+        if n >= N_BODIES:
+            break
+        for ix in range(side * 4):
+            if n >= N_BODIES:
+                break
+            for iy in range(side * 4):
+                if n >= N_BODIES:
+                    break
+                pos = np.array([
+                    (ix - side * 2) * 1.2 + rng.uniform(-0.1, 0.1),
+                    (iy - side * 2) * 1.2 + rng.uniform(-0.1, 0.1),
+                    0.6 + iz * 1.2,
+                ], np.float32)
+                w.add_object(PhysicsObject(
+                    shape=shapes.make_box([0.4, 0.4, 0.4]),
+                    pos=pos,
+                    motion_type=int(MotionType.DYNAMIC)))
+                n += 1
+    w._flush()
+    return w
+
+
+def main():
+    w = build_world()
+    cfg = w.config
+    params = w.params
+    sw = w.static_world
+    hull_cv = w._hull_contact_verts
+
+    @jax.jit
+    def run_block(body):
+        def substep(body, _):
+            nb, _, _ = physics_step(body, sw, hull_cv, jnp.float32(DT), params, cfg)
+            return nb, ()
+        body, _ = jax.lax.scan(substep, body, None, length=STEPS_PER_CALL)
+        return body
+
+    state = w.state
+    # Warm up / compile.
+    state = run_block(state)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    n_calls = 4
+    for _ in range(n_calls):
+        state = run_block(state)
+    jax.block_until_ready(state)
+    dt_wall = time.perf_counter() - t0
+    steps = n_calls * STEPS_PER_CALL
+    steps_per_sec = steps / dt_wall
+
+    print(json.dumps({
+        "metric": f"physics steps/sec at {N_BODIES} bodies",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

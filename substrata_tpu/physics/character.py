@@ -1,0 +1,480 @@
+"""Kinematic capsule character controller.
+
+Behavioural port of the reference PlayerPhysics (gui_client/PlayerPhysics.{h,cpp})
+on top of our batched contact probes instead of Jolt's CharacterVirtual:
+
+- capsule r=0.3, cylinder height 1.3, eye height 1.67 (PlayerPhysics.cpp:30-33)
+- move speed 3, run factor 5, jump speed 4.5, max air accel 8, jump grace
+  0.1 s (PlayerPhysics.cpp:24-28)
+- on ground: instant velocity set to desired + ground velocity (platform
+  riding); in air: acceleration capped at max_air_speed (update, 251-290)
+- gravity always applied when enabled; water buoyancy 1.1 g x fraction
+  submerged with drag vel *= (1 - min(0.2, 2 f dt)); fall speed cap
+  100 m/s (291-302)
+- fly mode: accel = 3*move_desired + 2*(desired_vel - vel) (305-315)
+- jump uses ground normal (removeComponentInDir) + ground velocity (325-340)
+- collide-and-slide with anti-slide on shallow static ground
+  (OnContactSolve override, 536-545)
+- stick-to-floor step-down 0.5 and stair-walk step-up 0.4 (347-350)
+- camera z-delta smoothing, decay 20/s (316-318, 450-451)
+
+The character also owns a kinematic capsule proxy body in the PhysicsWorld so
+dynamic bodies are pushed by the solver (Jolt uses CharacterVirtual's
+mMaxStrength=1000 push instead).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from substrata_tpu.maths import quat as quatm
+from substrata_tpu.physics import broadphase, narrowphase
+from substrata_tpu.physics.state import BodyState, ShapeType, SimConfig, SimParams, StaticWorld
+
+# PlayerPhysics.cpp:24-33
+RUN_FACTOR = 5.0
+MOVE_SPEED = 3.0
+JUMP_SPEED = 4.5
+MAX_AIR_SPEED = 8.0
+JUMP_PERIOD = 0.1
+SPHERE_RAD = 0.3
+CYLINDER_HEIGHT = 1.3
+SITTING_HEIGHT = 0.3
+EYE_HEIGHT = 1.67
+STICK_TO_FLOOR_STEP = 0.5
+STAIR_STEP_UP = 0.4
+MAX_SLOPE_COS = 0.6428  # cos(50 deg), Jolt CharacterVirtual default
+
+
+@flax.struct.dataclass
+class CharacterState:
+    pos: jnp.ndarray             # [3] foot position (capsule bottom)
+    vel: jnp.ndarray             # [3]
+    on_ground: jnp.ndarray       # [] bool
+    ground_normal: jnp.ndarray   # [3]
+    ground_vel: jnp.ndarray      # [3]
+    campos_z_delta: jnp.ndarray  # [] f32
+    gravity_enabled: jnp.ndarray  # [] bool
+    fly_mode: jnp.ndarray        # [] bool
+    sitting: jnp.ndarray         # [] bool
+
+
+def init_character_state(eye_pos) -> CharacterState:
+    """initial_player_pos is at eye level (PlayerPhysics::init)."""
+    foot = jnp.asarray(eye_pos, jnp.float32) - jnp.array([0, 0, EYE_HEIGHT], jnp.float32)
+    return CharacterState(
+        pos=foot,
+        vel=jnp.zeros(3, jnp.float32),
+        on_ground=jnp.array(False),
+        ground_normal=jnp.array([0.0, 0.0, 1.0], jnp.float32),
+        ground_vel=jnp.zeros(3, jnp.float32),
+        campos_z_delta=jnp.float32(0.0),
+        gravity_enabled=jnp.array(False),  # off until player moves (spawn safety)
+        fly_mode=jnp.array(False),
+        sitting=jnp.array(False),
+    )
+
+
+MAX_PROBE_CONTACTS = 40
+
+
+def _capsule_probe(foot, cyl_h, body: BodyState, table, world: StaticWorld,
+                   config: SimConfig, exclude):
+    """All contacts of the character capsule at foot position.
+
+    Returns (normal [K,3] pointing away from the obstacle, pen [K],
+    point [K,3], body_id [K], contact_vel [K,3], valid [K]).
+    """
+    center = foot + jnp.array([0.0, 0.0, SPHERE_RAD + 0.5 * cyl_h])
+    half_h = 0.5 * cyl_h
+    up_q = quatm.identity()
+
+    # --- Dynamic/kinematic/static bodies via the hash grid. ---
+    num_buckets = config.grid_dim * config.grid_dim
+    cell = jnp.floor(center / config.cell_size).astype(jnp.int32)
+    cands = []
+    for off in broadphase._NEIGHBOR_OFFSETS:
+        hb = broadphase._hash_cells(cell + jnp.array(off, jnp.int32), num_buckets)
+        cands.append(table[hb])
+    cand = jnp.concatenate(cands)
+    oversize = body.alive & (2.0 * body.bound_radius > config.cell_size)
+    (os_idx,) = jnp.nonzero(oversize, size=broadphase.MAX_OVERSIZE, fill_value=-1)
+    cand = jnp.concatenate([cand, os_idx])
+    ci = jnp.maximum(cand, 0)
+    okc = (cand >= 0) & (cand != exclude) & body.alive[ci] & body.collidable[ci]
+    okc &= ~body.is_sensor[ci]
+    # Cheap sphere reject.
+    d = body.pos[ci] - center
+    reach = body.bound_radius[ci] + half_h + SPHERE_RAD + 0.6
+    okc &= jnp.sum(d * d, -1) <= reach * reach
+
+    def contact_one(ok_i, idx):
+        st = body.shape_type[idx]
+        prm = body.shape_params[idx]
+        p_b = body.pos[idx]
+        q_b = body.quat[idx]
+        # Capsule vs shape (reuse narrowphase scalar routines).
+        cc = narrowphase._capsule_capsule(center, up_q, SPHERE_RAD, half_h,
+                                          p_b, q_b, prm[0], prm[1])
+        cs = narrowphase._sphere_capsule(p_b, prm[0], center, up_q, SPHERE_RAD, half_h)
+        # flip: normal from sphere->capsule is b->a with a=sphere; we want away from obstacle
+        cb = narrowphase._capsule_box(center, up_q, SPHERE_RAD, half_h, p_b, q_b, prm[:3])
+        chb = narrowphase._capsule_box(center, up_q, SPHERE_RAD, half_h, p_b, q_b, prm[1:4])
+        B, S, C = int(ShapeType.BOX), int(ShapeType.SPHERE), int(ShapeType.CAPSULE)
+        pts = jnp.where(st == B, cb[0], jnp.where(st == S, cs[0],
+                        jnp.where(st == C, cc[0], chb[0])))
+        pens = jnp.where(st == B, cb[1], jnp.where(st == S, cs[1],
+                         jnp.where(st == C, cc[1], chb[1])))
+        nrm = jnp.where(st == B, cb[2], jnp.where(st == S, -cs[2],
+                        jnp.where(st == C, cc[2], chb[2])))
+        val = jnp.where(st == B, cb[3], jnp.where(st == S, cs[3],
+                        jnp.where(st == C, cc[3], chb[3])))
+        # Keep the deepest manifold point.
+        k = jnp.argmax(jnp.where(val, pens, -1e9))
+        pen = pens[k]
+        ok = ok_i & val[k]
+        pt = pts[k]
+        cvel = body.linvel[idx] + jnp.cross(body.angvel[idx], pt - p_b)
+        return nrm, pen, pt, cvel, ok
+
+    n_b, pen_b, pt_b, vel_b, ok_b = jax.vmap(contact_one)(okc, ci)
+
+    # --- Static world: 3 sample spheres along the capsule segment. ---
+    samples = jnp.stack([
+        center + jnp.array([0.0, 0.0, -half_h]),
+        center,
+        center + jnp.array([0.0, 0.0, half_h]),
+    ])
+    hf = world.heightfield
+    h = hf.sample(samples[:, :2])
+    hfn = hf.normal(samples[:, :2])
+    hf_pen = (h - (samples[:, 2] - SPHERE_RAD)) * hfn[:, 2]
+    hf_pt = jnp.concatenate([samples[:, :2], h[:, None]], axis=1)
+    hf_ok = jnp.broadcast_to(world.has_heightfield, (3,)) & (hf_pen > -0.05)
+
+    tm = world.trimesh
+    gx, gy, cap = tm.cell_tris.shape
+    tci = jnp.clip(((samples[:, 0] - tm.origin[0]) / tm.cell_w).astype(jnp.int32), 0, gx - 1)
+    tcj = jnp.clip(((samples[:, 1] - tm.origin[1]) / tm.cell_w).astype(jnp.int32), 0, gy - 1)
+    tcand = tm.cell_tris[tci, tcj]  # [3, cap]
+    tok = tcand >= 0
+    tri = tm.tris[jnp.maximum(tcand, 0)]
+    v0, v1, v2 = tm.verts[tri[..., 0]], tm.verts[tri[..., 1]], tm.verts[tri[..., 2]]
+    cp = jax.vmap(jax.vmap(narrowphase._closest_point_triangle))(
+        jnp.broadcast_to(samples[:, None, :], v0.shape), v0, v1, v2)
+    delta = samples[:, None, :] - cp
+    dist = jnp.linalg.norm(delta, axis=-1)
+    tri_n = narrowphase._safe_normalize(jnp.cross(v1 - v0, v2 - v0))
+    side = jnp.sum((samples[:, None, :] - v0) * tri_n, -1)
+    sdist = jnp.where(side >= 0, dist, -dist)
+    tpen = jnp.where(tok, SPHERE_RAD - sdist, -1e9)
+    tn = jnp.where((dist > 1e-6)[..., None] & (side >= 0)[..., None],
+                   delta / jnp.maximum(dist, 1e-6)[..., None], tri_n)
+    tbest = jnp.argmax(tpen, axis=1)
+    r3 = jnp.arange(3)
+    tm_pen = tpen[r3, tbest]
+    tm_pt = cp[r3, tbest]
+    tm_n = tn[r3, tbest]
+    tm_ok = tm_pen > -0.05
+
+    st_n = jnp.concatenate([hfn, tm_n])
+    st_pen = jnp.concatenate([hf_pen, tm_pen])
+    st_pt = jnp.concatenate([hf_pt, tm_pt])
+    st_ok = jnp.concatenate([hf_ok, tm_ok])
+
+    # Static contacts first so nothing truncates them; body candidates are a
+    # fixed small list (27*cell_cap + oversize) — keep them all.
+    n_all = jnp.concatenate([st_n, n_b])
+    pen_all = jnp.concatenate([st_pen, pen_b])
+    pt_all = jnp.concatenate([st_pt, pt_b])
+    vel_all = jnp.concatenate([jnp.zeros_like(st_pt), vel_b])
+    ok_all = jnp.concatenate([st_ok, ok_b])
+    id_all = jnp.concatenate([jnp.full((6,), -1, jnp.int32), cand])
+    return n_all, pen_all, pt_all, id_all, vel_all, ok_all
+
+
+def _support_info(foot, n, pen, pt, vel, ok):
+    """Ground detection: contacts touching the lower sphere with acceptable
+    penetration (Jolt supporting-volume plane at -SPHERE_RAD)."""
+    lower = pt[:, 2] <= foot[2] + SPHERE_RAD * 1.05
+    touching = ok & lower & (pen > -0.02)
+    supported = jnp.any(touching)
+    score = jnp.where(touching, n[:, 2], -1e9)
+    gi = jnp.argmax(score)
+    gn = jnp.where(supported, n[gi], jnp.array([0.0, 0.0, 1.0]))
+    gv = jnp.where(supported, vel[gi], jnp.zeros(3))
+    steep = gn[2] < MAX_SLOPE_COS
+    return supported, gn, gv, steep
+
+
+def _remove_component(v, n):
+    return v - n * jnp.minimum(jnp.dot(v, n), 0.0)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def character_update(char: CharacterState, body: BodyState, world: StaticWorld,
+                     move_desired_vel, jump_requested, fly_mode, sitting, dt,
+                     params: SimParams, config: SimConfig, exclude_body):
+    """One substep of PlayerPhysics::update (PlayerPhysics.cpp:251-469).
+
+    Returns (new_char, campos [4], jumped bool, touched_bodies [K] i32).
+    """
+    dt = jnp.asarray(dt, jnp.float32)
+    move_desired_vel = jnp.asarray(move_desired_vel, jnp.float32)
+    table, _, _ = broadphase.build_cell_table(body, config)
+    cyl_h = jnp.where(sitting, SITTING_HEIGHT, CYLINDER_HEIGHT)
+
+    allow_sliding = jnp.sum(move_desired_vel ** 2) > 0.0
+    gravity_enabled = char.gravity_enabled | allow_sliding | jump_requested | fly_mode
+
+    vel = char.vel
+    foot = char.pos
+
+    # Submersion (PlayerPhysics.cpp:180-196).
+    frac_sub = jnp.clip((params.water_z - foot[2]) / EYE_HEIGHT, 0.0, 1.0)
+    underwater = frac_sub > 0.3
+
+    # Ground probe at the current position.
+    n, pen, pt, bid, cvel, ok = _capsule_probe(foot, cyl_h, body, table, world,
+                                               config, exclude_body)
+    supported, gnormal, gvel, steep = _support_info(foot, n, pen, pt, cvel, ok)
+
+    # --- Velocity update (non-fly) ---
+    parallel_vel = jnp.where(frac_sub < 0.3,
+                             move_desired_vel * jnp.array([1.0, 1.0, 0.0]),
+                             move_desired_vel)
+    on_ground_now = supported & ((vel[2] - gvel[2]) < 0.1)
+
+    ground_vel_new = parallel_vel + gvel
+    pl = jnp.linalg.norm(parallel_vel)
+    air_par = jnp.where(pl > MAX_AIR_SPEED, parallel_vel * (MAX_AIR_SPEED / jnp.maximum(pl, 1e-9)),
+                        parallel_vel)
+    air_vel_new = vel + air_par * dt
+
+    vel_walk = jnp.where(on_ground_now, ground_vel_new, air_vel_new)
+    grav = jnp.where(gravity_enabled,
+                     (-9.81 + 9.81 * 1.1 * frac_sub) * dt, 0.0)
+    vel_walk = vel_walk + jnp.array([0.0, 0.0, 1.0]) * grav
+    vel_walk = vel_walk * jnp.where(gravity_enabled,
+                                    1.0 - jnp.minimum(0.2, 2.0 * frac_sub * dt), 1.0)
+    vel_walk = vel_walk.at[2].set(jnp.maximum(vel_walk[2], -100.0))
+
+    # --- Fly mode (PlayerPhysics.cpp:305-315) ---
+    speed = jnp.linalg.norm(vel)
+    mlen = jnp.linalg.norm(move_desired_vel)
+    desired_fly = jnp.where(mlen < 1e-4, jnp.zeros(3), move_desired_vel / jnp.maximum(mlen, 1e-9) * speed)
+    vel_fly = vel + (move_desired_vel * 3.0 + (desired_fly - vel) * 2.0) * dt
+
+    vel = jnp.where(fly_mode, vel_fly, vel_walk)
+
+    # --- Jump (PlayerPhysics.cpp:322-345) ---
+    do_jump = jump_requested & supported
+    jump_vel_walk = (_remove_component(move_desired_vel, gnormal) + gvel
+                     + jnp.array([0.0, 0.0, JUMP_SPEED]))
+    jump_vel_fly = vel + jnp.array([0.0, 0.0, JUMP_SPEED])
+    vel = jnp.where(do_jump, jnp.where(fly_mode, jump_vel_fly, jump_vel_walk), vel)
+    on_ground_now = on_ground_now & ~do_jump
+
+    # Anti-slide (OnContactSolve): if not trying to move, on not-too-steep
+    # static ground, zero the velocity.
+    static_ground = supported & (jnp.sum(gvel * gvel) < 1e-8)
+    anti_slide = (~allow_sliding) & static_ground & ~steep & ~do_jump & ~fly_mode
+    vel = jnp.where(anti_slide, vel * jnp.array([0.0, 0.0, 1.0]) * (vel[2] > 0), vel)
+
+    # --- Collide and slide ---
+    was_supported = supported
+    old_foot = foot
+    foot = foot + vel * dt
+
+    def slide_iter(_, carry):
+        foot, vel = carry
+        n, pen, pt, bid, cvel, ok = _capsule_probe(foot, cyl_h, body, table,
+                                                   world, config, exclude_body)
+        deep = jnp.where(ok, pen, -1e9)
+        di = jnp.argmax(deep)
+        push = jnp.where(deep[di] > 0.0, n[di] * deep[di], jnp.zeros(3))
+        foot = foot + push
+        # Cancel velocity into touching contacts (relative to contact velocity).
+        def cancel(vel, k):
+            touching = ok[k] & (pen[k] > -0.01)
+            rel = vel - cvel[k]
+            vn = jnp.dot(rel, n[k])
+            return jnp.where(touching & (vn < 0.0), vel - n[k] * vn, vel)
+        vel = jax.lax.fori_loop(0, n.shape[0], lambda k, v: cancel(v, k), vel)
+        return foot, vel
+
+    foot, vel = jax.lax.fori_loop(0, 3, slide_iter, (foot, vel))
+
+    # --- Stair walk (step-up 0.4) ---
+    desired_h = (vel * dt) * jnp.array([1.0, 1.0, 0.0])
+    desired_len = jnp.linalg.norm(desired_h)
+    achieved_h = (foot - old_foot) * jnp.array([1.0, 1.0, 0.0])
+    fwd = desired_h / jnp.maximum(desired_len, 1e-9)
+    achieved_len = jnp.maximum(jnp.dot(achieved_h, fwd), 0.0)
+    blocked = (desired_len > 1e-5) & (achieved_len + 1e-4 < desired_len * 0.5)
+
+    step_fwd = fwd * jnp.maximum(desired_len - achieved_len, 0.02)
+    up_foot = foot + jnp.array([0.0, 0.0, STAIR_STEP_UP]) + step_fwd
+    n2, pen2, pt2, _, _, ok2 = _capsule_probe(up_foot, cyl_h, body, table,
+                                              world, config, exclude_body)
+    clear_up = ~jnp.any(ok2 & (pen2 > 0.01))
+    # Sweep down to find the step surface.
+    def down_probe(zoff):
+        p = up_foot + jnp.array([0.0, 0.0, -zoff])
+        n3, pen3, pt3, _, v3, ok3 = _capsule_probe(p, cyl_h, body, table,
+                                                   world, config, exclude_body)
+        sup, gn3, gv3, steep3 = _support_info(p, n3, pen3, pt3, v3, ok3)
+        deep = jnp.max(jnp.where(ok3, pen3, -1e9))
+        return p, sup & ~steep3, deep
+
+    # Fixed scan of 5 drop depths; take the first supported, barely-penetrating one.
+    best_foot = foot
+    found = jnp.array(False)
+    for zoff in (0.1, 0.2, 0.3, 0.4, 0.45):
+        p, sup, deep = down_probe(jnp.float32(zoff))
+        take = (~found) & sup & (deep < 0.05)
+        best_foot = jnp.where(take, p + jnp.array([0.0, 0.0, jnp.maximum(deep, 0.0)]), best_foot)
+        found = found | take
+    do_stairs = blocked & clear_up & found & was_supported & ~fly_mode
+    pre_stair_z = foot[2]
+    foot = jnp.where(do_stairs, best_foot, foot)
+
+    # --- Stick to floor (step-down 0.5) ---
+    n4, pen4, pt4, bid4, v4, ok4 = _capsule_probe(foot, cyl_h, body, table,
+                                                  world, config, exclude_body)
+    sup_now, gn_now, gv_now, _ = _support_info(foot, n4, pen4, pt4, v4, ok4)
+    moving_up = (foot[2] - old_foot[2]) / jnp.maximum(dt, 1e-9) > 1e-6
+    want_stick = was_supported & ~sup_now & ~moving_up & ~fly_mode & ~do_jump
+    # Probe straight down for a floor within the step-down distance.
+    stick_foot = foot
+    stick_found = jnp.array(False)
+    for zoff in (0.1, 0.25, 0.5):
+        p = foot + jnp.array([0.0, 0.0, -zoff])
+        n5, pen5, pt5, _, v5, ok5 = _capsule_probe(p, cyl_h, body, table,
+                                                   world, config, exclude_body)
+        sup5, _, _, steep5 = _support_info(p, n5, pen5, pt5, v5, ok5)
+        deep5 = jnp.max(jnp.where(ok5, pen5, -1e9))
+        take = (~stick_found) & sup5 & ~steep5
+        stick_foot = jnp.where(take, p + jnp.array([0.0, 0.0, jnp.maximum(deep5, 0.0)]),
+                               stick_foot)
+        stick_found = stick_found | take
+    foot = jnp.where(want_stick & stick_found, stick_foot, foot)
+
+    # Final ground state.
+    n6, pen6, pt6, bid6, v6, ok6 = _capsule_probe(foot, cyl_h, body, table,
+                                                  world, config, exclude_body)
+    sup_f, gn_f, gv_f, _ = _support_info(foot, n6, pen6, pt6, v6, ok6)
+    on_ground = sup_f & ((vel[2] - gv_f[2]) < 0.1)
+
+    # Camera z smoothing (PlayerPhysics.cpp:316-318, 450-451).
+    dz = foot[2] - pre_stair_z
+    cz = char.campos_z_delta - 20.0 * dt * char.campos_z_delta
+    cz = jnp.where(jnp.abs(cz) < 1e-5, 0.0, cz)
+    cz = jnp.clip(cz + jnp.where(do_stairs | (want_stick & stick_found), dz, 0.0), -0.3, 0.3)
+
+    campos = jnp.array([foot[0], foot[1], foot[2] + EYE_HEIGHT, 1.0]) - jnp.array([0, 0, 1.0, 0]) * cz
+
+    touched = jnp.where(ok6 & (pen6 > -0.01) & (bid6 >= 0), bid6, -1)
+
+    new_char = CharacterState(
+        pos=foot, vel=vel, on_ground=on_ground, ground_normal=gn_f,
+        ground_vel=gv_f, campos_z_delta=cz, gravity_enabled=gravity_enabled,
+        fly_mode=fly_mode, sitting=sitting,
+    )
+    return new_char, campos, do_jump, touched
+
+
+class PlayerPhysics:
+    """Host wrapper: input accumulation + kinematic proxy body.
+
+    API parity with gui_client/PlayerPhysics.h: process_move_forwards /
+    process_strafe_right / process_move_up / process_jump / update /
+    set_fly_mode_enabled / setters.
+    """
+
+    def __init__(self, physics_world, eye_pos=(0.0, 0.0, 2.0)):
+        from substrata_tpu.physics import shapes
+        from substrata_tpu.physics.state import MotionType
+        from substrata_tpu.physics.world import PhysicsObject, USERDATA_AVATAR
+
+        self.world = physics_world
+        self.state = init_character_state(np.asarray(eye_pos, np.float32))
+        self.move_desired_vel = np.zeros(3, np.float32)
+        self.last_jump_time = -1.0
+        self.fly_mode = False
+        self.sitting = False
+        self.last_update_events_jumped = False
+        self.contacted_bodies: list = []
+        self.last_xy_plane_vel_rel_ground = np.zeros(3, np.float32)
+        # Kinematic proxy capsule so dynamic bodies get pushed by the solver.
+        self.proxy = physics_world.add_object(PhysicsObject(
+            shape=shapes.make_capsule(SPHERE_RAD, CYLINDER_HEIGHT / 2),
+            pos=self._capsule_center(),
+            motion_type=int(MotionType.KINEMATIC),
+            userdata_type=USERDATA_AVATAR))
+
+    def _capsule_center(self):
+        foot = np.asarray(self.state.pos)
+        return foot + np.array([0, 0, SPHERE_RAD + CYLINDER_HEIGHT / 2], np.float32)
+
+    # Input processing (PlayerPhysics.cpp:159-217).
+    def process_move(self, vec, runpressed=False):
+        self.move_desired_vel += np.asarray(vec, np.float32) * MOVE_SPEED * (
+            RUN_FACTOR if runpressed else 1.0)
+
+    def process_jump(self, cur_time):
+        self.last_jump_time = cur_time
+
+    def set_fly_mode_enabled(self, enabled):
+        self.fly_mode = bool(enabled)
+
+    def is_move_desired_vel_nonzero(self):
+        return float(np.sum(self.move_desired_vel ** 2)) > 0
+
+    def zero_move_desired_vel(self):
+        self.move_desired_vel = np.zeros(3, np.float32)
+
+    def update(self, dt, cur_time=0.0):
+        """Returns (campos [4], jumped)."""
+        w = self.world
+        w._flush()
+        jump_req = (cur_time - self.last_jump_time) < JUMP_PERIOD
+        new_state, campos, jumped, touched = character_update(
+            self.state, w.state, w.static_world,
+            jnp.asarray(self.move_desired_vel), jnp.array(bool(jump_req)),
+            jnp.array(self.fly_mode), jnp.array(self.sitting),
+            jnp.float32(dt), w.params, w.config, jnp.int32(self.proxy.slot))
+        self.state = new_state
+        if bool(jumped):
+            self.last_jump_time = -1.0
+        self.last_update_events_jumped = bool(jumped)
+        t = np.asarray(touched)
+        self.contacted_bodies = [w.objects[int(s)] for s in t[t >= 0]
+                                 if int(s) in w.objects]
+        gv = np.asarray(new_state.ground_vel)
+        v = np.asarray(new_state.vel)
+        self.last_xy_plane_vel_rel_ground = (
+            (v - gv) if bool(new_state.on_ground) else v) * np.array([1, 1, 0], np.float32)
+        # Drive the kinematic proxy.
+        w.move_kinematic_object(self.proxy, self._capsule_center(),
+                                self.proxy.rot, dt)
+        self.zero_move_desired_vel()
+        return np.asarray(campos), bool(jumped)
+
+    @property
+    def on_ground(self):
+        return bool(self.state.on_ground)
+
+    def get_eye_position(self):
+        return np.asarray(self.state.pos) + np.array([0, 0, EYE_HEIGHT], np.float32)
+
+    def set_position(self, eye_pos, linvel=None):
+        foot = np.asarray(eye_pos, np.float32) - np.array([0, 0, EYE_HEIGHT], np.float32)
+        self.state = self.state.replace(pos=jnp.asarray(foot))
+        if linvel is not None:
+            self.state = self.state.replace(vel=jnp.asarray(np.asarray(linvel, np.float32)))

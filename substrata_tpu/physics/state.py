@@ -382,26 +382,38 @@ def compute_shape_mass_props(shape_type: int, params: np.ndarray, density: float
         vol = 4.0 / 3.0 * np.pi * r ** 3
         bound = r
         mass = mass_override if mass_override > 0 else density * vol
-        inertia = np.asarray(tmath.sphere_inertia(jnp.float32(r), jnp.float32(mass)))
+        i = 0.4 * mass * r * r
+        inertia = np.array([i, i, i], np.float32)
     elif shape_type == ShapeType.BOX:
-        he = p[:3]
-        vol = float(8.0 * he[0] * he[1] * he[2])
-        bound = float(np.linalg.norm(he))
+        hx, hy, hz = float(p[0]), float(p[1]), float(p[2])
+        vol = 8.0 * hx * hy * hz
+        bound = float(np.sqrt(hx * hx + hy * hy + hz * hz))
         mass = mass_override if mass_override > 0 else density * vol
-        inertia = np.asarray(tmath.box_inertia(jnp.asarray(he), jnp.float32(mass)))
+        c = mass / 3.0
+        inertia = np.array([c * (hy * hy + hz * hz), c * (hx * hx + hz * hz),
+                            c * (hx * hx + hy * hy)], np.float32)
     elif shape_type == ShapeType.CAPSULE:
         r, hh = float(p[0]), float(p[1])
         vol = float(np.pi * r * r * 2 * hh + 4.0 / 3.0 * np.pi * r ** 3)
         bound = hh + r
         mass = mass_override if mass_override > 0 else density * vol
-        inertia = np.asarray(tmath.capsule_inertia(jnp.float32(r), jnp.float32(hh), jnp.float32(mass)))
+        vol_cyl = np.pi * r * r * 2 * hh
+        vol_sph = 4.0 / 3.0 * np.pi * r ** 3
+        m_cyl = mass * vol_cyl / vol
+        m_sph = mass * vol_sph / vol
+        iz = 0.5 * m_cyl * r * r + 0.4 * m_sph * r * r
+        d = hh + 3.0 * r / 8.0
+        ixy = m_cyl * ((2 * hh) ** 2 / 12.0 + 0.25 * r * r) + m_sph * (0.4 * r * r + d * d)
+        inertia = np.array([ixy, ixy, iz], np.float32)
     else:  # HULL — caller supplies bound radius/volume via params[1:3]
         vol = float(p[2]) if p[2] > 0 else 1.0
         bound = float(p[1]) if p[1] > 0 else 1.0
         mass = mass_override if mass_override > 0 else density * vol
         # Inertia approximated as a solid sphere of the bound radius; the
         # hull builder replaces this with the true principal inertia.
-        inertia = np.asarray(tmath.sphere_inertia(jnp.float32(bound * 0.7), jnp.float32(mass)))
+        r = bound * 0.7
+        i = 0.4 * mass * r * r
+        inertia = np.array([i, i, i], np.float32)
     inv_mass = 1.0 / mass if mass > 0 else 0.0
     inv_inertia = np.where(inertia > 0, 1.0 / inertia, 0.0)
     return float(mass), float(inv_mass), inv_inertia.astype(np.float32), float(vol), float(bound)

@@ -1,0 +1,145 @@
+"""PlayerPhysics behavioural tests (reference semantics from
+gui_client/PlayerPhysics.cpp:251-469; scripted-input traces per SURVEY.md §7)."""
+
+import numpy as np
+import pytest
+
+from substrata_tpu.physics import shapes
+from substrata_tpu.physics.character import PlayerPhysics, EYE_HEIGHT
+from substrata_tpu.physics.state import MotionType, SimConfig
+from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
+
+DT = 1.0 / 60.0
+
+
+def make_world():
+    cfg = SimConfig(capacity=64, max_pairs=256, grid_dim=16, cell_size=4.0,
+                    solver_iters=8)
+    w = PhysicsWorld(cfg)
+    w.set_ground_plane(0.0)
+    return w
+
+
+def test_spawn_no_gravity_until_move():
+    w = make_world()
+    p = PlayerPhysics(w, eye_pos=(0, 0, 10.0))
+    for _ in range(30):
+        p.update(DT)
+    # Gravity off at spawn (PlayerPhysics.cpp:165-167) -> hasn't fallen.
+    assert abs(p.get_eye_position()[2] - 10.0) < 0.2
+
+
+def test_walk_on_flat_ground():
+    w = make_world()
+    p = PlayerPhysics(w, eye_pos=(0, 0, EYE_HEIGHT))
+    for i in range(120):
+        p.process_move([1, 0, 0])
+        p.update(DT, cur_time=i * DT)
+        w.think(DT)
+    eye = p.get_eye_position()
+    # Walked ~3 m/s * 2 s = ~6 m; stays at eye height.
+    assert eye[0] > 4.0, eye
+    assert abs(eye[2] - EYE_HEIGHT) < 0.25, eye
+
+
+def test_run_factor():
+    w = make_world()
+    p = PlayerPhysics(w, eye_pos=(0, 0, EYE_HEIGHT))
+    for i in range(60):
+        p.process_move([1, 0, 0], runpressed=True)
+        p.update(DT, cur_time=i * DT)
+    # 15 m/s * 1 s.
+    assert p.get_eye_position()[0] > 10.0
+
+
+def test_jump():
+    w = make_world()
+    p = PlayerPhysics(w, eye_pos=(0, 0, EYE_HEIGHT))
+    # Settle on ground first (gravity enables on first move).
+    for i in range(30):
+        p.process_move([1, 0, 0])
+        p.update(DT, cur_time=i * DT)
+    max_z = 0.0
+    p.process_jump(cur_time=1.0)
+    jumped = False
+    for i in range(90):
+        _, j = p.update(DT, cur_time=1.0 + i * DT)
+        jumped = jumped or j
+        max_z = max(max_z, p.get_eye_position()[2])
+    assert jumped
+    # v0=4.5 -> apex ~ 1.03 m above start.
+    assert max_z - EYE_HEIGHT > 0.6, max_z
+
+
+def test_steps_up_stairs():
+    w = make_world()
+    # Three 0.25m steps.
+    for i in range(3):
+        w.add_object(PhysicsObject(
+            shape=shapes.make_box([1.0, 2.0, 0.125 * (i + 1)]),
+            pos=np.array([1.5 + i * 2.0, 0, 0.125 * (i + 1)], np.float32),
+            motion_type=int(MotionType.STATIC)))
+    p = PlayerPhysics(w, eye_pos=(0, 0, EYE_HEIGHT))
+    max_z = 0.0
+    for i in range(260):
+        p.process_move([1, 0, 0])
+        p.update(DT, cur_time=i * DT)
+        max_z = max(max_z, p.get_eye_position()[2])
+    eye = p.get_eye_position()
+    # Climbed all three steps (top at z=0.75) while advancing.
+    assert eye[0] > 4.5, eye
+    assert max_z > EYE_HEIGHT + 0.7, (max_z, eye)
+
+
+def test_blocked_by_wall():
+    w = make_world()
+    w.add_object(PhysicsObject(
+        shape=shapes.make_box([0.25, 3.0, 2.0]),
+        pos=np.array([2.0, 0, 2.0], np.float32),
+        motion_type=int(MotionType.STATIC)))
+    p = PlayerPhysics(w, eye_pos=(0, 0, EYE_HEIGHT))
+    for i in range(240):
+        p.process_move([1, 0, 0])
+        p.update(DT, cur_time=i * DT)
+    eye = p.get_eye_position()
+    # Stopped at the wall (wall front face at x=1.75, capsule r=0.3).
+    assert eye[0] < 1.8, eye
+    assert eye[2] < EYE_HEIGHT + 0.45, eye  # didn't climb it
+
+
+def test_fly_mode():
+    w = make_world()
+    p = PlayerPhysics(w, eye_pos=(0, 0, 5.0))
+    p.set_fly_mode_enabled(True)
+    for i in range(120):
+        p.process_move([0, 0, 1])
+        p.update(DT, cur_time=i * DT)
+    assert p.get_eye_position()[2] > 5.5
+
+
+def test_swim_up_in_water():
+    w = make_world()
+    w.set_water_buoyancy_enabled(True)
+    w.water_z = 10.0
+    w.set_ground_plane(0.0)
+    p = PlayerPhysics(w, eye_pos=(0, 0, 3.0))  # deep underwater
+    for i in range(120):
+        p.process_move([0, 0, 1])  # swim up: vertical move allowed underwater
+        p.update(DT, cur_time=i * DT)
+    assert p.get_eye_position()[2] > 3.5
+
+
+def test_pushes_dynamic_box():
+    w = make_world()
+    box = w.add_object(PhysicsObject(
+        shape=shapes.make_box([0.3, 0.3, 0.3], density=100.0),
+        pos=np.array([1.5, 0, 0.3], np.float32),
+        motion_type=int(MotionType.DYNAMIC)))
+    p = PlayerPhysics(w, eye_pos=(0, 0, EYE_HEIGHT))
+    for i in range(240):
+        p.process_move([1, 0, 0])
+        p.update(DT, cur_time=i * DT)
+        w.think(DT)
+    w.sync_transforms()
+    # Light box got shoved forward by the kinematic proxy.
+    assert box.pos[0] > 2.0, box.pos
