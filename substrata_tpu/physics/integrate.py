@@ -101,11 +101,14 @@ def integrate_positions(body: BodyState, linvel, angvel, dt):
 
 
 def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
-                    contact_impulse, contact_valid, dt, params: SimParams):
+                    contact_impulse, contact_valid, incidence_table,
+                    incidence_sign, dt, params: SimParams):
     """Velocity-threshold sleeping with contact-driven waking.
 
     Mirrors the activation behaviour backing the reference's
     activated_obs/newly_activated_obs sets (PhysicsWorld.cpp:1446-1486).
+    Wake propagation reuses the solver's per-body contact incidence table so
+    it is a gather + reduce, not a scatter.
     Returns (awake, sleep_timer, linvel, angvel).
     """
     n = body.capacity
@@ -121,16 +124,17 @@ def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
     fast = body.awake & ((lin2 > 4.0 * params.sleep_lin_vel ** 2)
                          | (ang2 > 4.0 * params.sleep_ang_vel ** 2))
     imp_sig = contact_valid & (contact_impulse > 1e-4)
-    bs = jnp.maximum(contact_b, 0)
-    static_b = contact_b < 0
-    other_awake_for_a = jnp.where(static_b, False, body.awake[bs])
-    other_fast_for_a = jnp.where(static_b, False, fast[bs])
-    wake_hit = jnp.zeros((n,), bool)
-    wake_hit = wake_hit.at[contact_a].max(
-        (imp_sig & other_awake_for_a) | (contact_valid & other_fast_for_a))
-    wake_hit = wake_hit.at[jnp.where(static_b, n, bs)].max(
-        (imp_sig & body.awake[contact_a]) | (contact_valid & fast[contact_a]),
-        mode="drop")
+    tbl = jnp.maximum(incidence_table, 0)                 # [N, CPB]
+    tbl_ok = incidence_table >= 0
+    iam_a = incidence_sign > 0
+    other = jnp.where(iam_a, contact_b[tbl], contact_a[tbl])  # [N, CPB]
+    other_static = other < 0
+    oth = jnp.maximum(other, 0)
+    other_awake = jnp.where(other_static, False, body.awake[oth])
+    other_fast = jnp.where(other_static, False, fast[oth])
+    slot_wake = tbl_ok & ((imp_sig[tbl] & other_awake)
+                          | (contact_valid[tbl] & other_fast))
+    wake_hit = jnp.any(slot_wake, axis=1)
 
     dyn = body.dynamic & body.alive
     timer = jnp.where(slow & ~wake_hit, body.sleep_timer + dt, 0.0)

@@ -261,8 +261,12 @@ def _box_box(pa, qa, hea, pb, qb, heb):
     use_edge = best_edge > best_face * 0.98 + 0.001
     use_b_face = (~use_edge) & (best_face_b > best_face_a * 0.98 + 0.001)
 
-    # --- Reference/incident face setup (computed for both A-ref and B-ref,
-    # then selected; vmap-friendly). ---
+    # --- Reference/incident face manifold via clamped incident corners.
+    # (Loop-free alternative to Sutherland-Hodgman clipping: take the 4
+    # corners of the incident face, clamp their in-face coordinates into the
+    # reference face rectangle, and measure depth along the face normal.
+    # Exact for the common axis-dominant stacking cases, approximate contact
+    # positions for strongly rotated overlaps — the SAT normal stays exact.)
     def face_manifold(p_ref, q_ref, he_ref, p_inc, q_inc, he_inc, sep_vec):
         ax = jnp.argmax(sep_vec)
         r_ref = quatm.to_matrix(q_ref)
@@ -275,7 +279,6 @@ def _box_box(pa, qa, hea, pb, qb, heb):
         dots = n_world @ r_inc  # [3] dot with each axis of inc
         inc_ax = jnp.argmax(jnp.abs(dots))
         inc_sgn = -(jnp.sign(dots[inc_ax]) + (dots[inc_ax] == 0))
-        # Incident face corners (world).
         u1 = (inc_ax + 1) % 3
         u2 = (inc_ax + 2) % 3
         e0 = r_inc[:, inc_ax] * he_inc[inc_ax] * inc_sgn
@@ -286,52 +289,18 @@ def _box_box(pa, qa, hea, pb, qb, heb):
             p_inc + e0 - e1 + e2,
             p_inc + e0 - e1 - e2,
             p_inc + e0 + e1 - e2,
-        ])  # [4, 3]
+        ])  # [4, 3] world
 
-        # Clip against the 4 side planes of the reference face
-        # (Sutherland-Hodgman with fixed 8-vertex buffer).
-        v1 = (ax + 1) % 3
-        v2 = (ax + 2) % 3
-        poly = jnp.zeros((8, 3)).at[:4].set(corners)
-        count = jnp.int32(4)
-        for side_ax, side_sgn in ((v1, 1.0), (v1, -1.0), (v2, 1.0), (v2, -1.0)):
-            plane_n = -side_sgn * r_ref[:, side_ax]            # inward normal
-            plane_d = jnp.dot(plane_n, p_ref) - he_ref[side_ax]
-            d = poly @ plane_n - plane_d                       # >= 0 => inside
-            new_poly = jnp.zeros((8, 3))
-            new_count = jnp.int32(0)
-            for k in range(8):
-                kn = (k + 1) % 8
-                valid_k = k < count
-                valid_kn = kn < count
-                dk = d[k]
-                dkn = jnp.where(valid_kn, d[kn], d[0])
-                pk = poly[k]
-                pkn = jnp.where(valid_kn, poly[kn], poly[0])
-                inside_k = dk >= 0.0
-                inside_kn = dkn >= 0.0
-                # Emit current vertex if inside.
-                emit_v = valid_k & inside_k
-                new_poly = jnp.where(emit_v & (jnp.arange(8)[:, None] == new_count), pk, new_poly)
-                new_count = new_count + emit_v.astype(jnp.int32)
-                # Emit intersection if edge crosses.
-                crosses = valid_k & (inside_k != inside_kn)
-                tt = dk / jnp.where(jnp.abs(dk - dkn) > 1e-9, dk - dkn, 1e-9)
-                ip = pk + (pkn - pk) * jnp.clip(tt, 0.0, 1.0)
-                new_poly = jnp.where(crosses & (jnp.arange(8)[:, None] == new_count), ip, new_poly)
-                new_count = new_count + crosses.astype(jnp.int32)
-            poly = new_poly
-            count = jnp.minimum(new_count, 8)
-
-        # Keep points at/below the reference face, take 4 deepest.
-        face_center = p_ref + n_world * (jnp.abs(he_ref[ax]))
-        depth = -(poly - face_center) @ n_world  # >0 = below face = penetrating
-        pt_valid = (jnp.arange(8) < count) & (depth > -CONTACT_MARGIN)
-        score = jnp.where(pt_valid, depth, -1e9)
-        top4 = jnp.argsort(-score)[:4]
-        pts = poly[top4] + n_world[None, :] * (depth[top4] * 0.5)[:, None]
-        pens = score[top4]
-        vmask = pt_valid[top4]
+        local = (corners - p_ref) @ r_ref                  # [4, 3] in ref frame
+        depth = he_ref[ax] - sgn * local[:, ax]            # >0 = below ref face
+        clamped = jnp.clip(local, -he_ref, he_ref)
+        clamped = clamped.at[:, ax].set(sgn * (he_ref[ax] - jnp.maximum(depth, 0.0) * 0.5))
+        pts = p_ref + clamped @ r_ref.T                    # back to world
+        # Reject corners clamped too far (they belong to another face pair).
+        lateral_shift = jnp.linalg.norm((clamped - local) *
+                                        (1.0 - jax.nn.one_hot(ax, 3)), axis=1)
+        vmask = (depth > -CONTACT_MARGIN) & (lateral_shift < jnp.max(he_inc) * 1.5)
+        pens = jnp.where(vmask, depth, -1e9)
         return pts, pens, n_world, vmask
 
     pts_a, pens_a, n_a, val_a = face_manifold(pa, qa, hea, pb, qb, heb, sep_a)
@@ -580,39 +549,51 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
     hf_point = jnp.concatenate([flat[:, :2], h[:, None]], axis=1)
     hf_ok = world.has_heightfield & (hf_pen > -CONTACT_MARGIN)
 
-    # --- Trimesh: candidates from this point's grid cell ---
+    # --- Trimesh: candidates from this point's grid cell (skipped entirely
+    # at runtime when there is no static trimesh) ---
     tm = world.trimesh
-    gx, gy, cap = tm.cell_tris.shape
-    ci = jnp.clip(((flat[:, 0] - tm.origin[0]) / tm.cell_w).astype(jnp.int32), 0, gx - 1)
-    cj = jnp.clip(((flat[:, 1] - tm.origin[1]) / tm.cell_w).astype(jnp.int32), 0, gy - 1)
-    cand = tm.cell_tris[ci, cj]  # [N*8, cap]
-    k = min(cap, config.max_tri_candidates)
-    cand = cand[:, :k]
-    cand_ok = cand >= 0
-    tri = tm.tris[jnp.maximum(cand, 0)]  # [N*8, k, 3]
-    v0 = tm.verts[tri[..., 0]]
-    v1 = tm.verts[tri[..., 1]]
-    v2 = tm.verts[tri[..., 2]]
-    cp = jax.vmap(jax.vmap(_closest_point_triangle))(
-        jnp.broadcast_to(flat[:, None, :], v0.shape), v0, v1, v2)
-    delta = flat[:, None, :] - cp
-    dist = jnp.linalg.norm(delta, axis=-1)
-    tri_n = jnp.cross(v1 - v0, v2 - v0)
-    tri_n = _safe_normalize(tri_n)
-    signed_side = jnp.sum((flat[:, None, :] - v0) * tri_n, axis=-1)
-    # Below the triangle plane: treat distance as negative (penetrating through).
-    sdist = jnp.where(signed_side >= 0, dist, -dist)
-    tm_pen_k = rad[:, None] - sdist
-    tm_pen_k = jnp.where(cand_ok, tm_pen_k, -1e9)
-    # Contact normal: from surface to point when outside, else triangle normal.
-    cn = jnp.where((dist > 1e-6)[..., None] & (signed_side >= 0)[..., None],
-                   delta / jnp.maximum(dist, 1e-6)[..., None], tri_n)
-    best = jnp.argmax(tm_pen_k, axis=1)
-    bi = jnp.arange(n * 8)
-    tm_pen = tm_pen_k[bi, best]
-    tm_point = cp[bi, best]
-    tm_normal = cn[bi, best]
-    tm_ok = (tm_pen > -CONTACT_MARGIN) & (tm_pen < 1e8) & cand_ok[bi, best]
+
+    def _trimesh_contacts(_):
+        gx, gy, cap = tm.cell_tris.shape
+        ci = jnp.clip(((flat[:, 0] - tm.origin[0]) / tm.cell_w).astype(jnp.int32), 0, gx - 1)
+        cj = jnp.clip(((flat[:, 1] - tm.origin[1]) / tm.cell_w).astype(jnp.int32), 0, gy - 1)
+        cand = tm.cell_tris[ci, cj]  # [N*8, cap]
+        k = min(cap, config.max_tri_candidates)
+        cand = cand[:, :k]
+        cand_ok = cand >= 0
+        tri = tm.tris[jnp.maximum(cand, 0)]  # [N*8, k, 3]
+        v0 = tm.verts[tri[..., 0]]
+        v1 = tm.verts[tri[..., 1]]
+        v2 = tm.verts[tri[..., 2]]
+        cp = jax.vmap(jax.vmap(_closest_point_triangle))(
+            jnp.broadcast_to(flat[:, None, :], v0.shape), v0, v1, v2)
+        delta = flat[:, None, :] - cp
+        dist = jnp.linalg.norm(delta, axis=-1)
+        tri_n = jnp.cross(v1 - v0, v2 - v0)
+        tri_n = _safe_normalize(tri_n)
+        signed_side = jnp.sum((flat[:, None, :] - v0) * tri_n, axis=-1)
+        # Below the triangle plane: treat distance as negative (tunnelled).
+        sdist = jnp.where(signed_side >= 0, dist, -dist)
+        tm_pen_k = rad[:, None] - sdist
+        tm_pen_k = jnp.where(cand_ok, tm_pen_k, -1e9)
+        # Contact normal: from surface to point when outside, else tri normal.
+        cn = jnp.where((dist > 1e-6)[..., None] & (signed_side >= 0)[..., None],
+                       delta / jnp.maximum(dist, 1e-6)[..., None], tri_n)
+        best = jnp.argmax(tm_pen_k, axis=1)
+        bi = jnp.arange(n * 8)
+        tm_pen = tm_pen_k[bi, best]
+        tm_point = cp[bi, best]
+        tm_normal = cn[bi, best]
+        tm_ok = (tm_pen > -CONTACT_MARGIN) & (tm_pen < 1e8) & cand_ok[bi, best]
+        return tm_pen, tm_point, tm_normal, tm_ok
+
+    def _no_trimesh(_):
+        return (jnp.full((n * 8,), -1e9), jnp.zeros((n * 8, 3)),
+                jnp.zeros((n * 8, 3)).at[:, 2].set(1.0),
+                jnp.zeros((n * 8,), bool))
+
+    tm_pen, tm_point, tm_normal, tm_ok = jax.lax.cond(
+        tm.n_tris > 0, _trimesh_contacts, _no_trimesh, operand=None)
 
     use_tm = tm_ok & (~hf_ok | (tm_pen > hf_pen))
     pen = jnp.where(use_tm, tm_pen, hf_pen)

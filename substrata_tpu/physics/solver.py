@@ -1,24 +1,26 @@
-"""Mass-splitting Jacobi impulse solver.
+"""Mass-splitting Jacobi impulse solver (TPU-optimised).
 
 The TPU replacement for Jolt's sequential-impulse solver (the reference runs
-Jolt with its default 10 velocity iterations inside
-physics_system->Update, PhysicsWorld.cpp:1356-1364).  Sequential impulses are
-order-dependent and serial; instead we use *mass splitting* (Tonge et al.,
-"Mass Splitting for Jitter-Free Parallel Rigid Body Simulation", SIGGRAPH
-2012 — the scheme used by GPU PhysX): each body's inverse mass is scaled by
-its contact count inside each contact's effective mass, which makes
-simultaneous (Jacobi) per-contact solves convergent, then per-iteration
-velocity deltas are accumulated with scatter-adds.  With warm-ish iteration
-counts (10) this matches sequential-impulse behaviour closely while being
-embarrassingly parallel.
+Jolt's default 10 velocity iterations inside physics_system->Update,
+PhysicsWorld.cpp:1356-1364).  Sequential impulses are order-dependent and
+serial; we use *mass splitting* (Tonge et al., "Mass Splitting for
+Jitter-Free Parallel Rigid Body Simulation", SIGGRAPH 2012 — the scheme used
+by GPU PhysX): each body's inverse mass is scaled by its contact count inside
+each contact's effective mass, making simultaneous (Jacobi) per-contact
+solves convergent.
 
-Features matching Jolt semantics:
-- accumulated normal impulse clamping (lambda_n >= 0)
-- box-clamped friction |lambda_t| <= mu * lambda_n
-- Baumgarte positional bias with contact slop
-- restitution with approach-velocity threshold
-- speculative contacts: for separated-but-near pairs the target velocity only
-  removes the approach that would tunnel this step (v_n >= pen/dt)
+TPU-specific design: XLA scatter-adds with colliding indices serialise, so
+the per-iteration "apply impulses to bodies" step is NOT a scatter.  Instead
+we build — once per step — a per-body incidence table [N, CPB] mapping each
+body to the contacts it participates in (with a side sign), and every
+iteration applies impulses with a gather + dense reduction over the CPB axis.
+The only scatters left run once per step (table build), not once per
+iteration.
+
+Features matching Jolt semantics: accumulated normal-impulse clamping,
+box-clamped friction |lambda_t| <= mu*lambda_n, Baumgarte positional bias
+with slop, restitution threshold, speculative contacts (v_n >= pen/dt for
+separated-but-near pairs).
 """
 
 from __future__ import annotations
@@ -33,7 +35,6 @@ from substrata_tpu.physics.state import BodyState, SimConfig, SimParams
 
 def _tangent_basis(n):
     """Orthonormal (t1, t2) perpendicular to n [..., 3]; branch-free."""
-    # Pick the world axis least aligned with n.
     ax = jnp.where(jnp.abs(n[..., 0:1]) < 0.9,
                    jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
     t1 = jnp.cross(ax, n)
@@ -42,16 +43,60 @@ def _tangent_basis(n):
     return t1, t2
 
 
+def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
+    """Per-body contact table.
+
+    Returns (table [N, CPB] i32 contact index (-1 empty), sign [N, CPB] f32
+    (+1 if the body is contact.a, -1 if contact.b), counts [N] f32).
+    Built with one sort over the 2C (body, contact) incidence records.
+    Contacts beyond a body's CPB slots are dropped from impulse application
+    for that body (their counterpart still sees them).
+    """
+    c = contacts.capacity
+    static_b = contacts.b < 0
+    # Two records per contact: (a, +1), (b, -1); invalid/static -> body n_bodies.
+    rec_body = jnp.concatenate([
+        jnp.where(contacts.valid, contacts.a, n_bodies),
+        jnp.where(contacts.valid & ~static_b, contacts.b, n_bodies),
+    ])
+    rec_contact = jnp.concatenate([jnp.arange(c, dtype=jnp.int32)] * 2)
+    rec_sign = jnp.concatenate([jnp.ones(c), -jnp.ones(c)])
+
+    order = jnp.argsort(rec_body)
+    sb = rec_body[order]
+    idx = jnp.arange(2 * c, dtype=jnp.int32)
+    start = jnp.concatenate([jnp.ones((1,), bool), sb[1:] != sb[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(start, idx, 0))
+    rank = idx - run_start
+
+    in_cap = (rank < cpb) & (sb < n_bodies)
+    slot = jnp.where(in_cap, sb * cpb + rank, n_bodies * cpb)
+    table = jnp.full((n_bodies * cpb + 1,), -1, jnp.int32)
+    table = table.at[slot].set(jnp.where(in_cap, rec_contact[order], -1), mode="drop")
+    sign = jnp.zeros((n_bodies * cpb + 1,))
+    sign = sign.at[slot].set(jnp.where(in_cap, rec_sign[order], 0.0), mode="drop")
+    table = table[:-1].reshape(n_bodies, cpb)
+    sign = sign[:-1].reshape(n_bodies, cpb)
+
+    counts = jnp.zeros((n_bodies + 1,))
+    counts = counts.at[jnp.minimum(rec_body, n_bodies)].add(
+        (rec_body < n_bodies).astype(jnp.float32))
+    return table, sign, counts[:n_bodies]
+
+
 def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
                    config: SimConfig):
     """Returns (linvel, angvel, lambda_n per contact)."""
     n_bodies = body.capacity
+    cpb = config.contacts_per_body
     a = contacts.a
     b = contacts.b
     static_b = b < 0
     bs = jnp.maximum(b, 0)
     valid = contacts.valid
     validf = valid.astype(jnp.float32)
+
+    table, sign, counts = build_incidence(contacts, n_bodies, cpb)
 
     im_a = body.inv_mass[a]
     im_b = jnp.where(static_b, 0.0, body.inv_mass[bs])
@@ -65,11 +110,6 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     nrm = contacts.normal
     t1, t2 = _tangent_basis(nrm)
 
-    # Contact counts per body for mass splitting.
-    counts = jnp.zeros((n_bodies,), jnp.float32)
-    counts = counts.at[a].add(validf)
-    counts = counts.at[jnp.where(static_b, n_bodies - 1, bs)].add(
-        jnp.where(static_b, 0.0, validf), mode="drop")
     c_a = jnp.maximum(counts[a], 1.0)
     c_b = jnp.maximum(jnp.where(static_b, 1.0, counts[bs]), 1.0)
 
@@ -95,7 +135,6 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
                         linvel[bs] + jnp.cross(angvel[bs], r_b))
         return v_a - v_b
 
-    # Restitution target from pre-solve approach velocity.
     v0 = rel_vel(body.linvel, body.angvel)
     vn0 = jnp.sum(v0 * nrm, -1)
     restitution_target = jnp.where(vn0 < -params.restitution_threshold,
@@ -105,16 +144,36 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
                      pen / dt)
     target_vn = jnp.maximum(bias, restitution_target)
 
-    def apply_impulse(linvel, angvel, imp):
-        dl_a = imp * (im_a * validf)[:, None]
-        dl_b = -imp * (im_b * validf)[:, None]
-        da_a = jnp.einsum("cij,cj->ci", iw_a, jnp.cross(r_a, imp)) * validf[:, None]
-        da_b = -jnp.einsum("cij,cj->ci", iw_b, jnp.cross(r_b, imp)) * validf[:, None]
-        linvel = linvel.at[a].add(dl_a)
-        angvel = angvel.at[a].add(da_a)
-        b_dst = jnp.where(static_b, n_bodies, bs)
-        linvel = linvel.at[b_dst].add(jnp.where(static_b[:, None], 0.0, dl_b), mode="drop")
-        angvel = angvel.at[b_dst].add(jnp.where(static_b[:, None], 0.0, da_b), mode="drop")
+    # Per-contact angular application vectors, precomputed:
+    # dω_body_from_contact = sign * Iw_side (r_side × P).  We store the world
+    # inverse-inertia-transformed cross matrices per side per basis direction.
+    # (P = dln*n + dlt1*t1 + dlt2*t2, so dω = dln*An + dlt1*At1 + dlt2*At2.)
+    def ang_app(d):
+        return (jnp.einsum("cij,cj->ci", iw_a, jnp.cross(r_a, d)),
+                jnp.einsum("cij,cj->ci", iw_b, jnp.cross(r_b, d)))
+
+    an_a, an_b = ang_app(nrm)
+    at1_a, at1_b = ang_app(t1)
+    at2_a, at2_b = ang_app(t2)
+
+    # Gather helpers for the incidence table.
+    tbl = jnp.maximum(table, 0)
+    tbl_valid = (table >= 0).astype(jnp.float32)[..., None]  # [N, CPB, 1]
+    side_a = (sign > 0)[..., None]                            # [N, CPB, 1]
+    im_per_body = body.inv_mass[:, None]  # [N, 1]
+
+    def apply_impulses(linvel, angvel, dln, dlt1, dlt2):
+        imp = dln[:, None] * nrm + dlt1[:, None] * t1 + dlt2[:, None] * t2  # [C,3]
+        imp = imp * validf[:, None]
+        # Linear: dv_i = inv_m_i * sum_slots sign * imp[table]
+        g = imp[tbl] * sign[..., None] * tbl_valid                          # [N,CPB,3]
+        linvel = linvel + im_per_body * jnp.sum(g, axis=1)
+        # Angular: dω_i = sum_slots (side==a ? Aa : Ab)[table] * dλ * sign-ish
+        # note: dω_a = +Iw_a(r_a×P); dω_b = -Iw_b(r_b×P); sign folds the minus.
+        ang_c_a = (dln[:, None] * an_a + dlt1[:, None] * at1_a + dlt2[:, None] * at2_a) * validf[:, None]
+        ang_c_b = (dln[:, None] * an_b + dlt1[:, None] * at1_b + dlt2[:, None] * at2_b) * validf[:, None]
+        ga = jnp.where(side_a, ang_c_a[tbl], ang_c_b[tbl]) * sign[..., None] * tbl_valid
+        angvel = angvel + jnp.sum(ga, axis=1)
         return linvel, angvel
 
     def iteration(_, carry):
@@ -133,12 +192,11 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         dlt1 = lt1_new - lt1
         dlt2 = lt2_new - lt2
 
-        imp = dln[:, None] * nrm + dlt1[:, None] * t1 + dlt2[:, None] * t2
-        linvel, angvel = apply_impulse(linvel, angvel, imp)
+        linvel, angvel = apply_impulses(linvel, angvel, dln, dlt1, dlt2)
         return linvel, angvel, ln_new, lt1_new, lt2_new
 
     zeros = jnp.zeros_like(kn)
     linvel, angvel, ln, _, _ = jax.lax.fori_loop(
         0, config.solver_iters, iteration,
         (body.linvel, body.angvel, zeros, zeros, zeros))
-    return linvel, angvel, ln
+    return linvel, angvel, ln, table, sign

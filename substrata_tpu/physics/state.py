@@ -344,6 +344,7 @@ class SimConfig:
         solver_iters: int = 10,
         static_contacts_per_body: int = 8,
         max_tri_candidates: int = 16,
+        contacts_per_body: int = 16,
     ):
         self.capacity = capacity
         self.max_pairs = max_pairs
@@ -354,6 +355,7 @@ class SimConfig:
         self.solver_iters = solver_iters
         self.static_contacts_per_body = static_contacts_per_body
         self.max_tri_candidates = max_tri_candidates
+        self.contacts_per_body = contacts_per_body
 
     def _key(self):
         return tuple(sorted(self.__dict__.items()))

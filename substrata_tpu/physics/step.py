@@ -72,7 +72,8 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     contacts = narrowphase.concat_contacts(pair_cts, static_cts)
 
     # 4. Solve velocity constraints.
-    linvel, angvel, lambda_n = solver.solve_contacts(body, contacts, dt, params, config)
+    linvel, angvel, lambda_n, inc_table, inc_sign = solver.solve_contacts(
+        body, contacts, dt, params, config)
 
     # 5. Integrate.
     pos, quat = integrate.integrate_positions(body, linvel, angvel, dt)
@@ -80,7 +81,7 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     # 6. Sleeping.
     awake, sleep_timer, linvel, angvel = integrate.update_sleeping(
         body, linvel, angvel, contacts.a, contacts.b, lambda_n, contacts.valid,
-        dt, params)
+        inc_table, inc_sign, dt, params)
 
     new_body = body.replace(
         pos=pos, quat=quat, linvel=linvel, angvel=angvel,
