@@ -11,9 +11,15 @@ equivalent: Jolt's Update called once per substep from the client tick).
 """
 
 import json
+import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,7 +29,7 @@ from substrata_tpu.physics.step import physics_step
 from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
 
 N_BODIES = 10_000
-STEPS_PER_CALL = 30
+STEPS_PER_CALL = 10
 DT = 1.0 / 60.0
 BASELINE_STEPS_PER_SEC = 60.0  # real-time 60 Hz = reference design rate
 

@@ -82,24 +82,33 @@ def find_pairs(body: BodyState, config: SimConfig, margin: float = 0.08):
     num_buckets = config.grid_dim * config.grid_dim
     table, cells, overflow = build_cell_table(body, config)
 
-    # A pair is interesting if: both alive+collidable, at least one is an
-    # awake dynamic/kinematic body, spheres overlap (+margin), and a < b.
+    # Packed candidate view: one gather row per body instead of separate
+    # pos/radius/flag gathers (pos3, bound_radius, pair-eligibility flags).
     collidable = body.alive & body.collidable
     moving = body.awake & (body.motion_type != int(MotionType.STATIC))
+    is_static = body.motion_type == int(MotionType.STATIC)
+    small = 2.0 * body.bound_radius <= config.cell_size
+    view = jnp.concatenate([
+        body.pos,
+        body.bound_radius[:, None],
+        collidable[:, None].astype(jnp.float32),
+        moving[:, None].astype(jnp.float32),
+        is_static[:, None].astype(jnp.float32),
+        small[:, None].astype(jnp.float32),
+    ], axis=1)  # [N, 8]
 
-    def can_pair(i, j):
-        ok = collidable[i] & collidable[j] & (j != i) & (j >= 0)
-        ok &= moving[i] | moving[j]
-        # static-static never pairs
-        both_static = (body.motion_type[i] == int(MotionType.STATIC)) & (
-            body.motion_type[j] == int(MotionType.STATIC))
-        ok &= ~both_static
-        d = body.pos[i] - body.pos[j]
-        r = body.bound_radius[i] + body.bound_radius[j] + margin
+    def can_pair_v(vi, vj, jj_ok):
+        ok = (vi[..., 4] > 0) & (vj[..., 4] > 0) & jj_ok
+        ok &= (vi[..., 5] > 0) | (vj[..., 5] > 0)
+        ok &= ~((vi[..., 6] > 0) & (vj[..., 6] > 0))
+        d = vi[..., :3] - vj[..., :3]
+        r = vi[..., 3] + vj[..., 3] + margin
         ok &= jnp.sum(d * d, axis=-1) <= r * r
         return ok
 
-    # --- Regular pass: 27-neighbourhood search. ---
+    # --- Regular pass: 27-neighbourhood search.  The candidate filter reads
+    # ONE packed view row per candidate (vs ~10 separate field gathers) —
+    # TPU gathers of small rows are the dominant broadphase cost.
     i_idx = jnp.arange(n, dtype=jnp.int32)
     cand_list = []
     for off in _NEIGHBOR_OFFSETS:
@@ -111,24 +120,28 @@ def find_pairs(body: BodyState, config: SimConfig, margin: float = 0.08):
     ii = jnp.broadcast_to(i_idx[:, None], (n, k))
     jj = cand
     jj_safe = jnp.maximum(jj, 0)
-    small_i = 2.0 * body.bound_radius <= config.cell_size
-    mask = can_pair(ii, jj_safe) & (jj > ii)
+    vi = view[:, None, :]
+    vj = view[jj_safe]
+    mask = can_pair_v(vi, vj, (jj >= 0) & (jj != ii)) & (jj > ii)
     # Only emit from the grid when BOTH bodies fit in a cell; oversize pass
     # below covers the rest (and emits each such pair exactly once).
-    mask &= small_i[ii] & small_i[jj_safe]
+    mask &= (vi[..., 7] > 0) & (vj[..., 7] > 0)
 
     flat_i = ii.reshape(-1)
     flat_j = jj_safe.reshape(-1)
     flat_mask = mask.reshape(-1)
 
-    # --- Oversize pass: big bodies vs everyone. ---
+    # --- Oversize pass: big bodies vs everyone (no gathers: one row of the
+    # view per oversize body broadcast against the full view). ---
     oversize = body.alive & (2.0 * body.bound_radius > config.cell_size)
     (os_idx,) = jnp.nonzero(oversize, size=MAX_OVERSIZE, fill_value=-1)
     os_valid = os_idx >= 0
     os_i = jnp.broadcast_to(os_idx[:, None], (MAX_OVERSIZE, n))
     os_j = jnp.broadcast_to(i_idx[None, :], (MAX_OVERSIZE, n))
     os_i_safe = jnp.maximum(os_i, 0)
-    os_mask = os_valid[:, None] & can_pair(os_i_safe, os_j)
+    v_os = view[jnp.maximum(os_idx, 0)][:, None, :]   # [O, 1, 8]
+    v_all = view[None, :, :]                           # [1, N, 8]
+    os_mask = os_valid[:, None] & can_pair_v(v_os, v_all, os_j != os_i_safe)
     # Dedup: emit (min, max); when both oversize, only emit from the smaller id.
     a = jnp.minimum(os_i_safe, os_j)
     b = jnp.maximum(os_i_safe, os_j)
@@ -140,15 +153,18 @@ def find_pairs(body: BodyState, config: SimConfig, margin: float = 0.08):
     all_b = jnp.concatenate([flat_j, b.reshape(-1)])
     all_mask = jnp.concatenate([flat_mask, os_mask.reshape(-1)])
 
-    # --- Stream compaction into the fixed pair buffer. ---
+    # --- Stream compaction into the fixed pair buffer (ONE scatter of a
+    # packed (a << 15 | b) int32 key — scatters are expensive on TPU; body
+    # capacity is limited to 32768 slots to keep the pack in int32). ---
     out_idx = jnp.cumsum(all_mask) - 1
     num_pairs = jnp.sum(all_mask).astype(jnp.int32)
     keep = all_mask & (out_idx < config.max_pairs)
     dst = jnp.where(keep, out_idx, config.max_pairs)
-    pair_a = jnp.full((config.max_pairs + 1,), -1, jnp.int32).at[dst].set(
-        jnp.where(keep, all_a, -1), mode="drop")[: config.max_pairs]
-    pair_b = jnp.full((config.max_pairs + 1,), -1, jnp.int32).at[dst].set(
-        jnp.where(keep, all_b, -1), mode="drop")[: config.max_pairs]
-    pair_valid = pair_a >= 0
+    packed = (all_a << 15) | all_b
+    buf = jnp.full((config.max_pairs + 1,), -1, jnp.int32).at[dst].set(
+        jnp.where(keep, packed, -1), mode="drop")[: config.max_pairs]
+    pair_valid = buf >= 0
+    pair_a = jnp.where(pair_valid, buf >> 15, -1)
+    pair_b = jnp.where(pair_valid, buf & 0x7FFF, -1)
     pair_overflow = jnp.maximum(num_pairs - config.max_pairs, 0)
     return pair_a, pair_b, pair_valid, num_pairs, overflow + os_overflow + pair_overflow

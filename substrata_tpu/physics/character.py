@@ -151,8 +151,7 @@ def _capsule_probe(foot, cyl_h, body: BodyState, table, world: StaticWorld,
         center + jnp.array([0.0, 0.0, half_h]),
     ])
     hf = world.heightfield
-    h = hf.sample(samples[:, :2])
-    hfn = hf.normal(samples[:, :2])
+    h, hfn = hf.sample_with_normal(samples[:, :2])
     hf_pen = (h - (samples[:, 2] - SPHERE_RAD)) * hfn[:, 2]
     hf_pt = jnp.concatenate([samples[:, :2], h[:, None]], axis=1)
     hf_ok = jnp.broadcast_to(world.has_heightfield, (3,)) & (hf_pen > -0.05)

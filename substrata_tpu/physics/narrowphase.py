@@ -110,13 +110,16 @@ def _sphere_box(ps, rs, pb, qb, he):
     delta = p - c
     dist = jnp.linalg.norm(delta)
     outside = dist > 1e-9
-    # Inside: push out along the axis of least depth.
+    # Inside: push out along the axis of least depth (one-hot arithmetic —
+    # dynamic .at[ax] indexing becomes a vmapped scatter on TPU).
     depth_axes = he - jnp.abs(p)
-    ax = jnp.argmin(depth_axes)
-    n_in = jnp.zeros(3).at[ax].set(jnp.sign(p[ax]) + (p[ax] == 0))
+    oh = jax.nn.one_hot(jnp.argmin(depth_axes), 3, dtype=p.dtype)
+    p_ax = jnp.sum(p * oh)
+    d_ax = jnp.min(depth_axes)
+    n_in = oh * (jnp.sign(p_ax) + (p_ax == 0))
     n_local = jnp.where(outside, _safe_normalize(delta), n_in)
-    pen = jnp.where(outside, rs - dist, rs + depth_axes[ax])
-    surf_local = jnp.where(outside, c, p + n_in * depth_axes[ax])
+    pen = jnp.where(outside, rs - dist, rs + d_ax)
+    surf_local = jnp.where(outside, c, p + n_in * d_ax)
     n = quatm.rotate_vec(qb, n_local)
     point = pb + quatm.rotate_vec(qb, surf_local)
     return _one_point(point, pen, n, pen > -CONTACT_MARGIN)
@@ -231,16 +234,20 @@ def _box_box(pa, qa, hea, pb, qb, heb):
     tb = c.T @ t
     sep_b = jnp.abs(tb) - (heb + absc.T @ hea)
 
-    # Edge-edge axes: L = A_i x B_j expressed in A frame.
-    # Ericson / ODE closed forms.
-    sep_e = jnp.full((3, 3), -1e9)
-    axes_e = jnp.zeros((3, 3, 3))
+    # Edge-edge axes: L = A_i x B_j expressed in A frame (Ericson / ODE
+    # closed forms).  Accumulated with stack, not .at[] — even static-index
+    # .at updates become scatters under vmap on TPU.
+    sep_list = []
+    axis_list = []
     for i in range(3):
         for j in range(3):
             i1, i2 = (i + 1) % 3, (i + 2) % 3
             j1, j2 = (j + 1) % 3, (j + 2) % 3
             # axis in A frame: e_i x c[:, j]
-            axis = jnp.zeros(3).at[i1].set(-c[i2, j]).at[i2].set(c[i1, j])
+            comps = [jnp.zeros(()), jnp.zeros(()), jnp.zeros(())]
+            comps[i1] = -c[i2, j]
+            comps[i2] = c[i1, j]
+            axis = jnp.stack(comps)
             alen = jnp.linalg.norm(axis)
             axis_n = axis / jnp.maximum(alen, 1e-9)
             ra_proj = hea[i1] * absc[i2, j] + hea[i2] * absc[i1, j]
@@ -248,8 +255,10 @@ def _box_box(pa, qa, hea, pb, qb, heb):
             dist = jnp.abs(jnp.dot(t, axis_n)) - (ra_proj + rb_proj) / jnp.maximum(alen, 1e-9)
             # Degenerate (parallel edges): disable this axis.
             dist = jnp.where(alen > 1e-6, dist, -1e9)
-            sep_e = sep_e.at[i, j].set(dist)
-            axes_e = axes_e.at[i, j].set(axis_n)
+            sep_list.append(dist)
+            axis_list.append(axis_n)
+    sep_e = jnp.stack(sep_list).reshape(3, 3)
+    axes_e = jnp.stack(axis_list).reshape(3, 3, 3)
 
     best_face_a = jnp.max(sep_a)
     best_face_b = jnp.max(sep_b)
@@ -268,22 +277,28 @@ def _box_box(pa, qa, hea, pb, qb, heb):
     # Exact for the common axis-dominant stacking cases, approximate contact
     # positions for strongly rotated overlaps — the SAT normal stays exact.)
     def face_manifold(p_ref, q_ref, he_ref, p_inc, q_inc, he_inc, sep_vec):
-        ax = jnp.argmax(sep_vec)
+        # All dynamic per-axis indexing is one-hot arithmetic (dynamic .at /
+        # [ax] indexing lowers to vmapped scatter/gather on TPU).
+        oh = jax.nn.one_hot(jnp.argmax(sep_vec), 3, dtype=p_ref.dtype)  # ref axis
         r_ref = quatm.to_matrix(q_ref)
         t_ref = r_ref.T @ (p_inc - p_ref)
-        sgn = jnp.sign(t_ref[ax]) + (t_ref[ax] == 0)
+        t_ax = jnp.sum(t_ref * oh)
+        he_ax = jnp.sum(he_ref * oh)
+        sgn = jnp.sign(t_ax) + (t_ax == 0)
         # Reference face normal in world (pointing from ref box toward inc box).
-        n_world = sgn * r_ref[:, ax]
+        n_world = sgn * (r_ref @ oh)
         # Incident face: the face of inc whose normal is most anti-parallel.
         r_inc = quatm.to_matrix(q_inc)
         dots = n_world @ r_inc  # [3] dot with each axis of inc
-        inc_ax = jnp.argmax(jnp.abs(dots))
-        inc_sgn = -(jnp.sign(dots[inc_ax]) + (dots[inc_ax] == 0))
-        u1 = (inc_ax + 1) % 3
-        u2 = (inc_ax + 2) % 3
-        e0 = r_inc[:, inc_ax] * he_inc[inc_ax] * inc_sgn
-        e1 = r_inc[:, u1] * he_inc[u1]
-        e2 = r_inc[:, u2] * he_inc[u2]
+        ohi = jax.nn.one_hot(jnp.argmax(jnp.abs(dots)), 3, dtype=p_ref.dtype)
+        d_ax = jnp.sum(dots * ohi)
+        inc_sgn = -(jnp.sign(d_ax) + (d_ax == 0))
+        # Incident face centre + its two in-face edge vectors (one-hot rolls).
+        ohu1 = jnp.roll(ohi, 1)
+        ohu2 = jnp.roll(ohi, 2)
+        e0 = (r_inc @ (ohi * he_inc)) * inc_sgn
+        e1 = r_inc @ (ohu1 * he_inc)
+        e2 = r_inc @ (ohu2 * he_inc)
         corners = jnp.stack([
             p_inc + e0 + e1 + e2,
             p_inc + e0 - e1 + e2,
@@ -292,13 +307,13 @@ def _box_box(pa, qa, hea, pb, qb, heb):
         ])  # [4, 3] world
 
         local = (corners - p_ref) @ r_ref                  # [4, 3] in ref frame
-        depth = he_ref[ax] - sgn * local[:, ax]            # >0 = below ref face
+        depth = he_ax - sgn * (local @ oh)                 # >0 = below ref face
         clamped = jnp.clip(local, -he_ref, he_ref)
-        clamped = clamped.at[:, ax].set(sgn * (he_ref[ax] - jnp.maximum(depth, 0.0) * 0.5))
+        ax_val = sgn * (he_ax - jnp.maximum(depth, 0.0) * 0.5)  # [4]
+        clamped = clamped * (1.0 - oh)[None, :] + ax_val[:, None] * oh[None, :]
         pts = p_ref + clamped @ r_ref.T                    # back to world
         # Reject corners clamped too far (they belong to another face pair).
-        lateral_shift = jnp.linalg.norm((clamped - local) *
-                                        (1.0 - jax.nn.one_hot(ax, 3)), axis=1)
+        lateral_shift = jnp.linalg.norm((clamped - local) * (1.0 - oh), axis=1)
         vmask = (depth > -CONTACT_MARGIN) & (lateral_shift < jnp.max(he_inc) * 1.5)
         pens = jnp.where(vmask, depth, -1e9)
         return pts, pens, n_world, vmask
@@ -306,10 +321,13 @@ def _box_box(pa, qa, hea, pb, qb, heb):
     pts_a, pens_a, n_a, val_a = face_manifold(pa, qa, hea, pb, qb, heb, sep_a)
     pts_b, pens_b, n_b, val_b = face_manifold(pb, qb, heb, pa, qa, hea, sep_b)
 
-    # Edge-edge single point.
+    # Edge-edge single point (one-hot arithmetic throughout — dynamic
+    # indexing lowers to vmapped gathers).
     eidx = jnp.argmax(sep_e.reshape(-1))
-    ei, ej = eidx // 3, eidx % 3
-    axis_a_frame = axes_e.reshape(9, 3)[eidx]
+    oh9 = jax.nn.one_hot(eidx, 9, dtype=pa.dtype)
+    ohe_i = jax.nn.one_hot(eidx // 3, 3, dtype=pa.dtype)
+    ohe_j = jax.nn.one_hot(eidx % 3, 3, dtype=pa.dtype)
+    axis_a_frame = oh9 @ axes_e.reshape(9, 3)
     n_edge_w = ra @ axis_a_frame
     # Orient the axis from A toward B.
     flip_sgn = jnp.sign(jnp.dot(n_edge_w, t_w)) + (jnp.dot(n_edge_w, t_w) == 0)
@@ -320,14 +338,12 @@ def _box_box(pa, qa, hea, pb, qb, heb):
         return jnp.sign(v) + (v == 0)
     sa = _sgn(ra.T @ n_edge_w)
     sb = _sgn(-(rb.T @ n_edge_w))
-    not_ei = 1.0 - jax.nn.one_hot(ei, 3)
-    not_ej = 1.0 - jax.nn.one_hot(ej, 3)
-    a_center = pa + ra @ (sa * hea * not_ei)
-    b_center = pb + rb @ (sb * heb * not_ej)
-    da = ra[:, ei]
-    db = rb[:, ej]
-    ea_half = da * hea[ei]
-    eb_half = db * heb[ej]
+    a_center = pa + ra @ (sa * hea * (1.0 - ohe_i))
+    b_center = pb + rb @ (sb * heb * (1.0 - ohe_j))
+    da = ra @ ohe_i
+    db = rb @ ohe_j
+    ea_half = da * jnp.sum(hea * ohe_i)
+    eb_half = db * jnp.sum(heb * ohe_j)
     t1, t2 = _closest_pt_segment_segment(a_center, ea_half, b_center, eb_half)
     pe_a = a_center + ea_half * t1
     pe_b = b_center + eb_half * t2
@@ -420,16 +436,25 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
     """
     a = jnp.maximum(pair_a, 0)
     b = jnp.maximum(pair_b, 0)
+    # Packed gather: pos3 | quat4 | type | params4 | friction | restitution |
+    # sensor -> one row per pair side instead of 7 field gathers.
+    pview = jnp.concatenate([
+        body.pos, body.quat, body.shape_type.astype(jnp.float32)[:, None],
+        body.shape_params, body.friction[:, None], body.restitution[:, None],
+        body.is_sensor.astype(jnp.float32)[:, None],
+    ], axis=1)  # [N, 15]
+    va = pview[a]
+    vb = pview[b]
     pts, pens, normal, valid = _pair_contacts_vmapped(
-        body.pos[a], body.quat[a], body.shape_type[a], body.shape_params[a],
-        body.pos[b], body.quat[b], body.shape_type[b], body.shape_params[b],
+        va[:, :3], va[:, 3:7], va[:, 7].astype(jnp.int32), va[:, 8:12],
+        vb[:, :3], vb[:, 3:7], vb[:, 7].astype(jnp.int32), vb[:, 8:12],
     )  # pts [P,4,3], pens [P,4], normal [P,3], valid [P,4]
     p = pair_a.shape[0]
     valid = valid & pair_valid[:, None]
     # No impulses for sensors; the step still reports their touches as events.
-    sensor = body.is_sensor[a] | body.is_sensor[b]
-    fr = combine_friction(body.friction[a], body.friction[b])
-    re = combine_restitution(body.restitution[a], body.restitution[b])
+    sensor = (va[:, 14] > 0) | (vb[:, 14] > 0)
+    fr = combine_friction(va[:, 12], vb[:, 12])
+    re = combine_restitution(va[:, 13], vb[:, 13])
     c4 = p * 4
     return Contacts(
         a=jnp.repeat(a, 4)[:c4],
@@ -541,8 +566,7 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
 
     # --- Heightfield ---
     hf = world.heightfield
-    h = hf.sample(flat[:, :2])
-    hf_n = hf.normal(flat[:, :2])
+    h, hf_n = hf.sample_with_normal(flat[:, :2])
     hf_pen = (h - (flat[:, 2] - rad))
     # Project penetration onto the surface normal (slope correction).
     hf_pen = hf_pen * hf_n[:, 2]

@@ -98,14 +98,21 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
 
     table, sign, counts = build_incidence(contacts, n_bodies, cpb)
 
-    im_a = body.inv_mass[a]
-    im_b = jnp.where(static_b, 0.0, body.inv_mass[bs])
-    iw_a = tmath.world_inv_inertia(body.quat[a], body.inv_inertia[a])     # [C,3,3]
-    iw_b = tmath.world_inv_inertia(body.quat[bs], body.inv_inertia[bs])
+    # One packed gather row per contact side instead of 4 field gathers
+    # (pos3 | quat4 | inv_mass | inv_inertia3) — TPU gathers dominate.
+    bview = jnp.concatenate([
+        body.pos, body.quat, body.inv_mass[:, None], body.inv_inertia,
+    ], axis=1)  # [N, 11]
+    va = bview[a]
+    vb = bview[bs]
+    im_a = va[:, 7]
+    im_b = jnp.where(static_b, 0.0, vb[:, 7])
+    iw_a = tmath.world_inv_inertia(va[:, 3:7], va[:, 8:11])               # [C,3,3]
+    iw_b = tmath.world_inv_inertia(vb[:, 3:7], vb[:, 8:11])
     iw_b = jnp.where(static_b[:, None, None], 0.0, iw_b)
 
-    r_a = contacts.point - body.pos[a]
-    r_b = contacts.point - body.pos[bs]
+    r_a = contacts.point - va[:, :3]
+    r_b = contacts.point - vb[:, :3]
 
     nrm = contacts.normal
     t1, t2 = _tangent_basis(nrm)
@@ -130,9 +137,13 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     pen = contacts.penetration
 
     def rel_vel(linvel, angvel):
-        v_a = linvel[a] + jnp.cross(angvel[a], r_a)
+        # Packed [N, 6] velocity view -> one gather per contact side.
+        vview = jnp.concatenate([linvel, angvel], axis=1)
+        wa = vview[a]
+        wb = vview[bs]
+        v_a = wa[:, :3] + jnp.cross(wa[:, 3:], r_a)
         v_b = jnp.where(static_b[:, None], 0.0,
-                        linvel[bs] + jnp.cross(angvel[bs], r_b))
+                        wb[:, :3] + jnp.cross(wb[:, 3:], r_b))
         return v_a - v_b
 
     v0 = rel_vel(body.linvel, body.angvel)

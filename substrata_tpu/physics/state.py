@@ -188,15 +188,35 @@ class Heightfield:
         return (h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
                 + h01 * (1 - fu) * fv + h11 * fu * fv)
 
-    def normal(self, xy):
-        """Central-difference surface normal at world xy."""
-        eps = self.cell_w * 0.5
-        ex = jnp.stack([jnp.broadcast_to(eps, xy[..., 0].shape), jnp.zeros_like(xy[..., 0])], -1)
-        ey = jnp.stack([jnp.zeros_like(xy[..., 0]), jnp.broadcast_to(eps, xy[..., 0].shape)], -1)
-        dzdx = (self.sample(xy + ex) - self.sample(xy - ex)) / (2 * eps)
-        dzdy = (self.sample(xy + ey) - self.sample(xy - ey)) / (2 * eps)
+    def sample_with_normal(self, xy):
+        """(height, unit normal) at world xy with one 2x2 patch gather —
+        the normal is the analytic gradient of the bilinear patch (vs 4
+        extra height samples for central differences; TPU gathers are the
+        cost here)."""
+        hx, hy = self.heights.shape
+        u = (xy[..., 0] - self.origin[0]) / self.cell_w
+        v = (xy[..., 1] - self.origin[1]) / self.cell_w
+        u = jnp.clip(u, 0.0, hx - 1.001)
+        v = jnp.clip(v, 0.0, hy - 1.001)
+        i0 = jnp.floor(u).astype(jnp.int32)
+        j0 = jnp.floor(v).astype(jnp.int32)
+        fu = u - i0
+        fv = v - j0
+        h00 = self.heights[i0, j0]
+        h10 = self.heights[i0 + 1, j0]
+        h01 = self.heights[i0, j0 + 1]
+        h11 = self.heights[i0 + 1, j0 + 1]
+        h = (h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
+             + h01 * (1 - fu) * fv + h11 * fu * fv)
+        dzdx = ((h10 - h00) * (1 - fv) + (h11 - h01) * fv) / self.cell_w
+        dzdy = ((h01 - h00) * (1 - fu) + (h11 - h10) * fu) / self.cell_w
         n = jnp.stack([-dzdx, -dzdy, jnp.ones_like(dzdx)], axis=-1)
-        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        return h, n
+
+    def normal(self, xy):
+        """Surface normal at world xy (see sample_with_normal)."""
+        return self.sample_with_normal(xy)[1]
 
 
 def flat_heightfield(extent: float = 1000.0, z: float = 0.0, res: int = 8) -> Heightfield:
@@ -346,6 +366,10 @@ class SimConfig:
         max_tri_candidates: int = 16,
         contacts_per_body: int = 16,
     ):
+        if capacity > 32768:
+            # Broadphase pair compaction packs (a, b) slot ids into one
+            # int32 (15 bits each); shard bigger worlds across instances.
+            raise ValueError("SimConfig.capacity is limited to 32768 bodies")
         self.capacity = capacity
         self.max_pairs = max_pairs
         self.max_contacts_per_pair = max_contacts_per_pair

@@ -1,0 +1,168 @@
+"""Vehicle controller behavioural tests (reference:
+gui_client/{Car,Bike,Boat,HoverCar}Physics.cpp)."""
+
+import numpy as np
+import pytest
+
+from substrata_tpu.physics import shapes
+from substrata_tpu.physics.state import MotionType, SimConfig
+from substrata_tpu.physics.vehicles import (
+    BikePhysics, BoatPhysics, CarPhysics, HoverCarPhysics, VehicleManager,
+    VehiclePhysicsInput, VehicleSettings,
+)
+from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
+
+DT = 1.0 / 60.0
+
+
+def make_world(**kw):
+    cfg = SimConfig(capacity=64, max_pairs=256, grid_dim=16, cell_size=8.0,
+                    solver_iters=8)
+    w = PhysicsWorld(cfg)
+    w.set_ground_plane(0.0)
+    return w
+
+
+def add_chassis(w, pos, he=(0.9, 1.8, 0.4), density=150.0):
+    return w.add_object(PhysicsObject(
+        shape=shapes.make_box(list(he), density=density),
+        pos=np.array(pos, np.float32),
+        motion_type=int(MotionType.DYNAMIC),
+        friction=0.3))
+
+
+def drive(w, vm, veh, inp, ticks):
+    veh.update(inp)
+    for _ in range(ticks):
+        vm.update(DT)
+        w.think(DT)
+    w.sync_transforms()
+
+
+def test_car_settles_on_suspension():
+    w = make_world()
+    vm = VehicleManager(w)
+    chassis = add_chassis(w, [0, 0, 1.0])
+    car = CarPhysics(vm, chassis)
+    drive(w, vm, car, VehiclePhysicsInput(), 240)
+    # Suspension holds the chassis off the ground: wheel attach at z=-0.2,
+    # radius 0.35, max sus 0.5 -> chassis centre roughly 0.5-0.9 m.
+    assert 0.3 < chassis.pos[2] < 1.2, chassis.pos
+    # Chassis is level.
+    from substrata_tpu.maths import quat as quatm
+    import jax.numpy as jnp
+    up = np.asarray(quatm.rotate_vec(jnp.asarray(chassis.rot), jnp.array([0., 0., 1.])))
+    assert up[2] > 0.95
+
+
+def test_car_drives_forward():
+    w = make_world()
+    vm = VehicleManager(w)
+    chassis = add_chassis(w, [0, 0, 0.8])
+    car = CarPhysics(vm, chassis)
+    car.player_entered(0)
+    drive(w, vm, car, VehiclePhysicsInput(forward=1.0), 240)
+    # +y is forward with identity model rotation.
+    assert chassis.pos[1] > 5.0, chassis.pos
+    assert abs(chassis.pos[0]) < 2.0, chassis.pos
+
+
+def test_car_steers():
+    w = make_world()
+    vm = VehicleManager(w)
+    chassis = add_chassis(w, [0, 0, 0.8])
+    car = CarPhysics(vm, chassis)
+    car.player_entered(0)
+    drive(w, vm, car, VehiclePhysicsInput(forward=1.0, right=0.5), 300)
+    # Turned: significant lateral displacement.
+    assert abs(chassis.pos[0]) > 1.0, chassis.pos
+
+
+def test_car_brakes():
+    w = make_world()
+    vm = VehicleManager(w)
+    chassis = add_chassis(w, [0, 0, 0.8])
+    car = CarPhysics(vm, chassis)
+    car.player_entered(0)
+    drive(w, vm, car, VehiclePhysicsInput(forward=1.0), 180)
+    speed_before = np.linalg.norm(chassis.linvel)
+    drive(w, vm, car, VehiclePhysicsInput(forward=0.0, brake=True), 120)
+    speed_after = np.linalg.norm(chassis.linvel)
+    assert speed_before > 3.0
+    assert speed_after < speed_before * 0.3
+
+
+def test_hovercar_hovers_and_moves():
+    w = make_world()
+    vm = VehicleManager(w)
+    chassis = add_chassis(w, [0, 0, 1.5], density=100.0)
+    hover = HoverCarPhysics(vm, chassis)
+    hover.player_entered(0)
+    drive(w, vm, hover, VehiclePhysicsInput(forward=1.0), 240)
+    # Hover force ~ balances gravity; forward force moves it.
+    assert chassis.pos[2] > 0.4, chassis.pos
+    assert chassis.pos[1] > 4.0, chassis.pos
+
+
+def test_boat_thrusts_in_water():
+    w = make_world()
+    w.set_water_buoyancy_enabled(True)
+    w.water_z = 0.0
+    w.set_ground_plane(-30.0)
+    vm = VehicleManager(w)
+    hull = w.add_object(PhysicsObject(
+        shape=shapes.make_box([1.0, 2.5, 0.6], density=400.0),
+        pos=np.array([0, 0, 0.0], np.float32),
+        motion_type=int(MotionType.DYNAMIC)))
+    boat = BoatPhysics(vm, hull, VehicleSettings(thrust_force=30000.0))
+    boat.player_entered(0)
+    # Let it settle afloat first.
+    drive(w, vm, boat, VehiclePhysicsInput(), 120)
+    assert -1.5 < hull.pos[2] < 1.0, hull.pos  # floating near surface
+    drive(w, vm, boat, VehiclePhysicsInput(forward=1.0), 300)
+    assert hull.pos[1] > 4.0, hull.pos
+    assert hull.use_zero_linear_drag  # boats do custom drag
+
+
+def test_bike_stays_upright_with_lean_controller():
+    w = make_world()
+    vm = VehicleManager(w)
+    frame = w.add_object(PhysicsObject(
+        shape=shapes.make_box([0.25, 1.0, 0.5], density=300.0),
+        pos=np.array([0, 0, 1.0], np.float32),
+        motion_type=int(MotionType.DYNAMIC)))
+    settings = VehicleSettings(
+        wheel_attach_os=np.array([[0, 0.9, -0.4], [0, -0.9, -0.4]], np.float32),
+        wheel_radius=0.3)
+    bike = BikePhysics(vm, frame, settings)
+    bike.player_entered(0)
+    drive(w, vm, bike, VehiclePhysicsInput(forward=0.8), 300)
+    from substrata_tpu.maths import quat as quatm
+    import jax.numpy as jnp
+    up = np.asarray(quatm.rotate_vec(jnp.asarray(frame.rot), jnp.array([0., 0., 1.])))
+    assert up[2] > 0.8, up  # still upright
+    assert frame.pos[1] > 3.0, frame.pos  # moving forward
+
+
+def test_input_bitflags_roundtrip():
+    inp = VehiclePhysicsInput(forward=1.0, right=-1.0, up=1.0, handbrake=True)
+    bf = inp.to_bitflags()
+    back = VehiclePhysicsInput.from_bitflags(bf)
+    assert back.forward == 1.0
+    assert back.right == -1.0
+    assert back.up == 1.0
+    assert back.handbrake
+
+
+def test_doppler_factor():
+    w = make_world()
+    vm = VehicleManager(w)
+    chassis = add_chassis(w, [0, 0, 0.8])
+    car = CarPhysics(vm, chassis)
+    chassis.linvel = np.array([0, 20.0, 0], np.float32)
+    # Approaching listener ahead -> factor > 1.
+    f = car.get_doppler_factor([0, 100, 0])
+    assert f > 1.0
+    # Receding listener behind -> factor < 1.
+    f2 = car.get_doppler_factor([0, -100, 0])
+    assert f2 < 1.0
