@@ -1,0 +1,254 @@
+"""The fused per-block mix kernel.
+
+Replaces the reference's ResonanceThread inner loop (AudioEngine.cpp:345-555):
+for each active source pull 256 frames (shared buffer with looping /
+mix-sources with per-layer pitch + crossfade / streaming circular buffer),
+resample, spatialise, and downmix to interleaved stereo.
+
+TPU mapping:
+- sample fetch + linear-interp resampling: two gathers into the sample pool
+  ([S, B] indices), masked for end-of-buffer / looping
+- distance attenuation (1/d rolloff with 1 m reference, Resonance default),
+  occlusion low-pass + gain (SetSoundObjectOcclusionIntensity parity),
+  smoothed per-block gain ramps to avoid zipper noise
+- binaural-lite spatialisation: constant-power pan from listener-frame
+  azimuth + head-shadow one-pole low-pass for rear/occluded sources
+  (kBinauralHighQuality stand-in), stereo sources bypass spatialisation
+  (CreateStereoSource parity)
+- downmix: [2S gains] x [S, B] samples as ONE matmul on the MXU
+- 3-layer engine mix-sources (MixSource, AudioEngine.h:61-69): three
+  pitch-shifted loop layers with mix factors, summed per source
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+BLOCK = 256            # frames per block (AudioEngine.cpp:580-585)
+ENGINE_RATE = 48_000   # Hz stereo f32 output (AudioEngine.cpp:576-612)
+NUM_MIX_LAYERS = 3     # engine-sound layers (BikePhysics.cpp:261-270)
+SPEED_OF_SOUND = 343.0  # Doppler (AudioEngine.cpp:131-146)
+
+
+@flax.struct.dataclass
+class SourceState:
+    """SoA state for all audio sources, capacity S."""
+
+    # Playback
+    buf_offset: jnp.ndarray    # [S, L] i32 pool offset per mix layer
+    buf_len: jnp.ndarray       # [S, L] i32 (0 = layer unused)
+    playhead: jnp.ndarray      # [S, L] f32 fractional sample position
+    delta: jnp.ndarray         # [S, L] f32 playback rate (pitch * src_rate/48k)
+    mix_factor: jnp.ndarray    # [S, L] f32 per-layer gain (mix sources)
+    looping: jnp.ndarray       # [S] bool
+    remove_on_finish: jnp.ndarray  # [S] bool
+    finished: jnp.ndarray      # [S] bool
+    paused: jnp.ndarray        # [S] bool
+    # Spatial
+    pos: jnp.ndarray           # [S, 3] world position
+    vel: jnp.ndarray           # [S, 3] for Doppler
+    spatial: jnp.ndarray       # [S] bool (False = plain stereo source)
+    volume: jnp.ndarray        # [S]
+    mute_factor: jnp.ndarray   # [S] current mute-fade volume factor
+    mute_target: jnp.ndarray   # [S] fade target (timed mute/unmute)
+    mute_rate: jnp.ndarray     # [S] fade rate per second
+    num_occlusions: jnp.ndarray  # [S] f32
+    doppler_factor: jnp.ndarray  # [S] smoothed doppler playback scale
+    # DSP state
+    lp_state: jnp.ndarray      # [S] one-pole low-pass memory
+    prev_gain_l: jnp.ndarray   # [S] last block's gains (for ramps)
+    prev_gain_r: jnp.ndarray   # [S]
+    smoothed_level: jnp.ndarray  # [S] output level meter (AudioSource parity)
+    alive: jnp.ndarray         # [S] bool
+    # Streaming sources: layer 0 is a ring buffer; reads beyond write_head
+    # zero-pad (underflow parity, AudioEngine.cpp:461-474).
+    stream_mode: jnp.ndarray   # [S] bool
+    stream_write_head: jnp.ndarray  # [S] f32 absolute samples written
+
+    @property
+    def capacity(self):
+        return self.pos.shape[0]
+
+
+def zero_sources(capacity: int) -> SourceState:
+    f = jnp.float32
+    s, l = capacity, NUM_MIX_LAYERS
+    return SourceState(
+        buf_offset=jnp.zeros((s, l), jnp.int32),
+        buf_len=jnp.zeros((s, l), jnp.int32),
+        playhead=jnp.zeros((s, l), f),
+        delta=jnp.ones((s, l), f),
+        mix_factor=jnp.zeros((s, l), f).at[:, 0].set(1.0),
+        looping=jnp.zeros((s,), bool),
+        remove_on_finish=jnp.zeros((s,), bool),
+        finished=jnp.zeros((s,), bool),
+        paused=jnp.zeros((s,), bool),
+        pos=jnp.zeros((s, 3), f),
+        vel=jnp.zeros((s, 3), f),
+        spatial=jnp.ones((s,), bool),
+        volume=jnp.ones((s,), f),
+        mute_factor=jnp.ones((s,), f),
+        mute_target=jnp.ones((s,), f),
+        mute_rate=jnp.zeros((s,), f),
+        num_occlusions=jnp.zeros((s,), f),
+        doppler_factor=jnp.ones((s,), f),
+        lp_state=jnp.zeros((s,), f),
+        prev_gain_l=jnp.zeros((s,), f),
+        prev_gain_r=jnp.zeros((s,), f),
+        smoothed_level=jnp.zeros((s,), f),
+        alive=jnp.zeros((s,), bool),
+        stream_mode=jnp.zeros((s,), bool),
+        stream_write_head=jnp.zeros((s,), f),
+    )
+
+
+@flax.struct.dataclass
+class Listener:
+    pos: jnp.ndarray      # [3]
+    right: jnp.ndarray    # [3] head frame
+    forward: jnp.ndarray  # [3]
+    up: jnp.ndarray       # [3]
+    vel: jnp.ndarray      # [3]
+    master_volume: jnp.ndarray  # []
+
+
+def default_listener() -> Listener:
+    return Listener(pos=jnp.zeros(3), right=jnp.array([1.0, 0.0, 0.0]),
+                    forward=jnp.array([0.0, 1.0, 0.0]),
+                    up=jnp.array([0.0, 0.0, 1.0]), vel=jnp.zeros(3),
+                    master_volume=jnp.float32(1.0))
+
+
+def _fetch_layer(pool, offset, length, playhead, delta, looping, stream_mode,
+                 write_head):
+    """Fetch BLOCK frames of one source layer with linear interpolation.
+
+    offset/length: scalars; playhead: f32; returns (samples [B], new_playhead).
+    Streaming mode: playhead is an absolute sample counter, the buffer is a
+    ring, and reads past write_head produce zeros (underflow zero-pad,
+    AudioEngine.cpp:461-474).
+    """
+    t = playhead + delta * jnp.arange(BLOCK, dtype=jnp.float32)
+    lenf = jnp.maximum(length.astype(jnp.float32), 1.0)
+    wrap = looping | stream_mode
+    t_wrapped = jnp.where(wrap, jnp.mod(t, lenf), t)
+    idx0 = jnp.floor(t_wrapped).astype(jnp.int32)
+    frac = t_wrapped - idx0
+    in_range = jnp.where(stream_mode, t < write_head - 1.0,
+                         wrap | (t_wrapped < lenf - 1.0))
+    i0 = jnp.clip(idx0, 0, length - 1)
+    i1 = jnp.where(wrap, jnp.mod(idx0 + 1, jnp.maximum(length, 1)),
+                   jnp.clip(idx0 + 1, 0, length - 1))
+    s0 = pool[offset + i0]
+    s1 = pool[offset + i1]
+    out = (s0 * (1.0 - frac) + s1 * frac) * in_range
+    new_playhead = playhead + delta * BLOCK
+    new_playhead = jnp.where(looping & ~stream_mode, jnp.mod(new_playhead, lenf),
+                             new_playhead)
+    return out, new_playhead
+
+
+@jax.jit
+def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener, dt_block=BLOCK / ENGINE_RATE):
+    """Mix one 256-frame stereo block.  Returns (new_src, out [B, 2])."""
+    s = src.capacity
+    active = src.alive & ~src.paused & ~src.finished
+
+    # --- Doppler: playback-rate scale from projected velocities
+    # (AudioEngine.cpp:131-146), smoothed to avoid pitch jumps. ---
+    to_src = src.pos - listener.pos[None, :]
+    dist = jnp.linalg.norm(to_src, axis=-1)
+    dirn = to_src / jnp.maximum(dist, 1e-6)[:, None]
+    v_src = jnp.sum(src.vel * dirn, -1)       # velocity away from listener
+    v_lis = jnp.sum(listener.vel[None, :] * dirn, -1)
+    doppler = jnp.clip((SPEED_OF_SOUND - v_lis) / jnp.maximum(SPEED_OF_SOUND - (-v_src), 1.0),
+                       0.5, 2.0)
+    doppler = jnp.where(src.spatial, doppler, 1.0)
+    dop_smooth = src.doppler_factor + (doppler - src.doppler_factor) * 0.2
+
+    # --- Per-layer fetch (vmapped over sources and layers). ---
+    def fetch_source(offs, lens, heads, deltas, mixes, looping, stream, whead):
+        def fetch_one(o, ln, h, d, m):
+            smp, nh = _fetch_layer(pool, o, ln, h, d, looping, stream, whead)
+            return smp * m * (ln > 0), nh
+        smps, nhs = jax.vmap(fetch_one)(offs, lens, heads, deltas, mixes)
+        return jnp.sum(smps, axis=0), nhs
+
+    eff_delta = src.delta * dop_smooth[:, None]
+    samples, new_heads = jax.vmap(fetch_source)(
+        src.buf_offset, src.buf_len, src.playhead, eff_delta,
+        src.mix_factor, src.looping, src.stream_mode,
+        src.stream_write_head)                           # [S, B], [S, L]
+    samples = samples * active[:, None]
+
+    # End-of-buffer bookkeeping (non-looping): finished when layer 0 passes
+    # the end (EOF retirement, AudioEngine.cpp:496-517).
+    finished = src.finished | (
+        (~src.looping) & (~src.stream_mode) & active
+        & (new_heads[:, 0] >= src.buf_len[:, 0].astype(jnp.float32) - 1.0))
+
+    # --- Mute fades (timed mute/unmute, AudioEngine.h:79-128). ---
+    mute = src.mute_factor + jnp.clip(src.mute_target - src.mute_factor,
+                                      -src.mute_rate * dt_block, src.mute_rate * dt_block)
+
+    # --- Spatial gains ---
+    # Distance rolloff: 1/d beyond 1 m (Resonance kLogarithmic-ish).
+    dist_gain = jnp.minimum(1.0, 1.0 / jnp.maximum(dist, 1.0))
+    # Occlusion: each occluding surface attenuates + darkens
+    # (sourceNumOcclusionsUpdated -> SetSoundObjectOcclusionIntensity).
+    occ_gain = 1.0 / (1.0 + src.num_occlusions)
+    # Azimuth in head frame -> constant-power pan.
+    x = jnp.sum(to_src * listener.right[None, :], -1)
+    y = jnp.sum(to_src * listener.forward[None, :], -1)
+    az = jnp.arctan2(x, jnp.maximum(jnp.abs(y), 1e-6) * jnp.sign(y + (y == 0)))
+    pan = jnp.clip(x / jnp.maximum(dist, 1e-6), -1.0, 1.0)
+    theta = (pan + 1.0) * (jnp.pi / 4.0)
+    gl_sp = jnp.cos(theta)
+    gr_sp = jnp.sin(theta)
+    behind = y < 0.0
+
+    gain = src.volume * mute * jnp.where(src.spatial, dist_gain * occ_gain, 1.0)
+    gl = gain * jnp.where(src.spatial, gl_sp, 0.70710678)
+    gr = gain * jnp.where(src.spatial, gr_sp, 0.70710678)
+    gl = gl * active
+    gr = gr * active
+
+    # --- Head-shadow / occlusion low-pass (one-pole, scanned over frames).
+    # Rear sources and occluded sources get darkened (binaural-lite).
+    fc = jnp.where(src.num_occlusions > 0, 800.0,
+                   jnp.where(behind & src.spatial, 3000.0, 20000.0))
+    alpha = jnp.clip(2.0 * jnp.pi * fc / ENGINE_RATE, 0.0, 1.0)
+
+    def lp_scan(state, frame):
+        new = state + alpha * (frame - state)
+        return new, new
+
+    lp_out, filtered = jax.lax.scan(lp_scan, src.lp_state, samples.T)
+    filtered = filtered.T                                  # [S, B]
+    use_lp = (src.num_occlusions > 0) | (behind & src.spatial)
+    samples = jnp.where(use_lp[:, None], filtered, samples)
+
+    # --- Gain ramp over the block (zipper-noise suppression) then the
+    # stereo downmix as one [2, S] @ [S, B] matmul on the MXU. ---
+    ramp = jnp.linspace(0.0, 1.0, BLOCK, dtype=jnp.float32)[None, :]
+    gl_t = src.prev_gain_l[:, None] + (gl[:, None] - src.prev_gain_l[:, None]) * ramp
+    gr_t = src.prev_gain_r[:, None] + (gr[:, None] - src.prev_gain_r[:, None]) * ramp
+    left = jnp.sum(gl_t * samples, axis=0)
+    right = jnp.sum(gr_t * samples, axis=0)
+    out = jnp.stack([left, right], axis=1) * listener.master_volume
+    out = jnp.clip(out, -1.0, 1.0)  # device-callback clamp (AudioEngine.cpp:191-226)
+
+    level = jnp.max(jnp.abs(samples), axis=1) * gain
+    smoothed = src.smoothed_level * 0.9 + level * 0.1
+
+    new_src = src.replace(
+        playhead=new_heads, finished=finished, mute_factor=mute,
+        doppler_factor=dop_smooth, lp_state=lp_out,
+        prev_gain_l=gl, prev_gain_r=gr, smoothed_level=smoothed,
+        alive=src.alive & ~(finished & src.remove_on_finish),
+    )
+    return new_src, out

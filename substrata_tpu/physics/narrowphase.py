@@ -646,3 +646,39 @@ def concat_contacts(*batches: Contacts) -> Contacts:
     return Contacts(*[jnp.concatenate([getattr(b, f) for b in batches])
                       for f in ("a", "b", "point", "normal", "penetration",
                                 "valid", "friction", "restitution")])
+
+
+def compact_contacts(contacts: Contacts, max_active: int):
+    """Stream-compact valid contacts into a fixed smaller buffer so the
+    solver iterates over ~actual contacts instead of the padded capacity
+    (two scatters: one packed float block, one packed int key).
+
+    Returns (compacted Contacts of size max_active, overflow count).
+    """
+    c = contacts.capacity
+    valid = contacts.valid
+    out_idx = jnp.cumsum(valid) - 1
+    keep = valid & (out_idx < max_active)
+    dst = jnp.where(keep, out_idx, max_active)
+
+    fblock = jnp.concatenate([
+        contacts.point, contacts.normal, contacts.penetration[:, None],
+        contacts.friction[:, None], contacts.restitution[:, None],
+    ], axis=1)  # [C, 9]
+    fbuf = jnp.zeros((max_active + 1, fblock.shape[1]))
+    fbuf = fbuf.at[dst].set(jnp.where(keep[:, None], fblock, 0.0), mode="drop")[:max_active]
+
+    # Int key: a (15 bits) | b+1 (16 bits); -1 sentinel = empty slot.
+    ikey = (contacts.a << 16) | (contacts.b + 1)
+    ibuf = jnp.full((max_active + 1,), -1, jnp.int32)
+    ibuf = ibuf.at[dst].set(jnp.where(keep, ikey, -1), mode="drop")[:max_active]
+
+    cvalid = ibuf >= 0
+    a = jnp.where(cvalid, ibuf >> 16, 0)
+    b = jnp.where(cvalid, (ibuf & 0xFFFF) - 1, -1)
+    overflow = jnp.maximum(jnp.sum(valid) - max_active, 0)
+    return Contacts(
+        a=a, b=b, point=fbuf[:, 0:3], normal=fbuf[:, 3:6],
+        penetration=fbuf[:, 6], valid=cvalid, friction=fbuf[:, 7],
+        restitution=fbuf[:, 8],
+    ), overflow

@@ -174,16 +174,16 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     im_per_body = body.inv_mass[:, None]  # [N, 1]
 
     def apply_impulses(linvel, angvel, dln, dlt1, dlt2):
+        # ONE packed gather per iteration: [imp | ang_a | ang_b] -> [C, 9].
         imp = dln[:, None] * nrm + dlt1[:, None] * t1 + dlt2[:, None] * t2  # [C,3]
-        imp = imp * validf[:, None]
-        # Linear: dv_i = inv_m_i * sum_slots sign * imp[table]
-        g = imp[tbl] * sign[..., None] * tbl_valid                          # [N,CPB,3]
-        linvel = linvel + im_per_body * jnp.sum(g, axis=1)
-        # Angular: dω_i = sum_slots (side==a ? Aa : Ab)[table] * dλ * sign-ish
-        # note: dω_a = +Iw_a(r_a×P); dω_b = -Iw_b(r_b×P); sign folds the minus.
-        ang_c_a = (dln[:, None] * an_a + dlt1[:, None] * at1_a + dlt2[:, None] * at2_a) * validf[:, None]
-        ang_c_b = (dln[:, None] * an_b + dlt1[:, None] * at1_b + dlt2[:, None] * at2_b) * validf[:, None]
-        ga = jnp.where(side_a, ang_c_a[tbl], ang_c_b[tbl]) * sign[..., None] * tbl_valid
+        ang_c_a = dln[:, None] * an_a + dlt1[:, None] * at1_a + dlt2[:, None] * at2_a
+        ang_c_b = dln[:, None] * an_b + dlt1[:, None] * at1_b + dlt2[:, None] * at2_b
+        block = jnp.concatenate([imp, ang_c_a, ang_c_b], axis=1) * validf[:, None]
+        g = block[tbl] * sign[..., None] * tbl_valid                        # [N,CPB,9]
+        # Linear: dv_i = inv_m_i * sum_slots sign * imp.
+        linvel = linvel + im_per_body * jnp.sum(g[..., 0:3], axis=1)
+        # Angular: dω_a = +Iw_a(r_a×P); dω_b = -Iw_b(r_b×P); sign folds the minus.
+        ga = jnp.where(side_a, g[..., 3:6], g[..., 6:9])
         angvel = angvel + jnp.sum(ga, axis=1)
         return linvel, angvel
 

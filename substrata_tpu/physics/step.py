@@ -70,6 +70,8 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
         body, pair_a, pair_b, pair_valid, config)
     static_cts = narrowphase.static_contacts(body, world, hull_contact_verts, config)
     contacts = narrowphase.concat_contacts(pair_cts, static_cts)
+    contacts, contact_overflow = narrowphase.compact_contacts(
+        contacts, config.max_active_contacts)
 
     # 4. Solve velocity constraints.
     linvel, angvel, lambda_n, inc_table, inc_sign = solver.solve_contacts(
