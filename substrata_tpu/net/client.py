@@ -1,0 +1,306 @@
+"""The game client's network endpoint + replicated world state.
+
+Parity with gui_client/ClientThread.{h,cpp} (TCP reader applying protocol
+messages to the client WorldState under lock, snapshot appends, TimeSync,
+Ping RTT), gui_client/ClientSenderThread (out queue), and
+gui_client/WorldState.{h,cpp} (objects/avatars/parcels maps, dirty-from-
+remote/local sets, global-time estimation).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from substrata_tpu.net import protocol as P
+from substrata_tpu.net.snapshots import PhysicsOwnership, SnapshotRings
+from substrata_tpu.net.timesync import GlobalTimeSync
+from substrata_tpu.shared.avatar import Avatar
+from substrata_tpu.shared.parcel import Parcel
+from substrata_tpu.shared.world_object import WorldObject
+
+
+class ClientWorldState:
+    """Client replica (gui_client/WorldState.h:44-70)."""
+
+    def __init__(self, capacity: int = 16_384):
+        self.lock = threading.RLock()
+        self.objects: dict[int, WorldObject] = {}
+        self.avatars: dict[int, Avatar] = {}
+        self.parcels: dict[int, Parcel] = {}
+        self.dirty_from_remote_objects: set = set()
+        self.dirty_from_local_objects: set = set()
+        self.snapshots = SnapshotRings(capacity)
+        self.ownership = PhysicsOwnership(capacity)
+        self._slot_by_uid: dict[int, int] = {}
+        self._free_slots = list(range(capacity - 1, -1, -1))
+        self.time_sync = GlobalTimeSync()
+
+    def slot_for(self, uid: int) -> int:
+        s = self._slot_by_uid.get(uid)
+        if s is None:
+            s = self._free_slots.pop()
+            self._slot_by_uid[uid] = s
+        return s
+
+    def release_slot(self, uid: int):
+        s = self._slot_by_uid.pop(uid, None)
+        if s is not None:
+            self._free_slots.append(s)
+
+    def global_time(self) -> float:
+        return self.time_sync.global_time()
+
+
+@dataclass
+class ClientEvents:
+    """Messages surfaced to the app layer per tick."""
+
+    chat: list = field(default_factory=list)
+    info: list = field(default_factory=list)
+    errors: list = field(default_factory=list)
+    objects_created: list = field(default_factory=list)
+    objects_destroyed: list = field(default_factory=list)
+    avatars_created: list = field(default_factory=list)
+    avatars_destroyed: list = field(default_factory=list)
+
+
+class Client:
+    """gui_client/ClientThread parity over a blocking socket + reader
+    thread; messages mutate ClientWorldState under its lock."""
+
+    def __init__(self, host: str, port: int, world_name: str = "",
+                 capabilities: int = P.STREAMING_COMPRESSED_OBJECT_SUPPORT):
+        self.world_state = ClientWorldState()
+        self.events = ClientEvents()
+        self.events_lock = threading.Lock()
+        self.avatar_uid = 0
+        self.connected = False
+        self.running = False
+        self._reader_thread = None
+        self._ping_sent_at: dict[bytes, float] = {}
+
+        self.sock = socket.create_connection((host, port), timeout=5.0)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.send_lock = threading.Lock()
+        self._handshake(world_name, capabilities)
+
+    # ------------------------------------------------------------------
+    def _recv_exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            d = self.sock.recv(n - len(buf))
+            if not d:
+                raise ConnectionError("eof in handshake")
+            buf += d
+        return buf
+
+    def _handshake(self, world_name: str, capabilities: int):
+        self.sock.sendall(struct.pack("<II", P.CYBERSPACE_HELLO,
+                                      P.CYBERSPACE_PROTOCOL_VERSION))
+        code, server_version = struct.unpack("<II", self._recv_exact(8))
+        if code != P.CLIENT_PROTOCOL_OK:
+            raise ConnectionError(f"server rejected protocol: {code}")
+        self.server_protocol_version = server_version
+        self.sock.sendall(struct.pack("<II", P.CONNECTION_TYPE_UPDATES, capabilities))
+        wb = world_name.encode("utf-8")
+        self.sock.sendall(struct.pack("<I", len(wb)) + wb)
+        (self.avatar_uid,) = struct.unpack("<Q", self._recv_exact(8))
+        self.connected = True
+
+    def start(self):
+        self.running = True
+        self._reader_thread = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader_thread.start()
+
+    def stop(self):
+        self.running = False
+        self.connected = False
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+        if self._reader_thread:
+            self._reader_thread.join(timeout=2.0)
+
+    def send_message(self, data: bytes):
+        try:
+            with self.send_lock:
+                self.sock.sendall(data)
+        except OSError:
+            self.connected = False
+
+    # ------------------------------------------------------------------
+    # Senders
+    # ------------------------------------------------------------------
+    def send_create_object(self, ob: WorldObject):
+        self.send_message(P.make_message(P.OBJECT_CREATED, ob.to_bytes()))
+
+    def send_object_full_update(self, ob: WorldObject):
+        self.send_message(P.make_message(P.OBJECT_FULL_UPDATE, ob.to_bytes()))
+
+    def send_destroy_object(self, uid: int):
+        self.send_message(P.make_message(P.OBJECT_DESTROYED, struct.pack("<Q", uid)))
+
+    def send_physics_snapshot(self, uid: int, pos, quat, linvel, angvel):
+        """ObjectPhysicsTransformUpdate at ~10 Hz from the physics owner
+        (client tick step 13, GUIClient.cpp)."""
+        self.send_message(P.make_message(
+            P.OBJECT_PHYSICS_TRANSFORM_UPDATE,
+            P.pack_physics_transform_update(
+                uid, pos, quat, linvel, angvel,
+                self.world_state.global_time(), self.avatar_uid)))
+
+    def send_ownership_taken(self, uid: int, global_time: float):
+        self.send_message(P.make_message(
+            P.OBJECT_PHYSICS_OWNERSHIP_TAKEN,
+            P.pack_physics_ownership_taken(uid, self.avatar_uid, global_time)))
+
+    def send_avatar_created(self, av: Avatar):
+        self.send_message(P.make_message(P.AVATAR_CREATED, av.to_bytes()))
+
+    def send_avatar_transform(self, pos, rotation, anim_state: int = 0):
+        self.send_message(P.make_message(
+            P.AVATAR_TRANSFORM_UPDATE,
+            P.pack_avatar_transform_update(self.avatar_uid, pos, rotation, anim_state)))
+
+    def send_chat(self, name: str, msg: str):
+        self.send_message(P.make_message(P.CHAT_MESSAGE_ID,
+                                         P.pack_chat_message(name, msg)))
+
+    def send_ping(self):
+        token = struct.pack("<d", time.monotonic())
+        self._ping_sent_at[token] = time.monotonic()
+        self.send_message(P.make_message(P.PING, token))
+
+    def pop_events(self) -> ClientEvents:
+        with self.events_lock:
+            ev = self.events
+            self.events = ClientEvents()
+        return ev
+
+    # ------------------------------------------------------------------
+    # Reader (ClientThread::doRun dispatch parity)
+    # ------------------------------------------------------------------
+    def _read_loop(self):
+        reader = P.MessageReader()
+        self.sock.settimeout(0.5)
+        while self.running:
+            try:
+                data = self.sock.recv(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if not data:
+                break
+            try:
+                reader.feed(data)
+                for msg_type, payload in reader.messages():
+                    self._dispatch(msg_type, payload)
+            except (ValueError, struct.error):
+                break
+        self.connected = False
+
+    def _dispatch(self, msg_type: int, payload: bytes):
+        ws = self.world_state
+        if msg_type in (P.OBJECT_INITIAL_SEND, P.OBJECT_CREATED):
+            ob = WorldObject.from_bytes(payload)
+            with ws.lock:
+                ws.objects[ob.uid] = ob
+                ws.dirty_from_remote_objects.add(ob.uid)
+                slot = ws.slot_for(ob.uid)
+                ws.ownership.owner_id[slot] = ob.physics_owner_id
+                ws.ownership.change_time[slot] = \
+                    ob.last_physics_ownership_change_global_time
+            with self.events_lock:
+                self.events.objects_created.append(ob.uid)
+        elif msg_type == P.OBJECT_PHYSICS_TRANSFORM_UPDATE:
+            uid, pos, quat, linvel, angvel, ct, sender = \
+                P.unpack_physics_transform_update(payload)
+            with ws.lock:
+                ob = ws.objects.get(uid)
+                if ob is None:
+                    return
+                slot = ws.slot_for(uid)
+                # First snapshot from a new owner fixes the dejitter offset
+                # (docs/networked physics.txt:42-55).
+                ring = ws.snapshots
+                if ring.next_i[slot] == 0 or sender != ob.last_transform_update_avatar_uid:
+                    ring.set_transmission_time_offset(
+                        slot, ws.global_time() - ct)
+                ob.last_transform_update_avatar_uid = sender
+                ring.insert_snapshot(slot, pos, quat, linvel, angvel, ct,
+                                     ws.time_sync.local_time(), physics=True)
+                ws.dirty_from_remote_objects.add(uid)
+        elif msg_type == P.OBJECT_FULL_UPDATE:
+            ob = WorldObject.from_bytes(payload)
+            with ws.lock:
+                ws.objects[ob.uid] = ob
+                ws.dirty_from_remote_objects.add(ob.uid)
+        elif msg_type == P.OBJECT_DESTROYED:
+            (uid,) = struct.unpack("<Q", payload[:8])
+            with ws.lock:
+                ws.objects.pop(uid, None)
+                ws.release_slot(uid)
+            with self.events_lock:
+                self.events.objects_destroyed.append(uid)
+        elif msg_type == P.OBJECT_PHYSICS_OWNERSHIP_TAKEN:
+            uid, owner, t, flags = P.unpack_physics_ownership_taken(payload)
+            with ws.lock:
+                ob = ws.objects.get(uid)
+                if ob is not None:
+                    slot = ws.slot_for(uid)
+                    ws.ownership.apply_remote_claim(slot, owner, t)
+                    ob.physics_owner_id = ws.ownership.owner_id[slot]
+                    ob.last_physics_ownership_change_global_time = \
+                        ws.ownership.change_time[slot]
+                    # Ownership receipt re-anchors the dejitter offset.
+                    ws.snapshots.set_transmission_time_offset(
+                        slot, ws.global_time() - t)
+        elif msg_type in (P.AVATAR_CREATED, P.AVATAR_IS_HERE, P.AVATAR_FULL_UPDATE):
+            av = Avatar.from_bytes(payload)
+            with ws.lock:
+                ws.avatars[av.uid] = av
+            with self.events_lock:
+                self.events.avatars_created.append(av.uid)
+        elif msg_type == P.AVATAR_TRANSFORM_UPDATE:
+            uid, pos, rot, anim = P.unpack_avatar_transform_update(payload)
+            with ws.lock:
+                av = ws.avatars.get(uid)
+                if av is not None:
+                    av.pos = pos.astype(np.float64)
+                    av.rotation = rot
+                    av.anim_state = anim
+        elif msg_type == P.AVATAR_DESTROYED:
+            (uid,) = struct.unpack("<Q", payload[:8])
+            with ws.lock:
+                ws.avatars.pop(uid, None)
+            with self.events_lock:
+                self.events.avatars_destroyed.append(uid)
+        elif msg_type == P.PARCEL_CREATED:
+            p = Parcel.from_bytes(payload)
+            with ws.lock:
+                ws.parcels[p.parcel_id] = p
+        elif msg_type == P.TIME_SYNC_MESSAGE:
+            t = P.unpack_time_sync(payload)
+            ws.time_sync.update_with_global_time_received(
+                t, rtt=ws.time_sync.last_rtt or None)
+        elif msg_type == P.PONG:
+            sent = self._ping_sent_at.pop(payload, None)
+            if sent is not None:
+                ws.time_sync.last_rtt = time.monotonic() - sent
+        elif msg_type == P.CHAT_MESSAGE_ID:
+            with self.events_lock:
+                self.events.chat.append(P.unpack_chat_message(payload))
+        elif msg_type == P.INFO_MESSAGE_ID:
+            with self.events_lock:
+                self.events.info.append(payload.decode("utf-8", "replace"))
+        elif msg_type == P.ERROR_MESSAGE_ID:
+            with self.events_lock:
+                self.events.errors.append(payload.decode("utf-8", "replace"))

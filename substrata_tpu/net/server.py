@@ -1,0 +1,591 @@
+"""The game server.
+
+Parity with server/Server.cpp + server/WorkerThread.cpp +
+server/ServerWorldState.cpp:
+
+- ListenerThread accepts TCP connections on the game port (7600 default)
+  and spawns a worker per connection (ListenerThread.cpp).
+- Each worker does the hello/version/connection-type handshake then
+  dispatches every client->server message; ObjectPhysicsTransformUpdate is
+  guarded to dynamic objects, stores state + client time + sender and marks
+  the object dirty (WorkerThread.cpp:1968-2039); ObjectPhysicsOwnershipTaken
+  is stored and rebroadcast (2237-2264); ObjectFullUpdate checks write
+  permissions (2040-2090) and clamps audio volume.
+- The main loop ticks every 100 ms (Server.cpp:626-628): drains worker
+  messages, broadcasts dirty avatars and objects to every connection
+  (875-1050), sends periodic TimeSync (9000), and flushes the record DB.
+- ServerAllWorldsState holds many named worlds, each with object/avatar/
+  parcel maps + dirty sets behind one lock, persisted via an append-only
+  record database (ServerWorldState.cpp:132-353 load/save model).
+- A UDP thread relays voice packets (type 1) to every registered client and
+  learns client endpoints from discovery packets (type 2)
+  (UDPHandlerThread.cpp:55-95).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import socket
+import struct
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from substrata_tpu.net import protocol as P
+from substrata_tpu.shared.avatar import Avatar
+from substrata_tpu.shared.parcel import Parcel
+from substrata_tpu.shared.world_object import WorldObject, DYNAMIC_FLAG
+
+SERVER_TICK = 0.1          # Server.cpp:626-628
+TIME_SYNC_PERIOD = 2.0
+DB_FLUSH_PERIOD = 10.0
+DEFAULT_PORT = 7600
+DEFAULT_UDP_PORT = 7601    # UDPHandlerThread.cpp:16
+
+
+class RecordDatabase:
+    """Append-only keyed record store (glare-core Database parity: the
+    world checkpoint — ServerWorldState persistence).  Records are
+    [u32 klen][key][u32 dlen][data]; later records override earlier ones;
+    dlen = 0xFFFFFFFF tombstones a key; flush() compacts."""
+
+    MAGIC = b"STDB0001"
+
+    def __init__(self, path: str | None):
+        self.path = path
+        self.records: dict[bytes, bytes] = {}
+        self._dirty = False
+        if path and os.path.exists(path):
+            self._load()
+
+    def _load(self):
+        with open(self.path, "rb") as f:
+            data = f.read()
+        if data[:8] != self.MAGIC:
+            raise ValueError("bad database magic")
+        off = 8
+        while off + 8 <= len(data):
+            (klen,) = struct.unpack_from("<I", data, off)
+            off += 4
+            key = data[off:off + klen]
+            off += klen
+            (dlen,) = struct.unpack_from("<I", data, off)
+            off += 4
+            if dlen == 0xFFFFFFFF:
+                self.records.pop(key, None)
+            else:
+                self.records[key] = data[off:off + dlen]
+                off += dlen
+
+    def put(self, key: bytes, data: bytes):
+        self.records[key] = data
+        self._dirty = True
+
+    def delete(self, key: bytes):
+        self.records.pop(key, None)
+        self._dirty = True
+
+    def get(self, key: bytes):
+        return self.records.get(key)
+
+    def keys_with_prefix(self, prefix: bytes):
+        return [k for k in self.records if k.startswith(prefix)]
+
+    def flush(self):
+        if not self.path or not self._dirty:
+            return
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self.MAGIC)
+            for k, v in self.records.items():
+                f.write(struct.pack("<I", len(k)))
+                f.write(k)
+                f.write(struct.pack("<I", len(v)))
+                f.write(v)
+        os.replace(tmp, self.path)
+        self._dirty = False
+
+
+@dataclass(eq=False)
+class ServerWorldState:
+    """One named world (server/ServerWorldState.h)."""
+
+    name: str = ""
+    objects: dict = field(default_factory=dict)   # uid -> WorldObject
+    avatars: dict = field(default_factory=dict)   # uid -> Avatar
+    parcels: dict = field(default_factory=dict)   # id -> Parcel
+    dirty_objects: set = field(default_factory=set)
+    dirty_physics_objects: set = field(default_factory=set)
+    dirty_avatars: set = field(default_factory=set)
+    destroyed_objects: set = field(default_factory=set)
+    db_dirty_objects: set = field(default_factory=set)
+
+
+class ServerAllWorldsState:
+    """server/ServerWorldState.h ServerAllWorldsState: many named worlds,
+    a record database, next-UID allocation, feature flags."""
+
+    def __init__(self, db_path: str | None = None):
+        self.lock = threading.RLock()
+        self.worlds: dict[str, ServerWorldState] = {"": ServerWorldState(name="")}
+        self.db = RecordDatabase(db_path)
+        self.next_uid = 1
+        self.next_avatar_uid = 1
+        self.feature_flags = {"SERVER_SCRIPT_EXEC": True, "LUA_HTTP_REQUESTS": False}
+        self._load_from_db()
+
+    def get_world(self, name: str = "") -> ServerWorldState:
+        with self.lock:
+            if name not in self.worlds:
+                self.worlds[name] = ServerWorldState(name=name)
+            return self.worlds[name]
+
+    def alloc_uid(self) -> int:
+        with self.lock:
+            uid = self.next_uid
+            self.next_uid += 1
+            return uid
+
+    def _load_from_db(self):
+        for key in self.db.keys_with_prefix(b"ob/"):
+            _, wname, uid = key.split(b"/", 2)
+            ob = WorldObject.from_bytes(self.db.get(key))
+            w = self.get_world(wname.decode())
+            w.objects[ob.uid] = ob
+            self.next_uid = max(self.next_uid, ob.uid + 1)
+        for key in self.db.keys_with_prefix(b"parcel/"):
+            _, wname, pid = key.split(b"/", 2)
+            p = Parcel.from_bytes(self.db.get(key))
+            self.get_world(wname.decode()).parcels[p.parcel_id] = p
+
+    def save_dirty(self):
+        with self.lock:
+            for w in self.worlds.values():
+                for uid in list(w.db_dirty_objects):
+                    ob = w.objects.get(uid)
+                    key = b"ob/" + w.name.encode() + b"/" + str(uid).encode()
+                    if ob is None:
+                        self.db.delete(key)
+                    else:
+                        self.db.put(key, ob.to_bytes())
+                w.db_dirty_objects.clear()
+            self.db.flush()
+
+
+class WorkerConnection(threading.Thread):
+    """Per-connection protocol endpoint (server/WorkerThread parity)."""
+
+    def __init__(self, server: "Server", sock: socket.socket, addr):
+        super().__init__(daemon=True)
+        self.server = server
+        self.sock = sock
+        self.addr = addr
+        self.send_lock = threading.Lock()
+        self.avatar_uid = 0
+        self.world_name = ""
+        self.udp_endpoint = None
+        self.alive = True
+        self.capabilities = 0
+
+    def send_message(self, data: bytes):
+        try:
+            with self.send_lock:
+                self.sock.sendall(data)
+        except OSError:
+            self.alive = False
+
+    def run(self):
+        try:
+            self._handshake()
+            reader = P.MessageReader()
+            self.sock.settimeout(0.5)
+            while self.alive and self.server.running:
+                try:
+                    data = self.sock.recv(65536)
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break
+                if not data:
+                    break
+                reader.feed(data)
+                for msg_type, payload in reader.messages():
+                    self._dispatch(msg_type, payload)
+        except (ConnectionError, ValueError, struct.error):
+            pass
+        finally:
+            self.alive = False
+            self.server.connection_closed(self)
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+
+    def _recv_exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            d = self.sock.recv(n - len(buf))
+            if not d:
+                raise ConnectionError("eof in handshake")
+            buf += d
+        return buf
+
+    def _handshake(self):
+        """hello + version + connection type (Protocol.h:57-76;
+        WorkerThread handshake)."""
+        hello, version = struct.unpack("<II", self._recv_exact(8))
+        if hello != P.CYBERSPACE_HELLO:
+            raise ValueError("bad hello")
+        if version < P.CYBERSPACE_PROTOCOL_VERSION:
+            self.sock.sendall(struct.pack("<I", P.CLIENT_PROTOCOL_TOO_OLD))
+            raise ValueError("client protocol too old")
+        self.sock.sendall(struct.pack("<II", P.CLIENT_PROTOCOL_OK,
+                                      P.CYBERSPACE_PROTOCOL_VERSION))
+        (conn_type,) = struct.unpack("<I", self._recv_exact(4))
+        (caps,) = struct.unpack("<I", self._recv_exact(4))
+        self.capabilities = caps
+        (nlen,) = struct.unpack("<I", self._recv_exact(4))
+        self.world_name = self._recv_exact(nlen).decode() if nlen else ""
+        # Assign avatar uid + initial state push.
+        self.avatar_uid = self.server.worlds_state.next_avatar_uid
+        self.server.worlds_state.next_avatar_uid += 1
+        self.sock.sendall(struct.pack("<Q", self.avatar_uid))
+        self.server.register_connection(self)
+        self._send_initial_objects()
+        self.send_message(P.make_message(P.TIME_SYNC_MESSAGE,
+                                         P.pack_time_sync(self.server.global_time())))
+
+    def _send_initial_objects(self):
+        """ObjectInitialSend for every object (cell-query streaming is
+        handled by QueryObjects; initial world push for small worlds)."""
+        w = self.server.worlds_state.get_world(self.world_name)
+        with self.server.worlds_state.lock:
+            obs = list(w.objects.values())
+            parcels = list(w.parcels.values())
+            avatars = list(w.avatars.values())
+        for ob in obs:
+            self.send_message(P.make_message(P.OBJECT_INITIAL_SEND, ob.to_bytes()))
+        for p in parcels:
+            self.send_message(P.make_message(P.PARCEL_CREATED, p.to_bytes()))
+        for av in avatars:
+            self.send_message(P.make_message(P.AVATAR_IS_HERE, av.to_bytes()))
+
+    # ------------------------------------------------------------------
+    def _dispatch(self, msg_type: int, payload: bytes):
+        ws = self.server.worlds_state
+        w = ws.get_world(self.world_name)
+        if msg_type == P.OBJECT_PHYSICS_TRANSFORM_UPDATE:
+            uid, pos, quat, linvel, angvel, ct, sender = \
+                P.unpack_physics_transform_update(payload)
+            with ws.lock:
+                ob = w.objects.get(uid)
+                # Dynamic-only guard (WorkerThread.cpp:1968-2039).
+                if ob is not None and ob.is_dynamic() and not self.server.read_only:
+                    ob.pos = pos.astype(np.float64)
+                    ob.set_rotation_quat(quat)
+                    ob.linear_vel = linvel
+                    ob.angular_vel = angvel
+                    ob.last_transform_client_time = ct
+                    ob.last_transform_update_avatar_uid = self.avatar_uid
+                    ob.from_remote_physics_transform_dirty = True
+                    w.dirty_physics_objects.add(uid)
+                    w.db_dirty_objects.add(uid)
+        elif msg_type == P.OBJECT_PHYSICS_OWNERSHIP_TAKEN:
+            uid, owner, t, flags = P.unpack_physics_ownership_taken(payload)
+            with ws.lock:
+                ob = w.objects.get(uid)
+                if ob is not None:
+                    ob.physics_owner_id = owner
+                    ob.last_physics_ownership_change_global_time = t
+                    w.db_dirty_objects.add(uid)
+            # Rebroadcast to other clients (WorkerThread.cpp:2237-2264).
+            self.server.broadcast(self.world_name,
+                                  P.make_message(msg_type, payload), exclude=self)
+        elif msg_type == P.OBJECT_CREATED:
+            ob = WorldObject.from_bytes(payload)
+            with ws.lock:
+                if ob.uid == 0:
+                    ob.uid = ws.alloc_uid()
+                ob.creator_id = self.avatar_uid
+                w.objects[ob.uid] = ob
+                w.dirty_objects.add(ob.uid)
+                w.db_dirty_objects.add(ob.uid)
+        elif msg_type == P.OBJECT_FULL_UPDATE:
+            ob_new = WorldObject.from_bytes(payload)
+            with ws.lock:
+                ob = w.objects.get(ob_new.uid)
+                if ob is not None and self.server.user_has_object_write_perms(
+                        self.avatar_uid, ob, w):
+                    # Audio volume clamp (WorkerThread.cpp:2040-2090).
+                    ob_new.audio_volume = float(np.clip(ob_new.audio_volume, 0.0, 4.0))
+                    ob_new.physics_object = ob.physics_object
+                    w.objects[ob_new.uid] = ob_new
+                    w.dirty_objects.add(ob_new.uid)
+                    w.db_dirty_objects.add(ob_new.uid)
+        elif msg_type == P.OBJECT_DESTROYED:
+            (uid,) = struct.unpack("<Q", payload[:8])
+            with ws.lock:
+                ob = w.objects.get(uid)
+                if ob is not None and self.server.user_has_object_write_perms(
+                        self.avatar_uid, ob, w):
+                    del w.objects[uid]
+                    w.destroyed_objects.add(uid)
+                    w.db_dirty_objects.add(uid)
+        elif msg_type == P.AVATAR_CREATED or msg_type == P.AVATAR_FULL_UPDATE:
+            av = Avatar.from_bytes(payload)
+            av.uid = self.avatar_uid
+            with ws.lock:
+                w.avatars[av.uid] = av
+                w.dirty_avatars.add(av.uid)
+            if msg_type == P.AVATAR_CREATED:
+                self.server.broadcast(
+                    self.world_name,
+                    P.make_message(P.AVATAR_CREATED, av.to_bytes()), exclude=self)
+        elif msg_type == P.AVATAR_TRANSFORM_UPDATE:
+            uid, pos, rot, anim = P.unpack_avatar_transform_update(payload)
+            with ws.lock:
+                av = w.avatars.get(self.avatar_uid)
+                if av is not None:
+                    av.pos = pos.astype(np.float64)
+                    av.rotation = rot
+                    av.anim_state = anim
+                    w.dirty_avatars.add(av.uid)
+        elif msg_type == P.CHAT_MESSAGE_ID:
+            name, msg = P.unpack_chat_message(payload)
+            self.server.broadcast(self.world_name,
+                                  P.make_message(P.CHAT_MESSAGE_ID,
+                                                 P.pack_chat_message(name, msg)))
+        elif msg_type == P.QUERY_OBJECTS or msg_type == P.QUERY_OBJECTS_IN_AABB:
+            self._send_initial_objects()
+        elif msg_type == P.PING:
+            self.send_message(P.make_message(P.PONG, payload))
+        elif msg_type == P.KEEP_ALIVE:
+            pass
+        elif msg_type == P.CLIENT_UDP_SOCKET_OPEN:
+            (port,) = struct.unpack("<I", payload[:4])
+            self.udp_endpoint = (self.addr[0], port)
+        elif msg_type in (P.USER_TOUCHED_OBJECT_MESSAGE, P.USER_USED_OBJECT_MESSAGE,
+                          P.USER_MOVED_NEAR_TO_OBJECT_MESSAGE,
+                          P.USER_MOVED_AWAY_FROM_OBJECT_MESSAGE,
+                          P.USER_ENTERED_PARCEL_MESSAGE,
+                          P.USER_EXITED_PARCEL_MESSAGE):
+            (uid,) = struct.unpack("<Q", payload[:8])
+            self.server.script_events.append(
+                (msg_type, self.world_name, uid, self.avatar_uid))
+        else:
+            self.server.unknown_messages.append(msg_type)
+
+
+class Server:
+    """server/Server.cpp parity: listener + workers + 100 ms broadcast tick
+    + UDP voice relay + periodic DB flush."""
+
+    def __init__(self, port: int = 0, udp_port: int = 0, db_path: str | None = None,
+                 clock=time.monotonic):
+        self.worlds_state = ServerAllWorldsState(db_path)
+        self.connections: list[WorkerConnection] = []
+        self.conn_lock = threading.Lock()
+        self.running = False
+        self.read_only = False  # server read-only mode (WorkerThread.cpp:1991)
+        self.script_events: list = []
+        self.unknown_messages: list = []
+        self._clock = clock
+        self._start_time = clock()
+
+        self.listen_sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.listen_sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.listen_sock.bind(("127.0.0.1", port))
+        self.listen_sock.listen(64)
+        self.port = self.listen_sock.getsockname()[1]
+
+        self.udp_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.udp_sock.bind(("127.0.0.1", udp_port))
+        self.udp_sock.settimeout(0.2)
+        self.udp_port = self.udp_sock.getsockname()[1]
+        self.udp_endpoints: dict = {}  # avatar_uid -> (host, port)
+        self.udp_packets_received = 0
+
+        self._threads: list[threading.Thread] = []
+
+    def global_time(self) -> float:
+        return self._clock() - self._start_time
+
+    # ------------------------------------------------------------------
+    def start(self):
+        self.running = True
+        for fn in (self._listen_loop, self._tick_loop, self._udp_loop):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop(self):
+        self.running = False
+        try:
+            self.listen_sock.close()
+        except OSError:
+            pass
+        with self.conn_lock:
+            for c in self.connections:
+                c.alive = False
+                try:
+                    c.sock.close()
+                except OSError:
+                    pass
+        self.worlds_state.save_dirty()
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+    def register_connection(self, conn: WorkerConnection):
+        with self.conn_lock:
+            self.connections.append(conn)
+
+    def connection_closed(self, conn: WorkerConnection):
+        with self.conn_lock:
+            if conn in self.connections:
+                self.connections.remove(conn)
+        # Remove + broadcast avatar destroyed.
+        w = self.worlds_state.get_world(conn.world_name)
+        with self.worlds_state.lock:
+            if conn.avatar_uid in w.avatars:
+                del w.avatars[conn.avatar_uid]
+        self.broadcast(conn.world_name,
+                       P.make_message(P.AVATAR_DESTROYED,
+                                      struct.pack("<Q", conn.avatar_uid)))
+        self.udp_endpoints.pop(conn.avatar_uid, None)
+
+    def broadcast(self, world_name: str, data: bytes, exclude=None):
+        with self.conn_lock:
+            conns = [c for c in self.connections
+                     if c.world_name == world_name and c is not exclude and c.alive]
+        for c in conns:
+            c.send_message(data)
+
+    def user_has_object_write_perms(self, avatar_uid: int, ob: WorldObject,
+                                    world: ServerWorldState) -> bool:
+        """ObjectPermissions core: creator, world owner, or parcel writers
+        (server/ObjectPermissions; used WorkerThread.cpp:2069)."""
+        if ob.creator_id == avatar_uid:
+            return True
+        for p in world.parcels.values():
+            if p.contains(ob.pos) and p.user_has_write_perms(avatar_uid):
+                return True
+        return ob.is_dynamic()  # dynamic objects: physics updates allowed
+
+    # ------------------------------------------------------------------
+    def _listen_loop(self):
+        self.listen_sock.settimeout(0.5)
+        while self.running:
+            try:
+                sock, addr = self.listen_sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            WorkerConnection(self, sock, addr).start()
+
+    def _tick_loop(self):
+        last_time_sync = 0.0
+        last_db_flush = 0.0
+        while self.running:
+            t0 = self._clock()
+            self._broadcast_dirty()
+            if t0 - last_time_sync > TIME_SYNC_PERIOD:
+                last_time_sync = t0
+                self.broadcast_all(P.make_message(
+                    P.TIME_SYNC_MESSAGE, P.pack_time_sync(self.global_time())))
+            if t0 - last_db_flush > DB_FLUSH_PERIOD:
+                last_db_flush = t0
+                self.worlds_state.save_dirty()
+            elapsed = self._clock() - t0
+            time.sleep(max(0.0, SERVER_TICK - elapsed))
+
+    def broadcast_all(self, data: bytes):
+        with self.conn_lock:
+            conns = list(self.connections)
+        for c in conns:
+            c.send_message(data)
+
+    def _broadcast_dirty(self):
+        """Per-world dirty broadcast (Server.cpp:875-1050)."""
+        ws = self.worlds_state
+        with ws.lock:
+            work = []
+            for name, w in ws.worlds.items():
+                if (w.dirty_avatars or w.dirty_objects or w.dirty_physics_objects
+                        or w.destroyed_objects):
+                    work.append((
+                        name,
+                        [w.avatars.get(u) for u in w.dirty_avatars],
+                        [w.objects.get(u) for u in w.dirty_objects],
+                        [w.objects.get(u) for u in w.dirty_physics_objects],
+                        list(w.destroyed_objects)))
+                    w.dirty_avatars.clear()
+                    w.dirty_objects.clear()
+                    w.dirty_physics_objects.clear()
+                    w.destroyed_objects.clear()
+        for name, avatars, objects, phys, destroyed in work:
+            for av in avatars:
+                if av is not None:
+                    self.broadcast(name, P.make_message(
+                        P.AVATAR_TRANSFORM_UPDATE,
+                        P.pack_avatar_transform_update(av.uid, av.pos, av.rotation,
+                                                       av.anim_state)))
+            for ob in objects:
+                if ob is not None:
+                    self.broadcast(name, P.make_message(P.OBJECT_CREATED, ob.to_bytes()))
+            for ob in phys:
+                if ob is not None:
+                    # Relay physics snapshots to everyone but the sender
+                    # (the owner already has them).
+                    msg = P.make_message(
+                        P.OBJECT_PHYSICS_TRANSFORM_UPDATE,
+                        P.pack_physics_transform_update(
+                            ob.uid, ob.pos, ob.quat, ob.linear_vel, ob.angular_vel,
+                            ob.last_transform_client_time,
+                            ob.last_transform_update_avatar_uid))
+                    with self.conn_lock:
+                        conns = [c for c in self.connections
+                                 if c.world_name == name and c.alive
+                                 and c.avatar_uid != ob.last_transform_update_avatar_uid]
+                    for c in conns:
+                        c.send_message(msg)
+            for uid in destroyed:
+                self.broadcast(name, P.make_message(P.OBJECT_DESTROYED,
+                                                    struct.pack("<Q", uid)))
+
+    def _udp_loop(self):
+        """Voice relay (UDPHandlerThread.cpp:55-95)."""
+        while self.running:
+            try:
+                data, addr = self.udp_sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if len(data) < 5:
+                continue
+            (ptype,) = struct.unpack_from("<B", data, 0)
+            self.udp_packets_received += 1
+            if ptype == P.UDP_DISCOVERY_PACKET:
+                (avatar_uid,) = struct.unpack_from("<Q", data, 1)
+                self.udp_endpoints[avatar_uid] = addr
+            elif ptype == P.UDP_VOICE_PACKET:
+                (sender_uid,) = struct.unpack_from("<Q", data, 1)
+                for uid, ep in list(self.udp_endpoints.items()):
+                    if uid != sender_uid:
+                        try:
+                            self.udp_sock.sendto(data, ep)
+                        except OSError:
+                            pass
+
+    def get_diagnostics(self) -> str:
+        with self.conn_lock:
+            n = len(self.connections)
+        nw = len(self.worlds_state.worlds)
+        nob = sum(len(w.objects) for w in self.worlds_state.worlds.values())
+        return (f"Server: {n} connections, {nw} worlds, {nob} objects, "
+                f"udp packets {self.udp_packets_received}")

@@ -1,0 +1,263 @@
+"""Networked replication tests: loopback server + simulated clients — the
+fake-network harness the reference lacks (SURVEY.md §4: 'the TPU build
+should do better: a loopback in-process server + K simulated clients')."""
+
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from substrata_tpu.net import protocol as P
+from substrata_tpu.net.client import Client
+from substrata_tpu.net.server import RecordDatabase, Server
+from substrata_tpu.net.snapshots import (
+    OWNERSHIP_PERIOD, PhysicsOwnership, SnapshotRings,
+)
+from substrata_tpu.shared.avatar import Avatar
+from substrata_tpu.shared.world_object import DYNAMIC_FLAG, WorldObject
+
+
+def wait_for(pred, timeout=5.0, interval=0.02):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(interval)
+    return False
+
+
+@pytest.fixture
+def server():
+    s = Server(port=0, udp_port=0)
+    s.start()
+    yield s
+    s.stop()
+
+
+def connect(server, world=""):
+    c = Client("127.0.0.1", server.port, world_name=world)
+    c.start()
+    return c
+
+
+def test_handshake_and_time_sync(server):
+    c = connect(server)
+    assert c.avatar_uid > 0
+    assert wait_for(lambda: c.world_state.time_sync.synced)
+    c.send_ping()
+    assert wait_for(lambda: c.world_state.time_sync.last_rtt > 0)
+    c.stop()
+
+
+def test_object_create_replicates(server):
+    a = connect(server)
+    b = connect(server)
+    ob = WorldObject(model_url="cube.glb", flags=DYNAMIC_FLAG | 1,
+                     pos=np.array([1, 2, 3.0]))
+    a.send_create_object(ob)
+    assert wait_for(lambda: len(b.world_state.objects) == 1)
+    got = list(b.world_state.objects.values())[0]
+    assert got.model_url == "cube.glb"
+    assert np.allclose(got.pos, [1, 2, 3])
+    assert got.uid > 0
+    # Late joiner gets the initial send.
+    c = connect(server)
+    assert wait_for(lambda: len(c.world_state.objects) == 1)
+    for cl in (a, b, c):
+        cl.stop()
+
+
+def test_physics_snapshot_roundtrip(server):
+    a = connect(server)
+    b = connect(server)
+    ob = WorldObject(flags=DYNAMIC_FLAG | 1)
+    a.send_create_object(ob)
+    assert wait_for(lambda: len(a.world_state.objects) == 1)
+    uid = list(a.world_state.objects)[0]
+    assert wait_for(lambda: uid in b.world_state.objects)
+
+    # A owns + streams snapshots; B's ring fills, A doesn't get an echo.
+    a.send_ownership_taken(uid, a.world_state.global_time())
+    for i in range(5):
+        a.send_physics_snapshot(uid, [i * 1.0, 0, 1], [0, 0, 0, 1],
+                                [1, 0, 0], [0, 0, 0])
+        time.sleep(0.12)
+
+    def b_has_snapshots():
+        slot = b.world_state._slot_by_uid.get(uid)
+        return slot is not None and b.world_state.snapshots.next_i[slot] >= 4
+    assert wait_for(b_has_snapshots)
+    slot_a = a.world_state._slot_by_uid.get(uid)
+    if slot_a is not None:
+        assert a.world_state.snapshots.next_i[slot_a] == 0  # no echo to owner
+    # B sees A as the owner.
+    slot_b = b.world_state._slot_by_uid[uid]
+    assert b.world_state.ownership.owner_id[slot_b] == a.avatar_uid
+    a.stop()
+    b.stop()
+
+
+def test_avatar_replication(server):
+    a = connect(server)
+    b = connect(server)
+    av = Avatar(name="alice")
+    a.send_avatar_created(av)
+    assert wait_for(lambda: a.avatar_uid in b.world_state.avatars)
+    a.send_avatar_transform([5, 6, 7], [0, 0, 1.5])
+    assert wait_for(lambda: abs(
+        b.world_state.avatars[a.avatar_uid].pos[0] - 5) < 1e-5)
+    a.stop()
+    # Disconnect destroys the avatar on B.
+    assert wait_for(lambda: a.avatar_uid not in b.world_state.avatars)
+    b.stop()
+
+
+def test_chat_broadcast(server):
+    a = connect(server)
+    b = connect(server)
+    a.send_chat("alice", "hello world")
+    found = []
+
+    def got():
+        found.extend(b.pop_events().chat)
+        return any(m == "hello world" for _, m in found)
+
+    assert wait_for(got)
+    a.stop(); b.stop()
+
+
+def test_world_isolation(server):
+    a = connect(server, world="alpha")
+    b = connect(server, world="beta")
+    a.send_create_object(WorldObject(flags=1))
+    time.sleep(0.5)
+    assert len(b.world_state.objects) == 0
+    a.stop(); b.stop()
+
+
+def test_static_object_rejects_physics_updates(server):
+    a = connect(server)
+    ob = WorldObject(flags=1)  # collidable, NOT dynamic
+    a.send_create_object(ob)
+    assert wait_for(lambda: len(a.world_state.objects) == 1)
+    uid = list(a.world_state.objects)[0]
+    a.send_physics_snapshot(uid, [9, 9, 9], [0, 0, 0, 1], [0, 0, 0], [0, 0, 0])
+    time.sleep(0.4)
+    with server.worlds_state.lock:
+        sv_ob = server.worlds_state.get_world("").objects[uid]
+        assert not np.allclose(sv_ob.pos, [9, 9, 9])  # dynamic-only guard held
+    a.stop()
+
+
+def test_udp_voice_relay(server):
+    import socket as pysock
+    a = connect(server)
+    b = connect(server)
+    sa = pysock.socket(pysock.AF_INET, pysock.SOCK_DGRAM)
+    sa.bind(("127.0.0.1", 0))
+    sb = pysock.socket(pysock.AF_INET, pysock.SOCK_DGRAM)
+    sb.bind(("127.0.0.1", 0))
+    sb.settimeout(2.0)
+    # Register both endpoints via discovery packets (type 2).
+    sa.sendto(struct.pack("<BQ", P.UDP_DISCOVERY_PACKET, a.avatar_uid),
+              ("127.0.0.1", server.udp_port))
+    sb.sendto(struct.pack("<BQ", P.UDP_DISCOVERY_PACKET, b.avatar_uid),
+              ("127.0.0.1", server.udp_port))
+    assert wait_for(lambda: len(server.udp_endpoints) == 2)
+    # A sends a voice packet (type 1) -> relayed to B, not back to A.
+    voice = struct.pack("<BQ", P.UDP_VOICE_PACKET, a.avatar_uid) + b"opusdata"
+    sa.sendto(voice, ("127.0.0.1", server.udp_port))
+    data, _ = sb.recvfrom(65536)
+    assert data.endswith(b"opusdata")
+    sa.close(); sb.close(); a.stop(); b.stop()
+
+
+def test_record_database_roundtrip(tmp_path):
+    path = str(tmp_path / "world.db")
+    db = RecordDatabase(path)
+    db.put(b"ob//1", b"hello")
+    db.put(b"ob//2", b"world")
+    db.put(b"ob//1", b"hello2")  # override
+    db.flush()
+    db2 = RecordDatabase(path)
+    assert db2.get(b"ob//1") == b"hello2"
+    assert db2.get(b"ob//2") == b"world"
+    db2.delete(b"ob//2")
+    db2.flush()
+    db3 = RecordDatabase(path)
+    assert db3.get(b"ob//2") is None
+
+
+def test_server_persistence(tmp_path):
+    path = str(tmp_path / "world.db")
+    s = Server(port=0, udp_port=0, db_path=path)
+    s.start()
+    c = connect(s)
+    c.send_create_object(WorldObject(model_url="persist.glb", flags=1))
+    assert wait_for(lambda: len(s.worlds_state.get_world("").objects) == 1)
+    c.stop()
+    s.stop()  # flushes
+    s2 = Server(port=0, udp_port=0, db_path=path)
+    obs = s2.worlds_state.get_world("").objects
+    assert len(obs) == 1
+    assert list(obs.values())[0].model_url == "persist.glb"
+    s2.stop()
+
+
+def test_snapshot_interpolation_math():
+    rings = SnapshotRings(8)
+    # Feed snapshots 0.1 s apart moving +x at 10 m/s.
+    for i in range(4):
+        rings.insert_snapshot(0, [i * 1.0, 0, 0], [0, 0, 0, 1], [10, 0, 0],
+                              [0, 0, 0], client_time=i * 0.1,
+                              local_time=i * 0.1, physics=False)
+    # Render at t=0.5: delayed by 0.2 -> t=0.3 = exactly snapshot 3.
+    pos, rot = rings.interpolated_transforms(np.array([0]), 0.5)
+    assert abs(pos[0, 0] - 3.0) < 1e-5
+    # Render at t=0.45 -> delayed 0.25 -> halfway between snap 2 and 3.
+    pos, _ = rings.interpolated_transforms(np.array([0]), 0.45)
+    assert abs(pos[0, 0] - 2.5) < 1e-5
+
+
+def test_dejitter_playback():
+    rings = SnapshotRings(8)
+    rings.set_transmission_time_offset(0, 0.05)
+    rings.insert_snapshot(0, [1, 0, 0], [0, 0, 0, 1], [0, 0, 0], [0, 0, 0],
+                          client_time=10.0, local_time=10.05, physics=True)
+    # Not due before client_time + offset + 0.1 padding = 10.15.
+    due, *_ = rings.due_physics_snapshots(np.array([0]), 10.1)
+    assert not due[0]
+    due, pos, rot, lv, av = rings.due_physics_snapshots(np.array([0]), 10.16)
+    assert due[0]
+    assert pos[0, 0] == 1.0
+    # Consumed: not due again.
+    due, *_ = rings.due_physics_snapshots(np.array([0]), 10.2)
+    assert not due[0]
+
+
+def test_ownership_arbitration():
+    own = PhysicsOwnership(4)
+    assert own.try_claim(0, avatar_uid=7, global_time=100.0)
+    assert not own.try_claim(0, avatar_uid=8, global_time=101.0)  # held by 7
+    # Expiry after 10 s frees it (GUIClient.cpp:10636).
+    assert own.try_claim(0, avatar_uid=8, global_time=100.0 + OWNERSHIP_PERIOD + 1)
+    # Conflicting remote claim with EARLIER timestamp wins (docs:148-187).
+    own.apply_remote_claim(0, avatar_uid=9, claim_time=105.0)
+    assert own.owner_id[0] == 9
+    # Later remote claim does not steal.
+    own.apply_remote_claim(0, avatar_uid=10, claim_time=109.0)
+    assert own.owner_id[0] == 9
+    assert own.needs_renewal(0, 105.0 + OWNERSHIP_PERIOD * 0.6)
+
+
+def test_smoothing_decay():
+    rings = SnapshotRings(4)
+    rings.set_smoothing_from_correction(
+        0, old_pos=[1, 0, 0], old_rot=[0, 0, 0, 1],
+        new_pos=[0, 0, 0], new_rot=[0, 0, 0, 1])
+    assert abs(rings.smooth_translation[0, 0] - 1.0) < 1e-6
+    # smooth_change_factor = 1 - 3*min(0.1, dt) per tick (GUIClient.cpp:6634).
+    for _ in range(60):
+        rings.decay_smoothing(1 / 60.0)
+    assert abs(rings.smooth_translation[0, 0]) < 0.05
