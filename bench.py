@@ -79,26 +79,25 @@ def main():
     sw = w.static_world
     hull_cv = w._hull_contact_verts
 
+    # NOTE: a lax.scan over the step makes XLA compile time pathological at
+    # this size; per-step dispatch (~2 ms) is negligible against the step
+    # itself, so we drive steps from the host loop.
     @jax.jit
-    def run_block(body):
-        def substep(body, _):
-            nb, _, _ = physics_step(body, sw, hull_cv, jnp.float32(DT), params, cfg)
-            return nb, ()
-        body, _ = jax.lax.scan(substep, body, None, length=STEPS_PER_CALL)
-        return body
+    def run_step(body):
+        nb, _, _ = physics_step(body, sw, hull_cv, jnp.float32(DT), params, cfg)
+        return nb
 
     state = w.state
     # Warm up / compile.
-    state = run_block(state)
+    state = run_step(state)
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    n_calls = 4
-    for _ in range(n_calls):
-        state = run_block(state)
+    steps = 60
+    for _ in range(steps):
+        state = run_step(state)
     jax.block_until_ready(state)
     dt_wall = time.perf_counter() - t0
-    steps = n_calls * STEPS_PER_CALL
     steps_per_sec = steps / dt_wall
 
     print(json.dumps({

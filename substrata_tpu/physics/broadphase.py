@@ -36,19 +36,29 @@ def _hash_cells(cells: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
     return (h.astype(jnp.uint32) % jnp.uint32(num_buckets)).astype(jnp.int32)
 
 
-def build_cell_table(body: BodyState, config: SimConfig):
+# Flag bits packed into cell-table entries above the 15-bit body index, so
+# candidate filtering needs no second gather of per-body flags.
+_TBL_IDX_MASK = 0x7FFF
+_TBL_MOVING = 1 << 15    # awake non-static
+_TBL_STATIC = 1 << 16
+_TBL_SMALL = 1 << 17     # fits in a cell (diameter <= cell_size)
+
+
+def build_cell_table(body: BodyState, config: SimConfig, with_flags: bool = False):
     """Build bucket -> body-slot table.
 
     Returns (table [num_buckets+1, cap] i32 with -1 padding, cells [N,3] i32,
     overflow_count [] i32 — bodies dropped because their bucket was full).
+    With with_flags=True entries carry _TBL_* bits; mask with _TBL_IDX_MASK
+    for the body index.  Only alive + collidable bodies are inserted.
     """
     n = body.capacity
     cap = config.cell_capacity
     num_buckets = config.grid_dim * config.grid_dim
     cells = jnp.floor(body.pos / config.cell_size).astype(jnp.int32)
     h = _hash_cells(cells, num_buckets)
-    # Dead bodies go to a trash bucket that is never searched.
-    h = jnp.where(body.alive, h, num_buckets)
+    # Dead / non-collidable bodies go to a trash bucket that is never searched.
+    h = jnp.where(body.alive & body.collidable, h, num_buckets)
 
     order = jnp.argsort(h)
     h_sorted = h[order]
@@ -58,11 +68,21 @@ def build_cell_table(body: BodyState, config: SimConfig):
     run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(start, idx, 0))
     rank = idx - run_start
 
+    entry = order.astype(jnp.int32)
+    if with_flags:
+        moving = body.awake & (body.motion_type != int(MotionType.STATIC))
+        is_static = body.motion_type == int(MotionType.STATIC)
+        small = 2.0 * body.bound_radius <= config.cell_size
+        bits = (moving.astype(jnp.int32) * _TBL_MOVING
+                + is_static.astype(jnp.int32) * _TBL_STATIC
+                + small.astype(jnp.int32) * _TBL_SMALL)
+        entry = entry | bits[order]
+
     table = jnp.full(((num_buckets + 1) * cap,), -1, jnp.int32)
     in_cap = rank < cap
     slot = jnp.where(in_cap, h_sorted * cap + rank, (num_buckets + 1) * cap - 1)
     # The last slot of the trash bucket absorbs overflow writes.
-    table = table.at[slot].set(jnp.where(in_cap, order, -1).astype(jnp.int32), mode="drop")
+    table = table.at[slot].set(jnp.where(in_cap, entry, -1), mode="drop")
     table = table.reshape(num_buckets + 1, cap)
     table = table.at[num_buckets].set(-1)  # clear trash bucket
     overflow = jnp.sum((~in_cap) & (h_sorted < num_buckets))
@@ -80,56 +100,74 @@ def find_pairs(body: BodyState, config: SimConfig, margin: float = 0.08):
     n = body.capacity
     cap = config.cell_capacity
     num_buckets = config.grid_dim * config.grid_dim
-    table, cells, overflow = build_cell_table(body, config)
+    table, cells, overflow = build_cell_table(body, config, with_flags=True)
 
-    # Packed candidate view: one gather row per body instead of separate
-    # pos/radius/flag gathers (pos3, bound_radius, pair-eligibility flags).
+    # Packed candidate view: one gather row per candidate (pos3 + radius);
+    # eligibility flags ride in the table entries' high bits, so filtering
+    # needs exactly one gather.  TPU gathers dominate the broadphase cost.
     collidable = body.alive & body.collidable
     moving = body.awake & (body.motion_type != int(MotionType.STATIC))
     is_static = body.motion_type == int(MotionType.STATIC)
     small = 2.0 * body.bound_radius <= config.cell_size
-    view = jnp.concatenate([
-        body.pos,
-        body.bound_radius[:, None],
-        collidable[:, None].astype(jnp.float32),
-        moving[:, None].astype(jnp.float32),
-        is_static[:, None].astype(jnp.float32),
-        small[:, None].astype(jnp.float32),
-    ], axis=1)  # [N, 8]
+    posr = jnp.concatenate([body.pos, body.bound_radius[:, None]], axis=1)  # [N,4]
 
-    def can_pair_v(vi, vj, jj_ok):
-        ok = (vi[..., 4] > 0) & (vj[..., 4] > 0) & jj_ok
-        ok &= (vi[..., 5] > 0) | (vj[..., 5] > 0)
-        ok &= ~((vi[..., 6] > 0) & (vj[..., 6] > 0))
-        d = vi[..., :3] - vj[..., :3]
-        r = vi[..., 3] + vj[..., 3] + margin
-        ok &= jnp.sum(d * d, axis=-1) <= r * r
-        return ok
-
-    # --- Regular pass: 27-neighbourhood search.  The candidate filter reads
-    # ONE packed view row per candidate (vs ~10 separate field gathers) —
-    # TPU gathers of small rows are the dominant broadphase cost.
+    # --- Regular pass: 27-neighbourhood search. ---
     i_idx = jnp.arange(n, dtype=jnp.int32)
     cand_list = []
     for off in _NEIGHBOR_OFFSETS:
         nb = cells + jnp.array(off, jnp.int32)
         hb = _hash_cells(nb, num_buckets)
         cand_list.append(table[hb])  # [N, cap]
-    cand = jnp.concatenate(cand_list, axis=1)  # [N, 27*cap]
+    cand = jnp.concatenate(cand_list, axis=1)  # [N, 27*cap] flagged entries
     k = cand.shape[1]
+    jj = jnp.where(cand >= 0, cand & _TBL_IDX_MASK, -1)
+    j_moving = (cand & _TBL_MOVING) > 0
+    j_static = (cand & _TBL_STATIC) > 0
+    j_small = (cand & _TBL_SMALL) > 0
     ii = jnp.broadcast_to(i_idx[:, None], (n, k))
-    jj = cand
     jj_safe = jnp.maximum(jj, 0)
-    vi = view[:, None, :]
-    vj = view[jj_safe]
-    mask = can_pair_v(vi, vj, (jj >= 0) & (jj != ii)) & (jj > ii)
-    # Only emit from the grid when BOTH bodies fit in a cell; oversize pass
-    # below covers the rest (and emits each such pair exactly once).
-    mask &= (vi[..., 7] > 0) & (vj[..., 7] > 0)
+    mask = (jj > ii)                       # emit once, from the lower slot
+    mask &= collidable[:, None]            # i eligibility (no gather: own row)
+    mask &= moving[:, None] | j_moving
+    mask &= ~(is_static[:, None] & j_static)
+    mask &= small[:, None] & j_small       # grid pass: both fit in a cell
+    pj = posr[jj_safe]                     # [N, k, 4] — the one gather
+    d = body.pos[:, None, :] - pj[..., :3]
+    r = body.bound_radius[:, None] + pj[..., 3] + margin
+    mask &= jnp.sum(d * d, axis=-1) <= r * r
 
-    flat_i = ii.reshape(-1)
-    flat_j = jj_safe.reshape(-1)
-    flat_mask = mask.reshape(-1)
+    # Per-row top-K selection (lax.top_k is fast on TPU) shrinks the global
+    # compaction from N*27*cap candidates to N*K.
+    ppb = config.pairs_per_body
+    score = jnp.where(mask, -jnp.arange(k, dtype=jnp.float32)[None, :], -1e9)
+    _, sel = jax.lax.top_k(score, ppb)                     # [N, ppb]
+    sel_mask = jnp.take_along_axis(mask, sel, axis=1)
+    sel_j = jnp.take_along_axis(jj_safe, sel, axis=1)
+    row_overflow = jnp.sum(mask.astype(jnp.int32), axis=1) - jnp.sum(sel_mask, axis=1)
+
+    flat_i = jnp.broadcast_to(i_idx[:, None], (n, ppb)).reshape(-1)
+    flat_j = sel_j.reshape(-1)
+    flat_mask = sel_mask.reshape(-1)
+    overflow = overflow + jnp.sum(row_overflow)
+
+    def can_pair_v(vi, vj, jj_ok):
+        # Oversize pass filter over packed [pos3|radius|collidable|moving|
+        # static|small] rows.
+        ok = (vi[..., 4] > 0) & (vj[..., 4] > 0) & jj_ok
+        ok &= (vi[..., 5] > 0) | (vj[..., 5] > 0)
+        ok &= ~((vi[..., 6] > 0) & (vj[..., 6] > 0))
+        dd = vi[..., :3] - vj[..., :3]
+        rr = vi[..., 3] + vj[..., 3] + margin
+        ok &= jnp.sum(dd * dd, axis=-1) <= rr * rr
+        return ok
+
+    view = jnp.concatenate([
+        posr,
+        collidable[:, None].astype(jnp.float32),
+        moving[:, None].astype(jnp.float32),
+        is_static[:, None].astype(jnp.float32),
+        small[:, None].astype(jnp.float32),
+    ], axis=1)  # [N, 8] — used only by the (small) oversize pass
 
     # --- Oversize pass: big bodies vs everyone (no gathers: one row of the
     # view per oversize body broadcast against the full view). ---

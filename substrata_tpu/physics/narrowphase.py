@@ -376,53 +376,39 @@ def _effective_shape(shape_type, params):
 
 def _pair_contact_single(pos_a, quat_a, type_a, params_a,
                          pos_b, quat_b, type_b, params_b):
-    """Contact manifold for one pair; computes all shape-combo branches and
-    selects (vmap-friendly)."""
+    """Contact manifold for one pair; computes all 9 shape-combo branches
+    then selects by branch code with ONE indexed gather (a chain of
+    jnp.where selects costs ~a full extra pass per branch on TPU)."""
     type_a, params_a = _effective_shape(type_a, params_a)
     type_b, params_b = _effective_shape(type_b, params_b)
 
-    S, B, C = int(ShapeType.SPHERE), int(ShapeType.BOX), int(ShapeType.CAPSULE)
-
-    results = []
-
-    def add(cond, res, flip=False):
+    # Branch order indexed by code = type_a * 3 + type_b
+    # (types: 0=sphere, 1=box, 2=capsule after hull->OBB mapping).
+    def flip(res):
         pts, pens, n, val = res
-        n = -n if flip else n
-        results.append((cond, (pts, pens, n, val)))
+        return pts, pens, -n, val
 
-    # sphere-sphere
-    add((type_a == S) & (type_b == S),
-        _sphere_sphere(pos_a, params_a[0], pos_b, params_b[0]))
-    # sphere-box (normal from box to sphere = b to a: OK)
-    add((type_a == S) & (type_b == B),
-        _sphere_box(pos_a, params_a[0], pos_b, quat_b, params_b[:3]))
-    add((type_a == B) & (type_b == S),
-        _sphere_box(pos_b, params_b[0], pos_a, quat_a, params_a[:3]), flip=True)
-    # sphere-capsule
-    add((type_a == S) & (type_b == C),
-        _sphere_capsule(pos_a, params_a[0], pos_b, quat_b, params_b[0], params_b[1]))
-    add((type_a == C) & (type_b == S),
-        _sphere_capsule(pos_b, params_b[0], pos_a, quat_a, params_a[0], params_a[1]), flip=True)
-    # box-box
-    add((type_a == B) & (type_b == B),
-        _box_box(pos_a, quat_a, params_a[:3], pos_b, quat_b, params_b[:3]))
-    # capsule-capsule
-    add((type_a == C) & (type_b == C),
+    branches = [
+        _sphere_sphere(pos_a, params_a[0], pos_b, params_b[0]),                 # 0: s-s
+        _sphere_box(pos_a, params_a[0], pos_b, quat_b, params_b[:3]),           # 1: s-b
+        _sphere_capsule(pos_a, params_a[0], pos_b, quat_b,
+                        params_b[0], params_b[1]),                              # 2: s-c
+        flip(_sphere_box(pos_b, params_b[0], pos_a, quat_a, params_a[:3])),     # 3: b-s
+        _box_box(pos_a, quat_a, params_a[:3], pos_b, quat_b, params_b[:3]),     # 4: b-b
+        flip(_capsule_box(pos_b, quat_b, params_b[0], params_b[1],
+                          pos_a, quat_a, params_a[:3])),                        # 5: b-c
+        flip(_sphere_capsule(pos_b, params_b[0], pos_a, quat_a,
+                             params_a[0], params_a[1])),                        # 6: c-s
+        _capsule_box(pos_a, quat_a, params_a[0], params_a[1],
+                     pos_b, quat_b, params_b[:3]),                              # 7: c-b
         _capsule_capsule(pos_a, quat_a, params_a[0], params_a[1],
-                         pos_b, quat_b, params_b[0], params_b[1]))
-    # capsule-box (normal from box to capsule)
-    add((type_a == C) & (type_b == B),
-        _capsule_box(pos_a, quat_a, params_a[0], params_a[1], pos_b, quat_b, params_b[:3]))
-    add((type_a == B) & (type_b == C),
-        _capsule_box(pos_b, quat_b, params_b[0], params_b[1], pos_a, quat_a, params_a[:3]),
-        flip=True)
-
-    pts, pens, normal, valid = _no_contact()
-    for cond, (p, pe, n, v) in results:
-        pts = jnp.where(cond, p, pts)
-        pens = jnp.where(cond, pe, pens)
-        normal = jnp.where(cond, n, normal)
-        valid = jnp.where(cond, v, valid)
+                         pos_b, quat_b, params_b[0], params_b[1]),              # 8: c-c
+    ]
+    code = jnp.clip(type_a * 3 + type_b, 0, 8)
+    pts = jax.lax.select_n(code, *[b[0] for b in branches])
+    pens = jax.lax.select_n(code, *[b[1] for b in branches])
+    normal = jax.lax.select_n(code, *[b[2] for b in branches])
+    valid = jax.lax.select_n(code, *[b[3] for b in branches])
     return pts, pens, normal, valid
 
 

@@ -366,6 +366,7 @@ class SimConfig:
         max_tri_candidates: int = 16,
         contacts_per_body: int = 16,
         max_active_contacts: int = 0,
+        pairs_per_body: int = 8,
     ):
         if capacity > 32768:
             # Broadphase pair compaction packs (a, b) slot ids into one
@@ -381,6 +382,8 @@ class SimConfig:
         self.static_contacts_per_body = static_contacts_per_body
         self.max_tri_candidates = max_tri_candidates
         self.contacts_per_body = contacts_per_body
+        # Broadphase per-body pair emission cap (emitting body = lower slot).
+        self.pairs_per_body = pairs_per_body
         # Compacted contact buffer for the solver; 0 = auto heuristic.
         self.max_active_contacts = max_active_contacts or (
             2 * max_pairs + 4 * capacity)
