@@ -88,15 +88,20 @@ def main():
         return nb
 
     state = w.state
-    # Warm up / compile.
+    # Warm up / compile, then saturate the dispatch queue: the axon remote
+    # runtime can under-report with block_until_ready alone, so every timing
+    # block ends with a host readback that forces a true device sync.
     state = run_step(state)
-    jax.block_until_ready(state)
+    _ = float(np.asarray(state.pos)[0, 0])
+    for _ in range(30):
+        state = run_step(state)
+    _ = float(np.asarray(state.pos)[0, 0])
 
     t0 = time.perf_counter()
     steps = 60
     for _ in range(steps):
         state = run_step(state)
-    jax.block_until_ready(state)
+    _ = float(np.asarray(state.pos)[0, 0])  # real sync
     dt_wall = time.perf_counter() - t0
     steps_per_sec = steps / dt_wall
 

@@ -1,0 +1,543 @@
+"""ClientApp: the engine-agnostic client core — GUIClient's equivalent.
+
+Orchestrates the per-tick loop of gui_client/GUIClient.cpp::timerEvent
+(call-stack parity with SURVEY.md §3.1):
+
+ 1. reconnect check + script timer queue         (GUIClient.cpp:5926-5975)
+ 2. player input -> desired velocity             (6356-6358)
+ 3. physics substep loop at 60 Hz, cap 500       (6363-6510):
+    a. path controllers (before player physics)  (6384-6396)
+    b. moveTo/rotateTo controllers               (6399-6415)
+    c. our vehicle OR player physics update      (6418-6430)
+    d. physics_world.think(substep_dt)           (6432)
+    e. player contact events -> ownership claims + onUserTouchedObject
+       (0.5 s rate limit) + touch messages       (6435-6492)
+    f. other avatars' vehicles replayed from input bitflags (6497-6506)
+ 4. terrain clamp: teleport player above ground  (6521-6539)
+ 5. vehicle Doppler factors                      (6542-6566)
+ 6. activated-objects readback -> render + audio transforms; owned dynamic
+    objects marked dirty for snapshot send       (6576-6718)
+ 8. remote-object playback: dejittered physics snapshot insertion with
+    smoothing, or interpolated transforms        (7390-7530)
+ 9. audio occlusion pass (one ray per audible source, 60 m cap)
+                                                 (6970-7032)
+10. head transform -> audio engine               (7035-7070)
+11. winter script evaluation (batched)           (Scripting.cpp:735-880)
+12. particles think                              (7705)
+13. send pass: physics snapshots ~10 Hz + avatar transform updates
+14. asset streaming (processLoading) + LOD checks (5071, 4373)
+
+The app runs with or without a server connection (offline worlds).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from substrata_tpu.audio.engine import AudioEngine, AudioSource
+from substrata_tpu.net.snapshots import (
+    OWNERSHIP_PERIOD, SEND_PERIOD, SnapshotRings,
+)
+from substrata_tpu.physics import shapes
+from substrata_tpu.physics.character import EYE_HEIGHT, PlayerPhysics
+from substrata_tpu.physics.particles import ParticleManager
+from substrata_tpu.physics.state import MotionType, SimConfig
+from substrata_tpu.physics.terrain import TerrainScattering, TerrainSystem
+from substrata_tpu.physics.vehicles import (
+    BikePhysics, BoatPhysics, CarPhysics, HoverCarPhysics, VehicleManager,
+    VehiclePhysicsInput, VEHICLE_BIKE, VEHICLE_BOAT, VEHICLE_CAR, VEHICLE_HOVER,
+)
+from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
+from substrata_tpu.scripting import (
+    ObjectPathController, ObjectScriptsEvaluator, ScriptVM, parse_xml_script,
+)
+from substrata_tpu.scripting.path_controller import ObjectMoveToController
+from substrata_tpu.shared.voxel import make_mesh_for_voxel_group
+from substrata_tpu.shared.world_object import ObjectType, WorldObject
+
+SUBSTEP_DT = 1.0 / 60.0        # GUIClient.cpp:6365
+MAX_SUBSTEPS = 500             # GUIClient.cpp:6368
+TOUCH_EVENT_RATE_LIMIT = 0.5   # GUIClient.cpp touch rate limit
+AUDIO_OCCLUSION_MAX_DIST = 60.0  # GUIClient.cpp:6987-6994
+AUDIBLE_DIST = 100.0
+
+
+@dataclass
+class PlayerInput:
+    """Keyboard state per tick (PlayerPhysicsInput parity)."""
+
+    forward: float = 0.0   # W/S
+    right: float = 0.0     # D/A
+    up: float = 0.0        # space / C
+    run: bool = False      # shift
+    jump: bool = False
+
+
+class ClientApp:
+    def __init__(self, client=None, config: SimConfig | None = None,
+                 clock=time.monotonic, enable_audio: bool = True):
+        self.client = client                  # net.client.Client or None
+        self.clock = clock
+        self.physics_world = PhysicsWorld(config or SimConfig(
+            capacity=16_384 // 2, max_pairs=16_384, grid_dim=96, cell_size=4.0))
+        self.physics_world.set_ground_plane(0.0)
+        self.terrain = TerrainSystem(self.physics_world)
+        self.scattering = TerrainScattering(self.terrain)
+        self.particles = ParticleManager(self.physics_world)
+        self.audio = AudioEngine() if enable_audio else None
+        self.player = PlayerPhysics(self.physics_world, eye_pos=(0, 0, EYE_HEIGHT))
+        self.vehicles = VehicleManager(self.physics_world)
+        self.script_vm = ScriptVM(world_interface=self._world_iface(), clock=clock)
+        self.scripts = ObjectScriptsEvaluator()
+
+        self.objects: dict[int, WorldObject] = {}   # uid -> WorldObject (world replica)
+        self.path_controllers: list[ObjectPathController] = []
+        self.move_to_controllers: list[ObjectMoveToController] = []
+        self.vehicle_controllers: dict[int, object] = {}  # ob uid -> controller
+        self.driven_vehicle_uid: int = 0
+        self.cur_seat_index: int = 0
+
+        self._time_accum = 0.0
+        self._last_touch_event_time: dict[int, float] = {}
+        self._last_snapshot_send = 0.0
+        self._last_avatar_send = 0.0
+        self._next_local_uid = 1 << 40      # offline-mode uid space
+        self.cam_pos = np.array([0, 0, EYE_HEIGHT, 1], np.float32)
+        self.last_physics_sim_time = 0.0    # diagnostics (GUIClient.cpp:6509)
+        self.log_messages: list[str] = []
+
+    def _world_iface(self):
+        app = self
+
+        class _W:
+            @property
+            def objects(self):
+                return app.objects
+
+        return _W()
+
+    def log(self, msg: str):
+        """logMessage parity (GUIClient.cpp:3950-3975)."""
+        self.log_messages.append(msg)
+
+    # ------------------------------------------------------------------
+    # World-state / object lifecycle
+    # ------------------------------------------------------------------
+    @property
+    def world_state(self):
+        return self.client.world_state if self.client is not None else None
+
+    def create_object(self, ob: WorldObject) -> WorldObject:
+        """Local object creation; sends ObjectCreated when connected."""
+        if ob.uid == 0:
+            ob.uid = self._next_local_uid
+            self._next_local_uid += 1
+        self.objects[ob.uid] = ob
+        self._load_object(ob)
+        if self.client is not None:
+            self.client.send_create_object(ob)
+        return ob
+
+    def _load_object(self, ob: WorldObject):
+        """loadModelForObject / loadAudioForObject / loadScriptForObject
+        parity (GUIClient.cpp:2211, 3767): build the physics shape + audio
+        source + scripts for a world object."""
+        # --- Physics shape ---
+        if ob.object_type == int(ObjectType.VOXEL_GROUP) and ob.voxel_data:
+            verts, tris, tmats = make_mesh_for_voxel_group(ob.voxel_data)
+            if ob.is_dynamic():
+                shape = shapes.make_convex_hull(verts, mass=ob.mass)
+            else:
+                # Static voxel objects: box of the AABB for now; the static
+                # trimesh path handles world geometry.
+                he = (verts.max(axis=0) - verts.min(axis=0)) / 2 + 1e-3
+                shape = shapes.make_box(he)
+        elif ob.is_dynamic():
+            shape = shapes.make_box([0.5, 0.5, 0.5], mass=ob.mass)
+        else:
+            shape = shapes.make_box([0.5, 0.5, 0.5])
+        phys = PhysicsObject(
+            shape=shape,
+            pos=np.asarray(ob.pos, np.float32),
+            rot=ob.quat,
+            scale=np.asarray(ob.scale, np.float32),
+            motion_type=int(MotionType.DYNAMIC) if ob.is_dynamic()
+            else int(MotionType.STATIC),
+            friction=ob.friction, restitution=ob.restitution,
+            collidable=ob.is_collidable(), userdata=ob)
+        ob.physics_object = self.physics_world.add_object(phys)
+
+        # --- Audio ---
+        if ob.audio_source_url and self.audio is not None:
+            try:
+                offlen = self.audio.get_or_load_sound_file(ob.audio_source_url)
+                src = AudioSource(pos=np.asarray(ob.pos, np.float32),
+                                  volume=ob.audio_volume, looping=True,
+                                  remove_on_finish=False)
+                ob.audio_source = self.audio.add_source(src, sound=offlen)
+            except (FileNotFoundError, NotImplementedError, ValueError) as e:
+                self.log(f"audio load failed for {ob.audio_source_url}: {e}")
+
+        # --- Scripts ---
+        if ob.script:
+            self._load_script(ob)
+
+    def _load_script(self, ob: WorldObject):
+        if ob.script.lstrip().startswith("<"):
+            try:
+                spec = parse_xml_script(ob.script)
+            except Exception as e:
+                self.log(f"script parse error on {ob.uid}: {e}")
+                return
+            fp = spec.get("follow_path")
+            if fp is not None and ob.physics_object is not None:
+                ob.physics_object.motion_type = int(MotionType.KINEMATIC)
+                self.physics_world._dirty[ob.physics_object.slot] = (ob.physics_object, True)
+                pc = ObjectPathController(
+                    ob.physics_object, fp["waypoints"],
+                    follow_ob_uid=fp["follow_ob_uid"],
+                    follow_dist=fp["follow_dist"],
+                    orient_along_path=fp["orient_along_path"])
+                pc.world_object = ob
+                self.path_controllers.append(pc)
+                self.path_controllers = ObjectPathController.sort_path_controllers(
+                    self.path_controllers)
+            v = spec.get("vehicle")
+            if v is not None and ob.physics_object is not None:
+                cls = {VEHICLE_CAR: CarPhysics, VEHICLE_BIKE: BikePhysics,
+                       VEHICLE_BOAT: BoatPhysics, VEHICLE_HOVER: HoverCarPhysics}[
+                    v.vehicle_type]
+                ctrl = cls(self.vehicles, ob.physics_object, v)
+                ctrl.world_object = ob
+                ob.vehicle_physics = ctrl
+                self.vehicle_controllers[ob.uid] = ctrl
+        elif "evalRotation" in ob.script or "evalTranslation" in ob.script:
+            try:
+                self.scripts.add(ob, ob.script)
+                if ob.physics_object is not None:
+                    ob.physics_object.motion_type = int(MotionType.KINEMATIC)
+                    self.physics_world._dirty[ob.physics_object.slot] = (ob.physics_object, True)
+            except Exception as e:
+                self.log(f"winter script error on {ob.uid}: {e}")
+        else:
+            try:
+                self.script_vm.run_script(ob.script, this_object=ob)
+            except Exception as e:
+                self.log(f"user script error on {ob.uid}: {e}")
+
+    def remove_object(self, ob: WorldObject):
+        self.objects.pop(ob.uid, None)
+        if ob.physics_object is not None:
+            self.physics_world.remove_object(ob.physics_object)
+        if ob.audio_source is not None and self.audio is not None:
+            self.audio.remove_source(ob.audio_source)
+        self.scripts.remove(ob)
+        self.path_controllers = [p for p in self.path_controllers
+                                 if getattr(p, "world_object", None) is not ob]
+        ctrl = self.vehicle_controllers.pop(ob.uid, None)
+        if ctrl is not None:
+            self.vehicles.remove(ctrl)
+
+    # ------------------------------------------------------------------
+    # Vehicles: enter/exit (GUIClient seat logic)
+    # ------------------------------------------------------------------
+    def enter_vehicle(self, ob_uid: int, seat_index: int = 0):
+        ctrl = self.vehicle_controllers.get(ob_uid)
+        if ctrl is None:
+            return False
+        self.driven_vehicle_uid = ob_uid
+        self.cur_seat_index = seat_index
+        ctrl.player_entered(seat_index)
+        return True
+
+    def exit_vehicle(self):
+        ctrl = self.vehicle_controllers.get(self.driven_vehicle_uid)
+        if ctrl is not None:
+            ctrl.player_exited()
+            # Place the player beside the vehicle.
+            ob = self.objects.get(self.driven_vehicle_uid)
+            if ob is not None:
+                self.player.set_position(
+                    np.asarray(ob.pos, np.float32) + np.array([1.5, 0, 1.5 + EYE_HEIGHT]))
+        self.driven_vehicle_uid = 0
+
+    # ------------------------------------------------------------------
+    # THE TICK (timerEvent parity)
+    # ------------------------------------------------------------------
+    def timer_event(self, dt: float, inp: PlayerInput | None = None):
+        inp = inp or PlayerInput()
+        now = self.clock()
+        global_time = (self.world_state.global_time()
+                       if self.world_state is not None else now)
+
+        # 1. Script timers + incoming network events.
+        self.script_vm.update(now)
+        if self.client is not None:
+            self._apply_network_events()
+
+        # 2. Player input -> desired velocity (camera-relative simplified to
+        #    world axes; a CameraController hook can replace this).
+        move = np.array([inp.right, inp.forward, inp.up], np.float32)
+        driving = self.driven_vehicle_uid != 0
+
+        # 3. Substep loop.
+        n_sub = min(max(1, math.ceil(dt / SUBSTEP_DT)), MAX_SUBSTEPS)
+        sub_dt = dt / n_sub
+        t_phys0 = time.perf_counter()
+        for _ in range(n_sub):
+            # a. path controllers first (platform velocities fresh).
+            for pc in self.path_controllers:
+                pc.update(self.physics_world, sub_dt, world_state=self)
+            # b. moveTo controllers.
+            self.move_to_controllers = [m for m in self.move_to_controllers
+                                        if not m.done]
+            for mc in self.move_to_controllers:
+                mc.update(self.physics_world, sub_dt)
+            # c. vehicle we drive OR player physics.
+            if driving:
+                ctrl = self.vehicle_controllers.get(self.driven_vehicle_uid)
+                if ctrl is not None:
+                    ctrl.update(VehiclePhysicsInput(
+                        forward=inp.forward, right=inp.right, up=inp.up))
+            else:
+                if np.any(move != 0):
+                    self.player.process_move(move, runpressed=inp.run)
+                if inp.jump:
+                    self.player.process_jump(now)
+                    inp.jump = False
+            self.vehicles.update(sub_dt)
+            if not driving:
+                campos, jumped = self.player.update(sub_dt, cur_time=now)
+                self.cam_pos = campos
+            # d. world step.
+            self.physics_world.think(sub_dt)
+            # e. player contact events -> ownership claims + touch events.
+            self._process_player_contacts(global_time, now)
+        self.last_physics_sim_time = time.perf_counter() - t_phys0
+
+        # 4. Terrain clamp (GUIClient.cpp:6521-6539).
+        if not driving and self.terrain.heightfield is not None:
+            eye = self.player.get_eye_position()
+            ground = self.terrain.eval_terrain_height(float(eye[0]), float(eye[1]))
+            if eye[2] - EYE_HEIGHT < ground - 0.5:
+                self.player.set_position([eye[0], eye[1], ground + 0.3 + EYE_HEIGHT])
+
+        # 5-6. Readback: sync transforms of awake bodies to world objects +
+        # audio sources; owned dynamic objects stage snapshots.
+        self.physics_world.sync_transforms()
+        self._readback_active_objects(global_time)
+
+        # Camera from the driven vehicle seat.
+        if driving:
+            ob = self.objects.get(self.driven_vehicle_uid)
+            if ob is not None and ob.physics_object is not None:
+                p = ob.physics_object.pos
+                self.cam_pos = np.array([p[0], p[1], p[2] + 1.2, 1], np.float32)
+
+        # 8. Remote playback (snapshot insertion / interpolation).
+        if self.client is not None:
+            self._remote_object_playback(global_time, dt)
+
+        # 9-10. Audio occlusion + head transform.
+        if self.audio is not None:
+            self._audio_occlusion_pass()
+            yaw = 0.0
+            self.audio.set_head_transform(
+                self.cam_pos[:3],
+                np.array([0, 0, math.sin(yaw / 2), math.cos(yaw / 2)], np.float32),
+                vel=np.asarray(self.player.state.vel))
+
+        # 11. Winter scripts (batched) drive kinematic transforms.
+        if self.scripts.scripted:
+            for ob, rots, trans in self.scripts.evaluate(global_time):
+                phys = ob.physics_object
+                if phys is not None and phys.slot >= 0:
+                    axis_angle = rots[0]
+                    angle = float(np.linalg.norm(axis_angle))
+                    if angle > 1e-9:
+                        axis = axis_angle / angle
+                        rot = np.concatenate([axis * math.sin(angle / 2),
+                                              [math.cos(angle / 2)]]).astype(np.float32)
+                    else:
+                        rot = np.array([0, 0, 0, 1], np.float32)
+                    pos = np.asarray(ob.pos, np.float32) + trans[0]
+                    self.physics_world.move_kinematic_object(phys, pos, rot, dt)
+
+        # 12. Particles.
+        self.particles.think(dt)
+
+        # 13. Send pass (~10 Hz physics snapshots, WorldObject send period).
+        if self.client is not None and now - self._last_snapshot_send >= SEND_PERIOD:
+            self._last_snapshot_send = now
+            self._send_dirty_snapshots(global_time)
+            eye = self.cam_pos
+            self.client.send_avatar_transform(
+                [float(eye[0]), float(eye[1]), float(eye[2])],
+                [0.0, 0.0, 0.0], anim_state=0)
+
+        # 14. Terrain/scatter streaming around the camera.
+        self.terrain.update_campos(self.cam_pos)
+        self.scattering.update_campos(self.cam_pos)
+
+    # ------------------------------------------------------------------
+    def _process_player_contacts(self, global_time, now):
+        """Step 3e: contacted bodies -> ownership claims + touch events."""
+        for phys_ob in self.player.contacted_bodies:
+            ob = phys_ob.userdata
+            if not isinstance(ob, WorldObject):
+                continue
+            # Physics-ownership claim on touch (GUIClient.cpp:6435-6492).
+            if ob.is_dynamic() and self.client is not None:
+                ws = self.world_state
+                slot = ws.slot_for(ob.uid)
+                if ws.ownership.try_claim(slot, self.client.avatar_uid, global_time):
+                    ob.physics_owner_id = self.client.avatar_uid
+                    ob.last_physics_ownership_change_global_time = global_time
+                    self.client.send_ownership_taken(ob.uid, global_time)
+            # onUserTouchedObject (0.5 s rate limit).
+            last = self._last_touch_event_time.get(ob.uid, -1e9)
+            if now - last > TOUCH_EVENT_RATE_LIMIT:
+                self._last_touch_event_time[ob.uid] = now
+                avatar_uid = self.client.avatar_uid if self.client else 0
+                self.script_vm.fire_user_touched_object(ob.uid, avatar_uid)
+                if self.client is not None:
+                    import struct as _s
+                    from substrata_tpu.net import protocol as P
+                    self.client.send_message(P.make_message(
+                        P.USER_TOUCHED_OBJECT_MESSAGE, _s.pack("<Q", ob.uid)))
+
+    def _readback_active_objects(self, global_time):
+        """Step 6: push simulated transforms to world objects + audio; stage
+        snapshots for objects we own."""
+        my_uid = self.client.avatar_uid if self.client is not None else 0
+        for ob in self.objects.values():
+            phys = ob.physics_object
+            if phys is None or phys.motion_type == int(MotionType.STATIC):
+                continue
+            ob.pos = np.asarray(phys.pos, np.float64)
+            ob.set_rotation_quat(phys.rot)
+            ob.linear_vel = phys.linvel
+            ob.angular_vel = phys.angvel
+            if ob.audio_source is not None and self.audio is not None:
+                ob.audio_source.pos = np.asarray(phys.pos, np.float32)
+                ob.audio_source.vel = np.asarray(phys.linvel, np.float32)
+                self.audio.source_position_updated(ob.audio_source)
+            if (ob.is_dynamic() and self.client is not None
+                    and ob.physics_owner_id == my_uid):
+                ob.from_local_physics_dirty = True
+
+    def _send_dirty_snapshots(self, global_time):
+        ws = self.world_state
+        for ob in self.objects.values():
+            if not ob.from_local_physics_dirty:
+                continue
+            ob.from_local_physics_dirty = False
+            # Ownership renewal at half-period (docs:64-67).
+            slot = ws.slot_for(ob.uid)
+            if ws.ownership.needs_renewal(slot, global_time):
+                if ws.ownership.try_claim(slot, self.client.avatar_uid, global_time):
+                    self.client.send_ownership_taken(ob.uid, global_time)
+            self.client.send_physics_snapshot(
+                ob.uid, np.asarray(ob.pos, np.float32), ob.quat,
+                ob.linear_vel, ob.angular_vel)
+
+    def _remote_object_playback(self, global_time, dt):
+        """Step 8: for objects owned by others, insert due physics snapshots
+        with smoothing; decay smoothing."""
+        ws = self.world_state
+        my_uid = self.client.avatar_uid
+        uids, slots = [], []
+        with ws.lock:
+            for uid, net_ob in ws.objects.items():
+                local = self.objects.get(uid)
+                if local is None or local.physics_object is None:
+                    continue
+                if not local.is_dynamic():
+                    continue
+                slot = ws.slot_for(uid)
+                if ws.ownership.owned_by(slot, my_uid, global_time):
+                    continue
+                uids.append(uid)
+                slots.append(slot)
+        if slots:
+            idx = np.array(slots)
+            due, pos, rot, lv, av = ws.snapshots.due_physics_snapshots(idx, global_time)
+            for k in np.nonzero(due)[0]:
+                local = self.objects[uids[k]]
+                phys = local.physics_object
+                old_pos = phys.pos.copy()
+                old_rot = phys.rot.copy()
+                ws.snapshots.set_smoothing_from_correction(
+                    slots[k], old_pos, old_rot, pos[k], rot[k])
+                self.physics_world.set_new_ob_to_world_transform(
+                    phys, pos[k], rot[k], linvel=lv[k], angvel=av[k])
+                phys.smooth_translation = ws.snapshots.smooth_translation[slots[k]]
+                phys.smooth_rotation = ws.snapshots.smooth_rotation[slots[k]]
+        ws.snapshots.decay_smoothing(dt)
+
+    def _audio_occlusion_pass(self):
+        """Step 9: one ray per audible source (<=60 m)."""
+        sources = []
+        for ob in self.objects.values():
+            if ob.audio_source is not None and ob.audio_source.slot >= 0:
+                sources.append(ob.audio_source)
+        if not sources:
+            return
+        cam = np.asarray(self.cam_pos[:3], np.float32)
+        origins, dirs, dists, keep = [], [], [], []
+        for s in sources:
+            to = np.asarray(s.pos, np.float32) - cam
+            d = float(np.linalg.norm(to))
+            if d > AUDIBLE_DIST or d < 1e-3:
+                continue
+            origins.append(cam)
+            dirs.append(to / d)
+            dists.append(min(max(d - 1.0, 0.0), AUDIO_OCCLUSION_MAX_DIST))
+            keep.append(s)
+        if not keep:
+            return
+        hits = self.physics_world.trace_rays_batched(
+            np.array(origins), np.array(dirs), np.array(dists, np.float32),
+            n_steps=16)
+        hit = np.asarray(hits.hit)
+        for s, h in zip(keep, hit):
+            n_occ = 1 if h else 0
+            if s.num_occlusions != n_occ:
+                s.num_occlusions = n_occ
+                self.audio.source_num_occlusions_updated(s)
+
+    def _apply_network_events(self):
+        ev = self.client.pop_events()
+        ws = self.world_state
+        for uid in ev.objects_created:
+            if uid in self.objects:
+                continue
+            with ws.lock:
+                net_ob = ws.objects.get(uid)
+            if net_ob is not None:
+                self.objects[uid] = net_ob
+                self._load_object(net_ob)
+        for uid in ev.objects_destroyed:
+            ob = self.objects.get(uid)
+            if ob is not None:
+                self.remove_object(ob)
+        for name, msg in ev.chat:
+            self.log(f"[chat] {name}: {msg}")
+
+    # ------------------------------------------------------------------
+    def get_diagnostics(self) -> str:
+        lines = [
+            f"ClientApp: {len(self.objects)} objects, "
+            f"{len(self.path_controllers)} path controllers, "
+            f"{len(self.vehicle_controllers)} vehicles, "
+            f"physics {self.last_physics_sim_time*1e3:.2f} ms",
+            self.physics_world.get_diagnostics(),
+        ]
+        if self.audio is not None:
+            lines.append(self.audio.get_diagnostics())
+        lines.append(self.terrain.get_diagnostics())
+        return "\n".join(lines)

@@ -164,6 +164,8 @@ class ParticleManager:
         self.state = zero_particles(capacity)
         self._cursor = 0
         self._pending: list[dict] = []
+        self._maybe_alive = False
+        self._ticks_since_check = 0
         self.foam_decal_events: list[np.ndarray] = []
         self.on_foam_decal = None  # callback(pos, width) — TerrainDecalManager hook
 
@@ -178,6 +180,8 @@ class ParticleManager:
             die_on_hit=die_when_hit_surface))
 
     def _flush_spawns(self):
+        if self._pending:
+            self._maybe_alive = True
         while self._pending:
             chunk = self._pending[:self.SPAWN_CHUNK]
             del self._pending[:self.SPAWN_CHUNK]
@@ -207,12 +211,20 @@ class ParticleManager:
 
     def think(self, dt: float):
         """ParticleManager::think parity (ParticleManager.cpp:145-271)."""
+        had_pending = bool(self._pending)
         self._flush_spawns()
+        if not had_pending and not self._maybe_alive:
+            return  # nothing to simulate — skip the device step entirely
         w = self.world
         w._flush()
         self.state, foam = particles_step(
             self.state, w.state, w.static_world, jnp.float32(dt), w.params,
             w.config)
+        # Cheap host-side liveness heuristic: re-check occasionally.
+        self._ticks_since_check += 1
+        if self._ticks_since_check >= 60:
+            self._ticks_since_check = 0
+            self._maybe_alive = self.num_alive > 0
         if self.on_foam_decal is not None:
             fm = np.asarray(foam)
             if fm.any():

@@ -595,6 +595,8 @@ class VehicleManager:
 
     def update(self, dt: float):
         """One batched controller step; call before world.think(dt)."""
+        if not self.controllers:
+            return  # no vehicles registered — skip the device pass
         w = self.world
         w._flush()
         v = self.veh.vtype.shape[0]
