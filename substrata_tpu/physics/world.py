@@ -457,3 +457,39 @@ class PhysicsWorld:
     def total_memory_bytes(self) -> int:
         return sum(np.prod(v.shape) * v.dtype.itemsize
                    for v in jax.tree_util.tree_leaves(self.state))
+
+    # ------------------------------------------------------------------
+    # Checkpointing (writeJoltSnapshotToDisk parity, PhysicsWorld.cpp:1728-
+    # 1739: the physics-engine state dump; here the SoA arrays ARE the
+    # state, so the checkpoint is one npz of the BodyState + static world)
+    # ------------------------------------------------------------------
+    def save_snapshot(self, path: str):
+        self._flush()
+        arrays = {f"body_{k}": np.asarray(v)
+                  for k, v in vars(self.state).items()}
+        arrays["hf_heights"] = np.asarray(self.static_world.heightfield.heights)
+        arrays["hf_origin"] = np.asarray(self.static_world.heightfield.origin)
+        arrays["hf_cell_w"] = np.asarray(self.static_world.heightfield.cell_w)
+        arrays["water_z"] = np.asarray(self.static_world.water_z)
+        arrays["hull_verts"] = np.asarray(self._hulls.verts)
+        arrays["hull_nverts"] = np.asarray(self._hulls.n_verts)
+        arrays["hull_contact_verts"] = np.asarray(self._hull_contact_verts)
+        np.savez_compressed(path, **arrays)
+
+    def load_snapshot(self, path: str):
+        """Restore device state (the host-side PhysicsObject mirrors must be
+        re-registered by the caller; slot layout is preserved)."""
+        data = np.load(path)
+        fields = {k[5:]: jnp.asarray(v) for k, v in data.items()
+                  if k.startswith("body_")}
+        self.state = self.state.replace(**fields)
+        self.set_heightfield(data["hf_heights"], data["hf_origin"],
+                             float(data["hf_cell_w"]))
+        self._hulls = self._hulls.replace(
+            verts=jnp.asarray(data["hull_verts"]),
+            n_verts=jnp.asarray(data["hull_nverts"]))
+        self._hull_contact_verts = jnp.asarray(data["hull_contact_verts"])
+        wz = float(data["water_z"])
+        if wz > -1e9:
+            self.water_buoyancy_enabled = True
+            self.water_z = wz

@@ -50,14 +50,20 @@ def decompress_voxel_group(data: bytes):
 
 
 def make_greedy_mesh(coords: np.ndarray, materials: np.ndarray,
-                     voxel_size: float = 1.0):
+                     voxel_size: float = 1.0, use_native: bool = True):
     """Greedy-merged quad mesh from voxels.
 
     Returns (verts [V, 3] f32, tris [T, 3] i32, tri_mats [T] i32).
     Faces between voxels of the same material are culled; coplanar
     same-material faces merge into maximal rectangles (classic greedy
     meshing, the approach VoxelMeshBuilding takes for merged meshes).
+    Large groups route to the native C++ mesher when built.
     """
+    if use_native and len(coords) >= 64:
+        from substrata_tpu.runtime import native
+        out = native.greedy_mesh_voxels_native(coords, materials, voxel_size)
+        if out is not None:
+            return out
     coords = np.asarray(coords, np.int64)
     materials = np.asarray(materials, np.int64)
     if len(coords) == 0:
