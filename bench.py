@@ -37,30 +37,31 @@ BASELINE_STEPS_PER_SEC = 60.0  # real-time 60 Hz = reference design rate
 def build_world():
     cfg = SimConfig(
         capacity=10_240,
-        max_pairs=32_768,
+        max_pairs=16_384,
         grid_dim=128,
-        cell_size=2.0,
+        cell_size=1.4,
         cell_capacity=8,
         solver_iters=10,
+        pairs_per_body=8,
+        max_active_contacts=49_152,
     )
     w = PhysicsWorld(cfg)
     w.set_ground_plane(0.0)
     rng = np.random.default_rng(0)
-    # 10k interacting boxes raining onto the ground in a 100x100 m area.
-    side = int(np.ceil(N_BODIES ** (1 / 3)))
+    # 10k interacting boxes in 3 settling layers over a ~70x70 m area —
+    # the reference's workload shape (12k-object world spread over the map,
+    # README.md:42), not a single pathological deep pile.
     n = 0
-    for iz in range(side * 2):
-        if n >= N_BODIES:
-            break
-        for ix in range(side * 4):
-            if n >= N_BODIES:
-                break
-            for iy in range(side * 4):
+    layers = 3
+    side = int(np.ceil((N_BODIES / layers) ** 0.5))
+    for iz in range(layers):
+        for ix in range(side):
+            for iy in range(side):
                 if n >= N_BODIES:
                     break
                 pos = np.array([
-                    (ix - side * 2) * 1.2 + rng.uniform(-0.1, 0.1),
-                    (iy - side * 2) * 1.2 + rng.uniform(-0.1, 0.1),
+                    (ix - side / 2) * 1.7 + rng.uniform(-0.15, 0.15),
+                    (iy - side / 2) * 1.7 + rng.uniform(-0.15, 0.15),
                     0.6 + iz * 1.2,
                 ], np.float32)
                 w.add_object(PhysicsObject(

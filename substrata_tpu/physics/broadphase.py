@@ -113,12 +113,19 @@ def find_pairs(body: BodyState, config: SimConfig, margin: float = 0.08):
 
     # --- Regular pass: 27-neighbourhood search. ---
     i_idx = jnp.arange(n, dtype=jnp.int32)
-    cand_list = []
+    hbs = []
     for off in _NEIGHBOR_OFFSETS:
         nb = cells + jnp.array(off, jnp.int32)
-        hb = _hash_cells(nb, num_buckets)
-        cand_list.append(table[hb])  # [N, cap]
-    cand = jnp.concatenate(cand_list, axis=1)  # [N, 27*cap] flagged entries
+        hbs.append(_hash_cells(nb, num_buckets))
+    hb = jnp.stack(hbs, axis=1)                 # [N, 27]
+    # Two different neighbour cells can hash to the same bucket, which would
+    # emit DUPLICATE pairs (double contact impulses).  Keep each bucket only
+    # at its first occurrence in the row.
+    dup = jnp.zeros((n, 27), bool)
+    for j in range(1, 27):
+        dup = dup.at[:, j].set(jnp.any(hb[:, :j] == hb[:, j:j + 1], axis=1))
+    hb = jnp.where(dup, num_buckets, hb)        # trash bucket = empty
+    cand = table[hb.reshape(-1)].reshape(n, 27 * cap)  # [N, 27*cap] flagged
     k = cand.shape[1]
     jj = jnp.where(cand >= 0, cand & _TBL_IDX_MASK, -1)
     j_moving = (cand & _TBL_MOVING) > 0

@@ -150,8 +150,13 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     vn0 = jnp.sum(v0 * nrm, -1)
     restitution_target = jnp.where(vn0 < -params.restitution_threshold,
                                    -contacts.restitution * vn0, 0.0)
+    # Baumgarte bias, clamped to a max depenetration velocity (unclamped,
+    # deep penetrations launch bodies — Jolt clamps the same way); the
+    # position-correction pass recovers the rest without adding energy.
     bias = jnp.where(pen > 0.0,
-                     (params.baumgarte / dt) * jnp.maximum(pen - params.contact_slop, 0.0),
+                     jnp.minimum((params.baumgarte / dt)
+                                 * jnp.maximum(pen - params.contact_slop, 0.0),
+                                 3.0),
                      pen / dt)
     target_vn = jnp.maximum(bias, restitution_target)
 
@@ -211,3 +216,40 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         0, config.solver_iters, iteration,
         (body.linvel, body.angvel, zeros, zeros, zeros))
     return linvel, angvel, ln, table, sign
+
+
+def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,
+                    params: SimParams, config: SimConfig,
+                    iters: int = 2, beta: float = 0.25):
+    """Split-impulse position correction (Jolt runs 2 position iterations
+    after its velocity solve): push residual penetration out by translating
+    bodies directly, with mass-split weights, so deep stacks do not sink.
+    Uses the velocity solve's incidence table; rotation is left untouched
+    (translation-only NGS is the stable cheap variant).
+    """
+    a = contacts.a
+    bs = jnp.maximum(contacts.b, 0)
+    static_b = contacts.b < 0
+    validf = contacts.valid.astype(jnp.float32)
+    nrm = contacts.normal
+    im_a = body.inv_mass[a]
+    im_b = jnp.where(static_b, 0.0, body.inv_mass[bs])
+    w_sum = jnp.maximum(im_a + im_b, 1e-9)
+
+    tbl = jnp.maximum(table, 0)
+    tbl_valid = (table >= 0).astype(jnp.float32)[..., None]
+    im_per_body = body.inv_mass[:, None]
+    pos0_a = pos[a]
+    pos0_b = pos[bs]
+
+    def it(_, pos):
+        # Residual penetration after the displacement applied so far.
+        dp = (pos[a] - pos0_a) - jnp.where(static_b[:, None], 0.0, pos[bs] - pos0_b)
+        pen_res = contacts.penetration - jnp.sum(dp * nrm, -1)
+        push = jnp.maximum(pen_res - params.contact_slop, 0.0) * beta
+        # Per-contact positional impulse along the normal, shared by inv mass.
+        imp = nrm * (push / w_sum * validf)[:, None]          # [C, 3]
+        g = imp[tbl] * sign[..., None] * tbl_valid            # [N, CPB, 3]
+        return pos + im_per_body * jnp.sum(g, axis=1)
+
+    return jax.lax.fori_loop(0, iters, it, pos)

@@ -66,10 +66,13 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     pair_a, pair_b, pair_valid, num_pairs, overflow = broadphase.find_pairs(body, config)
 
     # 3. Narrowphase.
-    pair_cts, pair_manifold_valid = narrowphase.pair_contacts(
+    pair_cts, pair_touching, bucket_overflow = narrowphase.pair_contacts(
         body, pair_a, pair_b, pair_valid, config)
     static_cts = narrowphase.static_contacts(body, world, hull_contact_verts, config)
-    contacts = narrowphase.concat_contacts(pair_cts, static_cts)
+    # Static (ground) contacts FIRST: if the compacted buffer overflows, the
+    # dropped rows must be body-body extras — never the world contacts, or
+    # bodies fall through the ground during pile collapses.
+    contacts = narrowphase.concat_contacts(static_cts, pair_cts)
     contacts, contact_overflow = narrowphase.compact_contacts(
         contacts, config.max_active_contacts)
 
@@ -77,8 +80,11 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     linvel, angvel, lambda_n, inc_table, inc_sign = solver.solve_contacts(
         body, contacts, dt, params, config)
 
-    # 5. Integrate.
+    # 5. Integrate + split-impulse position correction (Jolt: 2 position
+    # iterations after the velocity solve — deep stacks sink without it).
     pos, quat = integrate.integrate_positions(body, linvel, angvel, dt)
+    pos = solver.solve_positions(pos, body, contacts, inc_table, inc_sign,
+                                 params, config)
 
     # 6. Sleeping.
     awake, sleep_timer, linvel, angvel = integrate.update_sleeping(
@@ -91,16 +97,15 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
         underwater=in_water,
     )
 
-    touching = jnp.any(pair_manifold_valid & (jnp.ones_like(pair_manifold_valid)), axis=1)
     events = StepEvents(
         contact_pair_a=pair_a,
         contact_pair_b=pair_b,
-        contact_touching=touching,
+        contact_touching=pair_touching,
         newly_awake=awake & ~prev_awake,
         newly_asleep=prev_awake & ~awake,
         entered_water=in_water & ~body.underwater,
         num_pairs=num_pairs,
-        broadphase_overflow=overflow,
+        broadphase_overflow=overflow + bucket_overflow + contact_overflow,
     )
     diags = StepDiagnostics(
         num_pairs=num_pairs,
