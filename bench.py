@@ -41,7 +41,7 @@ def build_world():
         grid_dim=128,
         cell_size=1.4,
         cell_capacity=8,
-        solver_iters=10,
+        solver_iters=8,
         pairs_per_body=8,
         max_active_contacts=49_152,
     )
@@ -84,24 +84,25 @@ def main():
     # this size; per-step dispatch (~2 ms) is negligible against the step
     # itself, so we drive steps from the host loop.
     @jax.jit
-    def run_step(body):
-        nb, _, _ = physics_step(body, sw, hull_cv, jnp.float32(DT), params, cfg)
-        return nb
+    def run_step(body, cache):
+        nb, nc, _, _ = physics_step(body, sw, hull_cv, jnp.float32(DT), params,
+                                    cfg, cache)
+        return nb, nc
 
-    state = w.state
+    state, cache = w.state, w.solver_cache
     # Warm up / compile, then saturate the dispatch queue: the axon remote
     # runtime can under-report with block_until_ready alone, so every timing
     # block ends with a host readback that forces a true device sync.
-    state = run_step(state)
+    state, cache = run_step(state, cache)
     _ = float(np.asarray(state.pos)[0, 0])
     for _ in range(30):
-        state = run_step(state)
+        state, cache = run_step(state, cache)
     _ = float(np.asarray(state.pos)[0, 0])
 
     t0 = time.perf_counter()
     steps = 60
     for _ in range(steps):
-        state = run_step(state)
+        state, cache = run_step(state, cache)
     _ = float(np.asarray(state.pos)[0, 0])  # real sync
     dt_wall = time.perf_counter() - t0
     steps_per_sec = steps / dt_wall

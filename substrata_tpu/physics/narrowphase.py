@@ -57,6 +57,10 @@ class Contacts:
     valid: jnp.ndarray        # [C] bool
     friction: jnp.ndarray     # [C] combined
     restitution: jnp.ndarray  # [C] combined
+    # Stable identity for warm starting: a contact is identified by
+    # (a, key) where key = sample_slot+1 (1..8) for static contacts and
+    # b*4 + manifold_slot + 9 for body pairs.  key 0 = no identity.
+    key: jnp.ndarray          # [C] i32
 
     @property
     def capacity(self):
@@ -519,6 +523,7 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
         c4 = cap * 4
         ba = a[srcs]
         bb_ = b[srcs]
+        slot4 = jnp.tile(jnp.arange(4, dtype=jnp.int32), cap)
         batches.append(Contacts(
             a=jnp.repeat(ba, 4)[:c4],
             b=jnp.repeat(bb_, 4)[:c4],
@@ -528,6 +533,7 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
             valid=(valid & ~sensor[srcs][:, None]).reshape(c4),
             friction=jnp.repeat(fr[srcs], 4)[:c4],
             restitution=jnp.repeat(re[srcs], 4)[:c4],
+            key=jnp.repeat(bb_, 4)[:c4] * 4 + slot4 + 9,
         ))
         touch_src.append((src, jnp.any(valid, axis=1)))
 
@@ -711,13 +717,14 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
         valid=ok,
         friction=combine_friction(body.friction[body_idx], jnp.full((n * 8,), 0.5)),
         restitution=body.restitution[body_idx],
+        key=jnp.tile(jnp.arange(8, dtype=jnp.int32), n) + 1,
     )
 
 
 def concat_contacts(*batches: Contacts) -> Contacts:
     return Contacts(*[jnp.concatenate([getattr(b, f) for b in batches])
                       for f in ("a", "b", "point", "normal", "penetration",
-                                "valid", "friction", "restitution")])
+                                "valid", "friction", "restitution", "key")])
 
 
 def compact_contacts(contacts: Contacts, max_active: int):
@@ -740,17 +747,19 @@ def compact_contacts(contacts: Contacts, max_active: int):
     fbuf = jnp.zeros((max_active + 1, fblock.shape[1]))
     fbuf = fbuf.at[dst].set(jnp.where(keep[:, None], fblock, 0.0), mode="drop")[:max_active]
 
-    # Int key: a (15 bits) | b+1 (16 bits); -1 sentinel = empty slot.
-    ikey = (contacts.a << 16) | (contacts.b + 1)
-    ibuf = jnp.full((max_active + 1,), -1, jnp.int32)
-    ibuf = ibuf.at[dst].set(jnp.where(keep, ikey, -1), mode="drop")[:max_active]
+    # Int block: packed (a << 16 | b+1) + warm-start key; -1 = empty slot.
+    iblock = jnp.stack([(contacts.a << 16) | (contacts.b + 1),
+                        contacts.key], axis=1)
+    ibuf = jnp.full((max_active + 1, 2), -1, jnp.int32)
+    ibuf = ibuf.at[dst].set(jnp.where(keep[:, None], iblock, -1), mode="drop")[:max_active]
 
-    cvalid = ibuf >= 0
-    a = jnp.where(cvalid, ibuf >> 16, 0)
-    b = jnp.where(cvalid, (ibuf & 0xFFFF) - 1, -1)
+    cvalid = ibuf[:, 0] >= 0
+    a = jnp.where(cvalid, ibuf[:, 0] >> 16, 0)
+    b = jnp.where(cvalid, (ibuf[:, 0] & 0xFFFF) - 1, -1)
     overflow = jnp.maximum(jnp.sum(valid) - max_active, 0)
     return Contacts(
         a=a, b=b, point=fbuf[:, 0:3], normal=fbuf[:, 3:6],
         penetration=fbuf[:, 6], valid=cvalid, friction=fbuf[:, 7],
         restitution=fbuf[:, 8],
+        key=jnp.where(cvalid, ibuf[:, 1], 0),
     ), overflow

@@ -25,12 +25,52 @@ separated-but-near pairs).
 
 from __future__ import annotations
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
 from substrata_tpu.maths import transform as tmath
 from substrata_tpu.physics.narrowphase import Contacts
 from substrata_tpu.physics.state import BodyState, SimConfig, SimParams
+
+
+@flax.struct.dataclass
+class SolverCache:
+    """Persistent contact-impulse cache for warm starting (Jolt's contact
+    cache equivalent): accumulated (normal, tangent1, tangent2) impulses
+    keyed by the stable contact identity (body a, feature key), stored in an
+    open hash table refreshed once per step.  Warm starting is what lets
+    sequential-impulse engines hold stacks with ~10 iterations; without it
+    Jacobi forces rebuild from zero every step."""
+
+    key_a: jnp.ndarray   # [H] i32 body slot, -1 = empty
+    key_k: jnp.ndarray   # [H] i32 feature key
+    lam: jnp.ndarray     # [H, 3] accumulated impulses (n, t1, t2)
+
+    @property
+    def size(self):
+        return self.key_a.shape[0]
+
+
+def empty_solver_cache(size: int = 1 << 17) -> SolverCache:
+    return SolverCache(
+        key_a=jnp.full((size,), -1, jnp.int32),
+        key_k=jnp.zeros((size,), jnp.int32),
+        lam=jnp.zeros((size, 3), jnp.float32),
+    )
+
+
+def cache_size_for(config: "SimConfig") -> int:
+    size = 1
+    while size < 2 * config.max_active_contacts:
+        size <<= 1
+    return size
+
+
+def _cache_hash(a, k, size):
+    h = (a.astype(jnp.uint32) * jnp.uint32(2654435761)
+         ^ k.astype(jnp.uint32) * jnp.uint32(40503))
+    return (h & jnp.uint32(size - 1)).astype(jnp.int32)
 
 
 def _tangent_basis(n):
@@ -85,8 +125,8 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
 
 
 def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
-                   config: SimConfig):
-    """Returns (linvel, angvel, lambda_n per contact)."""
+                   config: SimConfig, cache: SolverCache | None = None):
+    """Returns (linvel, angvel, lambda_n per contact, table, sign, cache')."""
     n_bodies = body.capacity
     cpb = config.contacts_per_body
     a = contacts.a
@@ -211,11 +251,42 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         linvel, angvel = apply_impulses(linvel, angvel, dln, dlt1, dlt2)
         return linvel, angvel, ln_new, lt1_new, lt2_new
 
+    # --- Warm start: look up last step's accumulated impulses by contact
+    # identity and pre-apply them before iterating. ---
     zeros = jnp.zeros_like(kn)
-    linvel, angvel, ln, _, _ = jax.lax.fori_loop(
+    linvel0, angvel0 = body.linvel, body.angvel
+    if cache is not None:
+        h = _cache_hash(a, contacts.key, cache.size)
+        hit = valid & (cache.key_a[h] == a) & (cache.key_k[h] == contacts.key)
+        warm = jnp.where(hit[:, None], cache.lam[h], 0.0)
+        ln0 = jnp.maximum(warm[:, 0], 0.0) * validf
+        max_f0 = contacts.friction * ln0
+        lt10 = jnp.clip(warm[:, 1], -max_f0, max_f0) * validf
+        lt20 = jnp.clip(warm[:, 2], -max_f0, max_f0) * validf
+        linvel0, angvel0 = apply_impulses(linvel0, angvel0, ln0, lt10, lt20)
+    else:
+        ln0 = lt10 = lt20 = zeros
+
+    linvel, angvel, ln, lt1, lt2 = jax.lax.fori_loop(
         0, config.solver_iters, iteration,
-        (body.linvel, body.angvel, zeros, zeros, zeros))
-    return linvel, angvel, ln, table, sign
+        (linvel0, angvel0, ln0, lt10, lt20))
+
+    # --- Refresh the cache with this step's accumulated impulses. ---
+    if cache is not None:
+        h = _cache_hash(a, contacts.key, cache.size)
+        dst = jnp.where(valid, h, cache.size)
+        new_cache = SolverCache(
+            key_a=jnp.full((cache.size,), -1, jnp.int32).at[dst].set(
+                jnp.where(valid, a, -1), mode="drop"),
+            key_k=jnp.zeros((cache.size,), jnp.int32).at[dst].set(
+                jnp.where(valid, contacts.key, 0), mode="drop"),
+            lam=jnp.zeros((cache.size, 3), jnp.float32).at[dst].set(
+                jnp.stack([ln, lt1, lt2], axis=1) * validf[:, None],
+                mode="drop"),
+        )
+    else:
+        new_cache = None
+    return linvel, angvel, ln, table, sign, new_cache
 
 
 def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,

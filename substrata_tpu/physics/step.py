@@ -52,9 +52,14 @@ class StepDiagnostics:
 
 @partial(jax.jit, static_argnames=("config",))
 def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
-                 dt, params: SimParams, config: SimConfig):
+                 dt, params: SimParams, config: SimConfig,
+                 solver_cache=None):
     """Advance the world one fixed substep (60 Hz in the reference tick,
-    GUIClient.cpp:6365-6368).  Returns (new_body, events, diagnostics)."""
+    GUIClient.cpp:6365-6368).
+
+    Returns (new_body, events, diagnostics) — or, when a
+    solver.SolverCache is passed for warm starting,
+    (new_body, new_cache, events, diagnostics)."""
     dt = jnp.asarray(dt, jnp.float32)
     prev_awake = body.awake
 
@@ -76,9 +81,9 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     contacts, contact_overflow = narrowphase.compact_contacts(
         contacts, config.max_active_contacts)
 
-    # 4. Solve velocity constraints.
-    linvel, angvel, lambda_n, inc_table, inc_sign = solver.solve_contacts(
-        body, contacts, dt, params, config)
+    # 4. Solve velocity constraints (warm-started when a cache is threaded).
+    linvel, angvel, lambda_n, inc_table, inc_sign, new_cache = solver.solve_contacts(
+        body, contacts, dt, params, config, solver_cache)
 
     # 5. Integrate + split-impulse position correction (Jolt: 2 position
     # iterations after the velocity solve — deep stacks sink without it).
@@ -113,4 +118,6 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
         num_awake=jnp.sum(awake & new_body.alive),
         max_penetration=jnp.max(jnp.where(contacts.valid, contacts.penetration, 0.0)),
     )
+    if solver_cache is not None:
+        return new_body, new_cache, events, diags
     return new_body, events, diags

@@ -134,6 +134,9 @@ class PhysicsWorld:
         self.config = config or SimConfig()
         self.params = params or default_sim_params()
         self.state = zero_body_state(self.config.capacity)
+        from substrata_tpu.physics import solver as solver_mod
+        self.solver_cache = solver_mod.empty_solver_cache(
+            solver_mod.cache_size_for(self.config))
         self.static_world = default_static_world(ground_z=-1e10)
         self.water_buoyancy_enabled = False
         self._water_z = -1e10
@@ -356,9 +359,9 @@ class PhysicsWorld:
     def think(self, dt: float):
         """One substep: PhysicsWorld::think parity (PhysicsWorld.cpp:1356-1442)."""
         self._flush()
-        self.state, events, diags = physics_step(
+        self.state, self.solver_cache, events, diags = physics_step(
             self.state, self.static_world, self._hull_contact_verts,
-            jnp.float32(dt), self.params, self.config)
+            jnp.float32(dt), self.params, self.config, self.solver_cache)
         self.last_events = events
         self.last_diags = diags
         self._steps += 1
