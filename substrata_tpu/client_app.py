@@ -64,6 +64,7 @@ MAX_SUBSTEPS = 500             # GUIClient.cpp:6368
 TOUCH_EVENT_RATE_LIMIT = 0.5   # GUIClient.cpp touch rate limit
 AUDIO_OCCLUSION_MAX_DIST = 60.0  # GUIClient.cpp:6987-6994
 AUDIBLE_DIST = 100.0
+RECONNECT_PERIOD = 10.0        # GUIClient.cpp:5927-5933
 
 
 @dataclass
@@ -106,6 +107,8 @@ class ClientApp:
         self._last_snapshot_send = 0.0
         self._last_avatar_send = 0.0
         self._next_local_uid = 1 << 40      # offline-mode uid space
+        self.reconnect_factory = None       # callable() -> Client
+        self._last_reconnect_attempt = 0.0
         self.cam_pos = np.array([0, 0, EYE_HEIGHT, 1], np.float32)
         self.last_physics_sim_time = 0.0    # diagnostics (GUIClient.cpp:6509)
         self.log_messages: list[str] = []
@@ -274,7 +277,17 @@ class ClientApp:
         global_time = (self.world_state.global_time()
                        if self.world_state is not None else now)
 
-        # 1. Script timers + incoming network events.
+        # 1. Reconnect check (every 10 s when disconnected,
+        # GUIClient.cpp:5927-5933) + script timers + incoming network events.
+        if (self.client is not None and not self.client.connected
+                and self.reconnect_factory is not None
+                and now - self._last_reconnect_attempt > RECONNECT_PERIOD):
+            self._last_reconnect_attempt = now
+            try:
+                self.client = self.reconnect_factory()
+                self.log("reconnected")
+            except OSError as e:
+                self.log(f"reconnect failed: {e}")
         self.script_vm.update(now)
         if self.client is not None:
             self._apply_network_events()
@@ -303,7 +316,22 @@ class ClientApp:
                 if ctrl is not None:
                     ctrl.update(VehiclePhysicsInput(
                         forward=inp.forward, right=inp.right, up=inp.up))
-            else:
+            # f. vehicles driven by OTHER avatars replayed from their last
+            #    input bitflags (GUIClient.cpp:6497-6506).
+            if self.client is not None:
+                my_uid = self.client.avatar_uid
+                with self.world_state.lock:
+                    riders = [(av.entered_vehicle_uid,
+                               av.last_physics_input_bitflags)
+                              for av in self.world_state.avatars.values()
+                              if av.uid != my_uid and av.entered_vehicle_uid
+                              and av.vehicle_seat_index == 0]
+                for veh_uid, bitflags in riders:
+                    rctrl = self.vehicle_controllers.get(veh_uid)
+                    if rctrl is not None and veh_uid != self.driven_vehicle_uid:
+                        self.vehicles.set_active(rctrl.index, True)
+                        rctrl.update(VehiclePhysicsInput.from_bitflags(bitflags))
+            if not driving:
                 if np.any(move != 0):
                     self.player.process_move(move, runpressed=inp.run)
                 if inp.jump:
@@ -375,9 +403,14 @@ class ClientApp:
             self._last_snapshot_send = now
             self._send_dirty_snapshots(global_time)
             eye = self.cam_pos
+            bitflags = VehiclePhysicsInput(
+                forward=inp.forward, right=inp.right,
+                up=inp.up).to_bitflags() if driving else 0
             self.client.send_avatar_transform(
                 [float(eye[0]), float(eye[1]), float(eye[2])],
-                [0.0, 0.0, 0.0], anim_state=0)
+                [0.0, 0.0, 0.0], anim_state=0,
+                vehicle_uid=self.driven_vehicle_uid,
+                seat=self.cur_seat_index, input_bitflags=bitflags)
 
         # 14. Terrain/scatter streaming around the camera.
         self.terrain.update_campos(self.cam_pos)

@@ -164,10 +164,14 @@ class Client:
     def send_avatar_created(self, av: Avatar):
         self.send_message(P.make_message(P.AVATAR_CREATED, av.to_bytes()))
 
-    def send_avatar_transform(self, pos, rotation, anim_state: int = 0):
+    def send_avatar_transform(self, pos, rotation, anim_state: int = 0,
+                              vehicle_uid: int = 0, seat: int = 0,
+                              input_bitflags: int = 0):
         self.send_message(P.make_message(
             P.AVATAR_TRANSFORM_UPDATE,
-            P.pack_avatar_transform_update(self.avatar_uid, pos, rotation, anim_state)))
+            P.pack_avatar_transform_update(self.avatar_uid, pos, rotation,
+                                           anim_state, vehicle_uid, seat,
+                                           input_bitflags)))
 
     def send_chat(self, name: str, msg: str):
         self.send_message(P.make_message(P.CHAT_MESSAGE_ID,
@@ -270,13 +274,17 @@ class Client:
             with self.events_lock:
                 self.events.avatars_created.append(av.uid)
         elif msg_type == P.AVATAR_TRANSFORM_UPDATE:
-            uid, pos, rot, anim = P.unpack_avatar_transform_update(payload)
+            (uid, pos, rot, anim, veh_uid, seat, bitflags) = \
+                P.unpack_avatar_transform_update(payload)
             with ws.lock:
                 av = ws.avatars.get(uid)
                 if av is not None:
                     av.pos = pos.astype(np.float64)
                     av.rotation = rot
                     av.anim_state = anim
+                    av.entered_vehicle_uid = veh_uid
+                    av.vehicle_seat_index = seat
+                    av.last_physics_input_bitflags = bitflags
         elif msg_type == P.AVATAR_DESTROYED:
             (uid,) = struct.unpack("<Q", payload[:8])
             with ws.lock:

@@ -168,19 +168,25 @@ def unpack_physics_ownership_taken(payload: bytes):
     return uid, owner, t, flags
 
 
-_AVATAR_TRANSFORM = struct.Struct("<Q6fI")
+_AVATAR_TRANSFORM = struct.Struct("<Q6fIQII")
 
 
-def pack_avatar_transform_update(uid: int, pos, rot, anim_state: int) -> bytes:
+def pack_avatar_transform_update(uid: int, pos, rot, anim_state: int,
+                                 vehicle_uid: int = 0, seat: int = 0,
+                                 input_bitflags: int = 0) -> bytes:
     """AvatarTransformUpdate 1002: pos + (roll, pitch, heading) + anim state
-    bitflags (shared/Avatar.h:133-141)."""
+    bitflags (shared/Avatar.h:133-141) + vehicle occupancy and the driver's
+    input bitflags for remote vehicle replay (VehiclePhysics.h:79)."""
     return _AVATAR_TRANSFORM.pack(uid, *np.asarray(pos, np.float64).astype(np.float32),
-                                  *np.asarray(rot, np.float32), anim_state)
+                                  *np.asarray(rot, np.float32), anim_state,
+                                  vehicle_uid, seat, input_bitflags)
 
 
 def unpack_avatar_transform_update(payload: bytes):
     vals = _AVATAR_TRANSFORM.unpack(payload)
-    return vals[0], np.array(vals[1:4], np.float32), np.array(vals[4:7], np.float32), vals[7]
+    return (vals[0], np.array(vals[1:4], np.float32),
+            np.array(vals[4:7], np.float32), vals[7], vals[8], vals[9],
+            vals[10])
 
 
 def pack_time_sync(global_time: float) -> bytes:

@@ -345,13 +345,17 @@ class WorkerConnection(threading.Thread):
                     self.world_name,
                     P.make_message(P.AVATAR_CREATED, av.to_bytes()), exclude=self)
         elif msg_type == P.AVATAR_TRANSFORM_UPDATE:
-            uid, pos, rot, anim = P.unpack_avatar_transform_update(payload)
+            (uid, pos, rot, anim, veh_uid, seat, bitflags) = \
+                P.unpack_avatar_transform_update(payload)
             with ws.lock:
                 av = w.avatars.get(self.avatar_uid)
                 if av is not None:
                     av.pos = pos.astype(np.float64)
                     av.rotation = rot
                     av.anim_state = anim
+                    av.entered_vehicle_uid = veh_uid
+                    av.vehicle_seat_index = seat
+                    av.last_physics_input_bitflags = bitflags
                     w.dirty_avatars.add(av.uid)
         elif msg_type == P.CHAT_MESSAGE_ID:
             name, msg = P.unpack_chat_message(payload)
@@ -392,6 +396,11 @@ class Server:
         self.read_only = False  # server read-only mode (WorkerThread.cpp:1991)
         self.script_events: list = []
         self.unknown_messages: list = []
+        # Server-side scripting (ServerSideScripting parity): user-event
+        # messages from workers fire handlers on this VM in the main tick
+        # (Server.cpp:672-870), gated by the script-exec feature flag.
+        from substrata_tpu.scripting.events import ScriptVM
+        self.script_vm = ScriptVM(clock=clock)
         self._clock = clock
         self._start_time = clock()
 
@@ -487,11 +496,31 @@ class Server:
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             WorkerConnection(self, sock, addr).start()
 
+    def _drain_script_events(self):
+        """Execute queued user-event messages on the server script VM
+        (Lua timer queue + script events in the main loop,
+        Server.cpp:630-800)."""
+        if not self.worlds_state.feature_flags.get("SERVER_SCRIPT_EXEC"):
+            self.script_events.clear()
+            return
+        self.script_vm.update()
+        events, self.script_events = self.script_events, []
+        for msg_type, world_name, uid, avatar_uid in events:
+            if msg_type == P.USER_TOUCHED_OBJECT_MESSAGE:
+                self.script_vm.fire_user_touched_object(uid, avatar_uid)
+            elif msg_type == P.USER_USED_OBJECT_MESSAGE:
+                self.script_vm.fire_user_used_object(uid, avatar_uid)
+            elif msg_type == P.USER_MOVED_NEAR_TO_OBJECT_MESSAGE:
+                self.script_vm.fire_user_moved_near(uid, avatar_uid)
+            elif msg_type == P.USER_MOVED_AWAY_FROM_OBJECT_MESSAGE:
+                self.script_vm.fire_user_moved_away(uid, avatar_uid)
+
     def _tick_loop(self):
         last_time_sync = 0.0
         last_db_flush = 0.0
         while self.running:
             t0 = self._clock()
+            self._drain_script_events()
             self._broadcast_dirty()
             if t0 - last_time_sync > TIME_SYNC_PERIOD:
                 last_time_sync = t0
@@ -532,8 +561,10 @@ class Server:
                 if av is not None:
                     self.broadcast(name, P.make_message(
                         P.AVATAR_TRANSFORM_UPDATE,
-                        P.pack_avatar_transform_update(av.uid, av.pos, av.rotation,
-                                                       av.anim_state)))
+                        P.pack_avatar_transform_update(
+                            av.uid, av.pos, av.rotation, av.anim_state,
+                            av.entered_vehicle_uid, av.vehicle_seat_index,
+                            av.last_physics_input_bitflags)))
             for ob in objects:
                 if ob is not None:
                     self.broadcast(name, P.make_message(P.OBJECT_CREATED, ob.to_bytes()))

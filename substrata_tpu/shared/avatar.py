@@ -39,9 +39,12 @@ class Avatar:
     anim_state: int = 0
     settings: AvatarSettings = field(default_factory=AvatarSettings)
 
-    # Vehicle occupancy
+    # Vehicle occupancy + the driver's last input bitflags so other clients
+    # replay the vehicle controller locally (VehiclePhysics.h:79
+    # last_physics_input_bitflags; replayed GUIClient.cpp:6497-6506).
     entered_vehicle_uid: int = 0   # 0 = on foot
     vehicle_seat_index: int = 0
+    last_physics_input_bitflags: int = 0
 
     # Gestures
     performing_gesture: str = ""
@@ -65,7 +68,9 @@ class Avatar:
         mb = self.settings.model_url.encode("utf-8")
         s.write(struct.pack("<I", len(mb)))
         s.write(mb)
-        s.write(struct.pack("<QI", self.entered_vehicle_uid, self.vehicle_seat_index))
+        s.write(struct.pack("<QII", self.entered_vehicle_uid,
+                            self.vehicle_seat_index,
+                            self.last_physics_input_bitflags))
 
     @classmethod
     def read_from_stream(cls, s: io.BytesIO) -> "Avatar":
@@ -78,7 +83,8 @@ class Avatar:
         (av.anim_state,) = struct.unpack("<I", s.read(4))
         (m,) = struct.unpack("<I", s.read(4))
         av.settings.model_url = s.read(m).decode("utf-8")
-        av.entered_vehicle_uid, av.vehicle_seat_index = struct.unpack("<QI", s.read(12))
+        (av.entered_vehicle_uid, av.vehicle_seat_index,
+         av.last_physics_input_bitflags) = struct.unpack("<QII", s.read(16))
         return av
 
     def to_bytes(self) -> bytes:

@@ -1,0 +1,79 @@
+"""Audio mixing benchmark: source-frames/sec at 256 spatial sources.
+
+The second half of the north-star metric (BASELINE.md: 256 spatial audio
+sources at >= 60 Hz real time; real time = 48000 frames/s * 256 sources =
+12.29M source-frames/s).  Mixes 256-frame blocks of the fused kernel on the
+current platform with forced device syncs.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp
+import numpy as np
+
+from substrata_tpu.audio.mix import (
+    BLOCK, ENGINE_RATE, Listener, default_listener, mix_block, zero_sources,
+)
+
+N_SOURCES = 256
+REALTIME_SOURCE_FRAMES = ENGINE_RATE * N_SOURCES  # per second
+
+
+def main():
+    rng = np.random.default_rng(0)
+    src = zero_sources(N_SOURCES)
+    pool = jnp.asarray(np.sin(np.arange(1 << 20) * 0.03).astype(np.float32))
+    offsets = rng.integers(0, (1 << 20) - 48000, N_SOURCES)
+    src = src.replace(
+        alive=src.alive.at[:].set(True),
+        looping=src.looping.at[:].set(True),
+        buf_offset=src.buf_offset.at[:, 0].set(jnp.asarray(offsets, jnp.int32)),
+        buf_len=src.buf_len.at[:, 0].set(48000),
+        delta=src.delta.at[:, 0].set(jnp.asarray(
+            rng.uniform(0.8, 1.25, N_SOURCES).astype(np.float32))),
+        pos=jnp.asarray(rng.uniform(-40, 40, (N_SOURCES, 3)).astype(np.float32)),
+        vel=jnp.asarray(rng.normal(0, 3, (N_SOURCES, 3)).astype(np.float32)),
+        num_occlusions=jnp.asarray((rng.random(N_SOURCES) < 0.2).astype(np.float32)),
+    )
+    listener = default_listener()
+
+    step = jax.jit(mix_block)
+    src2, out = step(src, pool, listener)
+    _ = float(np.asarray(out)[0, 0])
+    for _ in range(20):
+        src2, out = step(src2, pool, listener)
+    _ = float(np.asarray(out)[0, 0])
+
+    n_blocks = 200
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        src2, out = step(src2, pool, listener)
+    _ = float(np.asarray(out)[0, 0])
+    wall = time.perf_counter() - t0
+    frames = n_blocks * BLOCK
+    source_frames_per_sec = frames * N_SOURCES / wall
+    blocks_per_sec = n_blocks / wall
+    realtime_x = source_frames_per_sec / REALTIME_SOURCE_FRAMES
+    print(json.dumps({
+        "metric": f"audio source-frames/sec at {N_SOURCES} sources",
+        "value": round(source_frames_per_sec),
+        "unit": "source-frames/s",
+        "vs_baseline": round(realtime_x, 2),
+        "blocks_per_sec": round(blocks_per_sec, 1),
+        "block_ms": round(1000.0 / blocks_per_sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
