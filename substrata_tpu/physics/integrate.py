@@ -127,13 +127,22 @@ def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
     tbl = jnp.maximum(incidence_table, 0)                 # [N, CPB]
     tbl_ok = incidence_table >= 0
     iam_a = incidence_sign > 0
-    other = jnp.where(iam_a, contact_b[tbl], contact_a[tbl])  # [N, CPB]
+    # One packed gather per indirection level (separate field gathers are
+    # the cost on TPU): contact row -> (a, b, imp_sig, valid).
+    cblock = jnp.stack([contact_a.astype(jnp.float32),
+                        contact_b.astype(jnp.float32),
+                        imp_sig.astype(jnp.float32),
+                        contact_valid.astype(jnp.float32)], axis=1)  # [C, 4]
+    g = cblock[tbl]                                        # [N, CPB, 4]
+    other = jnp.where(iam_a, g[..., 1], g[..., 0]).astype(jnp.int32)
     other_static = other < 0
     oth = jnp.maximum(other, 0)
-    other_awake = jnp.where(other_static, False, body.awake[oth])
-    other_fast = jnp.where(other_static, False, fast[oth])
-    slot_wake = tbl_ok & ((imp_sig[tbl] & other_awake)
-                          | (contact_valid[tbl] & other_fast))
+    bblock = jnp.stack([body.awake, fast], axis=1).astype(jnp.float32)  # [N, 2]
+    ob = bblock[oth]                                       # [N, CPB, 2]
+    other_awake = jnp.where(other_static, False, ob[..., 0] > 0)
+    other_fast = jnp.where(other_static, False, ob[..., 1] > 0)
+    slot_wake = tbl_ok & (((g[..., 2] > 0) & other_awake)
+                          | ((g[..., 3] > 0) & other_fast))
     wake_hit = jnp.any(slot_wake, axis=1)
 
     dyn = body.dynamic & body.alive

@@ -454,6 +454,10 @@ _BUCKET_KERNELS = [
 # mixed combos get max_pairs / MIXED_FRACTION slots.
 _SAME_TYPE_CODES = (0, 4, 8)
 _MIXED_FRACTION = 4
+# Manifold width per combo code: sphere contacts have 1 point, capsule
+# contacts up to 2, box-box up to 4 — emitting 4 slots for every combo
+# inflates the contact-compaction input ~2x for nothing.
+_MANIFOLD_WIDTH = [1, 1, 1, 1, 4, 2, 1, 2, 1]
 
 
 def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig):
@@ -520,20 +524,21 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
         bvb = vb[srcs]
         pts, pens, normal, valid = _BUCKET_KERNELS[code](bva, bvb)
         valid = valid & bvalid[:, None]
-        c4 = cap * 4
+        wm = _MANIFOLD_WIDTH[code]
+        cw = cap * wm
         ba = a[srcs]
         bb_ = b[srcs]
-        slot4 = jnp.tile(jnp.arange(4, dtype=jnp.int32), cap)
+        slotw = jnp.tile(jnp.arange(wm, dtype=jnp.int32), cap)
         batches.append(Contacts(
-            a=jnp.repeat(ba, 4)[:c4],
-            b=jnp.repeat(bb_, 4)[:c4],
-            point=pts.reshape(c4, 3),
-            normal=jnp.repeat(normal, 4, axis=0)[:c4],
-            penetration=pens.reshape(c4),
-            valid=(valid & ~sensor[srcs][:, None]).reshape(c4),
-            friction=jnp.repeat(fr[srcs], 4)[:c4],
-            restitution=jnp.repeat(re[srcs], 4)[:c4],
-            key=jnp.repeat(bb_, 4)[:c4] * 4 + slot4 + 9,
+            a=jnp.repeat(ba, wm)[:cw],
+            b=jnp.repeat(bb_, wm)[:cw],
+            point=pts[:, :wm].reshape(cw, 3),
+            normal=jnp.repeat(normal, wm, axis=0)[:cw],
+            penetration=pens[:, :wm].reshape(cw),
+            valid=(valid[:, :wm] & ~sensor[srcs][:, None]).reshape(cw),
+            friction=jnp.repeat(fr[srcs], wm)[:cw],
+            restitution=jnp.repeat(re[srcs], wm)[:cw],
+            key=jnp.repeat(bb_, wm)[:cw] * 4 + slotw + 9,
         ))
         touch_src.append((src, jnp.any(valid, axis=1)))
 
