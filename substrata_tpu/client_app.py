@@ -255,6 +255,17 @@ class ClientApp:
         self.driven_vehicle_uid = ob_uid
         self.cur_seat_index = seat_index
         ctrl.player_entered(seat_index)
+        # The driver takes physics ownership of the vehicle on entry
+        # (GUIClient takePhysicsOwnershipOfObject on vehicle enter).
+        ob = self.objects.get(ob_uid)
+        if seat_index == 0 and self.client is not None and ob is not None:
+            ws = self.world_state
+            gt = ws.global_time()
+            slot = ws.slot_for(ob_uid)
+            if ws.ownership.try_claim(slot, self.client.avatar_uid, gt):
+                ob.physics_owner_id = self.client.avatar_uid
+                ob.last_physics_ownership_change_global_time = gt
+                self.client.send_ownership_taken(ob_uid, gt)
         return True
 
     def exit_vehicle(self):
