@@ -15,24 +15,54 @@ from dataclasses import dataclass
 
 import numpy as np
 
-# Handshake (Protocol.h:57-76)
+# Handshake (Protocol.h:57-67)
 CYBERSPACE_HELLO = 1357924680
 CYBERSPACE_PROTOCOL_VERSION = 54
 CLIENT_PROTOCOL_OK = 10000
 CLIENT_PROTOCOL_TOO_OLD = 10001
+CLIENT_PROTOCOL_TOO_NEW = 10002
 CLIENT_UDP_SOCKET_OPEN = 10003
+CYBERSPACE_GOODBYE = 10010
 
-CONNECTION_TYPE_UPDATES = 500  # ConnectionTypeUpdates
+# Audio stream control (Protocol.h:67-68)
+AUDIO_STREAM_TO_SERVER_STARTED = 10020
+AUDIO_STREAM_TO_SERVER_ENDED = 10021
 
-# Avatars (Protocol.h:81-94)
+# Connection types (Protocol.h:70-76)
+CONNECTION_TYPE_UPDATES = 500
+CONNECTION_TYPE_UPLOAD_RESOURCE = 501
+CONNECTION_TYPE_DOWNLOAD_RESOURCES = 502
+CONNECTION_TYPE_SCREENSHOT_BOT = 504
+CONNECTION_TYPE_ETH_BOT = 505
+CONNECTION_TYPE_UPLOAD_PHOTO = 506
+
+CHANGE_TO_DIFFERENT_WORLD = 600  # Protocol.h:78
+
+# Avatars (Protocol.h:81-98)
 AVATAR_CREATED = 1000
 AVATAR_DESTROYED = 1001
 AVATAR_TRANSFORM_UPDATE = 1002
 AVATAR_FULL_UPDATE = 1003
+CREATE_AVATAR = 1004
 AVATAR_IS_HERE = 1005
 AVATAR_PERFORM_GESTURE = 1010
 AVATAR_STOP_GESTURE = 1011
 AVATAR_ENTERED_VEHICLE = 1100
+AVATAR_EXITED_VEHICLE = 1101
+AVATAR_SAT_ON_SEAT = 1110
+AVATAR_GOT_UP_FROM_SEAT = 1111
+USER_MOVED_NEAR_TO_AVATAR = 1200
+USER_MOVED_AWAY_FROM_AVATAR = 1201
+USER_GESTURE_SETTINGS_CHANGED = 1300
+
+# Gear (Protocol.h:103-109)
+QUERY_USER_GEAR = 1400
+USER_GEAR_LIST = 1401
+GEAR_ITEM_UPDATE = 1402
+CREATE_GEAR_ITEM = 1403
+PICK_UP_GEAR_ITEM = 1404
+DROP_GEAR_ITEM = 1405
+CLONE_GEAR_ITEM_IN_INVENTORY = 1406
 
 # Chat
 CHAT_MESSAGE_ID = 2000
@@ -42,50 +72,126 @@ OBJECT_CREATED = 3000
 OBJECT_DESTROYED = 3001
 OBJECT_TRANSFORM_UPDATE = 3002
 OBJECT_FULL_UPDATE = 3003
+CREATE_OBJECT = 3004   # client wants to create an object
+DESTROY_OBJECT = 3005  # client wants to destroy an object
 OBJECT_LIGHTMAP_URL_CHANGED = 3010
-OBJECT_MODEL_URL_CHANGED = 3011
-OBJECT_FLAGS_CHANGED = 3012
+OBJECT_FLAGS_CHANGED = 3011
+OBJECT_MODEL_URL_CHANGED = 3012
 OBJECT_PHYSICS_OWNERSHIP_TAKEN = 3013
 OBJECT_PHYSICS_TRANSFORM_UPDATE = 3016
 OBJECT_CONTENT_CHANGED = 3017
-SUMMON_OBJECT = 3018
+OBJECT_MOVE_TO = 3018    # scripted moveTo with easing (Protocol.h:123)
+OBJECT_ROTATE_TO = 3019  # scripted rotateTo with easing (Protocol.h:124)
+SUMMON_OBJECT = 3030
 QUERY_OBJECTS = 3020
 OBJECT_INITIAL_SEND = 3021
 QUERY_OBJECTS_IN_AABB = 3022
 OBJECT_INITIAL_SEND_COMPRESSED = 3023
 
+# Easing values for ObjectMoveTo/ObjectRotateTo (Protocol.h:128-129)
+MOVE_TO_EASING_LINEAR = 0
+MOVE_TO_EASING_SMOOTHSTEP = 1
+
 # Parcels (Protocol.h:140-146)
 PARCEL_CREATED = 3100
 PARCEL_DESTROYED = 3101
 PARCEL_FULL_UPDATE = 3103
+PARCEL_INITIAL_SEND_COMPRESSED = 3104
+QUERY_PARCELS = 3150
+PARCEL_LIST = 3160
 
-# World settings
-WORLD_SETTINGS_UPDATE = 3200
-WORLD_DETAILS_UPDATE = 3201
+# Bulk object fetch (Protocol.h:148-149)
+GET_ALL_OBJECTS = 3600
+ALL_OBJECTS_SENT = 3601
 
-# Users / info (Protocol.h:182-204)
-USER_SELECTED_OBJECT = 7000
+# World settings / details (Protocol.h:151-154)
+WORLD_SETTINGS_INITIAL_SEND_MESSAGE = 3700
+WORLD_SETTINGS_UPDATE = 3701
+WORLD_DETAILS_INITIAL_SEND_MESSAGE = 3750
+
+# Map tiles (Protocol.h:156-157)
+QUERY_MAP_TILES = 3800
+MAP_TILES_RESULT = 3801
+
+# LOD chunks (Protocol.h:160-162)
+QUERY_LOD_CHUNKS_MESSAGE = 3900
+LOD_CHUNK_INITIAL_SEND = 3901
+LOD_CHUNK_UPDATED_MESSAGE = 3902
+
+# Resource transfer (Protocol.h:167-170)
+GET_FILE = 4000
+GET_FILES = 4001
+NEW_RESOURCE_ON_SERVER = 4100
+
+# Upload responses / permission errors (Protocol.h:173-178)
+UPLOAD_ALLOWED = 5100
+LOG_IN_FAILURE = 5101
+INVALID_FILE_SIZE = 5102
+NO_WRITE_PERMISSIONS = 5103
+SERVER_IS_IN_READ_ONLY_MODE = 5104
+INVALID_FILE_TYPE = 5105
+
+# User events (Protocol.h:182-190)
+USER_SELECTED_OBJECT = 6000
+USER_DESELECTED_OBJECT = 6001
+USER_USED_OBJECT_MESSAGE = 6500
+USER_TOUCHED_OBJECT_MESSAGE = 6501
+USER_MOVED_NEAR_TO_OBJECT_MESSAGE = 6510
+USER_MOVED_AWAY_FROM_OBJECT_MESSAGE = 6511
+USER_ENTERED_PARCEL_MESSAGE = 6512
+USER_EXITED_PARCEL_MESSAGE = 6513
+
+# Info / admin (Protocol.h:192-194)
 INFO_MESSAGE_ID = 7001
 ERROR_MESSAGE_ID = 7002
-USER_USED_OBJECT_MESSAGE = 7010
-USER_TOUCHED_OBJECT_MESSAGE = 7011
-USER_MOVED_NEAR_TO_OBJECT_MESSAGE = 7012
-USER_MOVED_AWAY_FROM_OBJECT_MESSAGE = 7013
-USER_ENTERED_PARCEL_MESSAGE = 7014
-USER_EXITED_PARCEL_MESSAGE = 7015
+SERVER_ADMIN_MESSAGE_ID = 7010
+
+# Auth (Protocol.h:196-204)
 LOG_IN_MESSAGE = 8000
 LOG_OUT_MESSAGE = 8001
 SIGN_UP_MESSAGE = 8002
 LOGGED_IN_MESSAGE_ID = 8003
 LOGGED_OUT_MESSAGE_ID = 8004
+SIGNED_UP_MESSAGE_ID = 8005
+REQUEST_PASSWORD_RESET = 8010
+CHANGE_PASSWORD_WITH_RESET_TOKEN = 8011
 
 TIME_SYNC_MESSAGE = 9000
-KEEP_ALIVE = 13000
-PING = 13001  # ping/pong keepalive family (Protocol.h:218-221)
-PONG = 13002
 
-# Capability bits (Protocol.h:246-253)
+# Screenshots (Protocol.h:208-211)
+SCREENSHOT_REQUEST = 11001
+SCREENSHOT_SUCCEEDED = 11002
+TILE_SCREENSHOT_REQUEST = 11003
+GEAR_SCREENSHOT_REQUEST = 11004
+
+# Ethereum (Protocol.h:214-216)
+SUBMIT_ETH_TRANSACTION_REQUEST = 12001
+ETH_TRANSACTION_SUBMITTED = 12002
+ETH_TRANSACTION_SUBMISSION_FAILED = 12003
+
+KEEP_ALIVE = 13000
+PING = 13100  # PingMessage (Protocol.h:220)
+PONG = 13101  # PongMessage (Protocol.h:221)
+
+PHOTO_UPLOAD_SUCCEEDED = 14000
+PHOTO_UPLOAD_FAILED = 14001
+
+# Builder AI (Protocol.h:234-241)
+BUILDER_AI_USER_MESSAGE = 15000
+BUILDER_AI_CANCEL = 15001
+BUILDER_AI_TEXT_DELTA = 15010
+BUILDER_AI_TOOL_ACTIVITY = 15011
+BUILDER_AI_TURN_COMPLETE = 15012
+BUILDER_AI_ERROR = 15013
+
+# Client capability bits (Protocol.h:246-248)
 STREAMING_COMPRESSED_OBJECT_SUPPORT = 0x1
+SENDS_USER_MOVED_CHATBOT_MSGS = 0x2
+
+# Server capability bits (Protocol.h:251-253)
+OBJECT_TEXTURE_BASISU_SUPPORT = 0x1
+TERRAIN_DETAIL_MAPS_BASISU_SUPPORT = 0x2
+OPTIMISED_MESH_SUPPORT = 0x4
 
 # UDP packet types (server/UDPHandlerThread.cpp:55-95)
 UDP_VOICE_PACKET = 1
