@@ -43,7 +43,7 @@ def build_world():
         cell_capacity=8,
         solver_iters=8,
         pairs_per_body=8,
-        max_active_contacts=49_152,
+        max_active_contacts=32_768,
     )
     w = PhysicsWorld(cfg)
     w.set_ground_plane(0.0)
@@ -84,25 +84,25 @@ def main():
     # this size; per-step dispatch (~2 ms) is negligible against the step
     # itself, so we drive steps from the host loop.
     @jax.jit
-    def run_step(body, cache):
-        nb, nc, _, _ = physics_step(body, sw, hull_cv, jnp.float32(DT), params,
-                                    cfg, cache)
-        return nb, nc
+    def run_step(body, cache, pcache):
+        nb, nc, npc, _, _ = physics_step(body, sw, hull_cv, jnp.float32(DT),
+                                         params, cfg, cache, pcache)
+        return nb, nc, npc
 
-    state, cache = w.state, w.solver_cache
+    state, cache, pcache = w.state, w.solver_cache, w.pair_cache
     # Warm up / compile, then saturate the dispatch queue: the axon remote
     # runtime can under-report with block_until_ready alone, so every timing
     # block ends with a host readback that forces a true device sync.
-    state, cache = run_step(state, cache)
+    state, cache, pcache = run_step(state, cache, pcache)
     _ = float(np.asarray(state.pos)[0, 0])
     for _ in range(30):
-        state, cache = run_step(state, cache)
+        state, cache, pcache = run_step(state, cache, pcache)
     _ = float(np.asarray(state.pos)[0, 0])
 
     t0 = time.perf_counter()
     steps = 60
     for _ in range(steps):
-        state, cache = run_step(state, cache)
+        state, cache, pcache = run_step(state, cache, pcache)
     _ = float(np.asarray(state.pos)[0, 0])  # real sync
     dt_wall = time.perf_counter() - t0
     steps_per_sec = steps / dt_wall

@@ -19,6 +19,7 @@ overlap is re-checked in the narrowphase anyway.
 
 from __future__ import annotations
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -89,27 +90,32 @@ def build_cell_table(body: BodyState, config: SimConfig, with_flags: bool = Fals
     return table, cells, overflow
 
 
-def find_pairs(body: BodyState, config: SimConfig, margin: float = 0.08):
+def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     """Produce a padded candidate pair list.
 
     Returns (pair_a [P] i32, pair_b [P] i32, pair_valid [P] bool,
     num_pairs [] i32, overflow [] i32).  pair_a < pair_b always.
     ``margin`` is the speculative-contact margin so touching-but-separated
-    bodies still get contact rows (Jolt speculative contact distance ~0.02-0.1).
+    bodies still get contact rows (Jolt speculative contact distance
+    ~0.02-0.1).  It may be a scalar or a per-body [N] array (the temporal
+    pair cache passes per-body margins scaled by each body's speed, so one
+    fast body does not inflate the whole world's pair count).
     """
     n = body.capacity
     cap = config.cell_capacity
     num_buckets = config.grid_dim * config.grid_dim
     table, cells, overflow = build_cell_table(body, config, with_flags=True)
 
-    # Packed candidate view: one gather row per candidate (pos3 + radius);
-    # eligibility flags ride in the table entries' high bits, so filtering
-    # needs exactly one gather.  TPU gathers dominate the broadphase cost.
+    # Packed candidate view: one gather row per candidate (pos3 + inflated
+    # radius); eligibility flags ride in the table entries' high bits, so
+    # filtering needs exactly one gather.  TPU gathers dominate the cost.
     collidable = body.alive & body.collidable
     moving = body.awake & (body.motion_type != int(MotionType.STATIC))
     is_static = body.motion_type == int(MotionType.STATIC)
     small = 2.0 * body.bound_radius <= config.cell_size
-    posr = jnp.concatenate([body.pos, body.bound_radius[:, None]], axis=1)  # [N,4]
+    half_margin = 0.5 * jnp.broadcast_to(jnp.asarray(margin, jnp.float32), (n,))
+    infl_radius = body.bound_radius + half_margin
+    posr = jnp.concatenate([body.pos, infl_radius[:, None]], axis=1)  # [N,4]
 
     # --- Regular pass: 27-neighbourhood search. ---
     i_idx = jnp.arange(n, dtype=jnp.int32)
@@ -140,7 +146,7 @@ def find_pairs(body: BodyState, config: SimConfig, margin: float = 0.08):
     mask &= small[:, None] & j_small       # grid pass: both fit in a cell
     pj = posr[jj_safe]                     # [N, k, 4] — the one gather
     d = body.pos[:, None, :] - pj[..., :3]
-    r = body.bound_radius[:, None] + pj[..., 3] + margin
+    r = infl_radius[:, None] + pj[..., 3]
     mask &= jnp.sum(d * d, axis=-1) <= r * r
 
     # Per-row top-K selection (lax.top_k is fast on TPU) shrinks the global
@@ -164,7 +170,7 @@ def find_pairs(body: BodyState, config: SimConfig, margin: float = 0.08):
         ok &= (vi[..., 5] > 0) | (vj[..., 5] > 0)
         ok &= ~((vi[..., 6] > 0) & (vj[..., 6] > 0))
         dd = vi[..., :3] - vj[..., :3]
-        rr = vi[..., 3] + vj[..., 3] + margin
+        rr = vi[..., 3] + vj[..., 3]      # radii already margin-inflated
         ok &= jnp.sum(dd * dd, axis=-1) <= rr * rr
         return ok
 
@@ -213,3 +219,77 @@ def find_pairs(body: BodyState, config: SimConfig, margin: float = 0.08):
     pair_b = jnp.where(pair_valid, buf & 0x7FFF, -1)
     pair_overflow = jnp.maximum(num_pairs - config.max_pairs, 0)
     return pair_a, pair_b, pair_valid, num_pairs, overflow + os_overflow + pair_overflow
+
+
+# ---------------------------------------------------------------------------
+# Temporal pair caching
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class PairCache:
+    """Broadphase pair list reused across steps (Jolt analogue: the body-pair
+    cache; here it amortises the grid rebuild + 27-cell candidate gather,
+    which dominates the step at 10k bodies).
+
+    The rebuild enlarges the pair margin to cover the worst-case relative
+    motion over the reuse window, and the window adapts to the current max
+    speed so fast scenes rebuild more often instead of blowing up the margin
+    (and with it the pair count)."""
+
+    pair_a: jnp.ndarray      # [P] i32
+    pair_b: jnp.ndarray      # [P] i32
+    pair_valid: jnp.ndarray  # [P] bool
+    num_pairs: jnp.ndarray   # [] i32
+    steps_left: jnp.ndarray  # [] i32; <= 0 forces a rebuild this step
+
+
+def empty_pair_cache(config: SimConfig) -> PairCache:
+    p = config.max_pairs
+    return PairCache(
+        pair_a=jnp.full((p,), -1, jnp.int32),
+        pair_b=jnp.full((p,), -1, jnp.int32),
+        pair_valid=jnp.zeros((p,), bool),
+        num_pairs=jnp.int32(0),
+        steps_left=jnp.int32(0),
+    )
+
+
+def find_pairs_cached(body: BodyState, cache: PairCache, dt,
+                      config: SimConfig):
+    """find_pairs with temporal reuse.
+
+    Returns (pair_a, pair_b, pair_valid, num_pairs, overflow, new_cache).
+    Rebuilds when cache.steps_left <= 0; otherwise returns the cached list.
+    At rebuild each body's bound radius is inflated by its OWN speed times
+    the reuse window, so pairs cover worst-case motion without one fast body
+    inflating the whole world's pair count.  The window shrinks only when
+    something moves so fast its personal margin would exceed ~a grid cell.
+    The caller must force steps_left=0 whenever bodies are moved externally
+    (PhysicsWorld does this on every host flush) and when bodies wake.
+    """
+    interval = config.pair_rebuild_interval
+
+    speed = jnp.linalg.norm(body.linvel, axis=-1)
+    speed = jnp.where(body.alive & body.awake, speed, 0.0)
+    vmax = jnp.max(speed)
+    margin_cap = 0.6 * config.cell_size
+
+    def rebuild(_):
+        window = jnp.clip(
+            jnp.floor(margin_cap / jnp.maximum(vmax * dt, 1e-6)),
+            1, interval).astype(jnp.int32)
+        wf = window.astype(jnp.float32)
+        # Per-side margin: base speculative margin + personal travel bound.
+        margin = 0.08 + 2.0 * speed * wf * dt
+        pa, pb, pv, num, ov = find_pairs(body, config, margin=margin)
+        return pa, pb, pv, num, ov, window - 1
+
+    def reuse(_):
+        return (cache.pair_a, cache.pair_b, cache.pair_valid,
+                cache.num_pairs, jnp.int32(0), cache.steps_left - 1)
+
+    pa, pb, pv, num, ov, left = jax.lax.cond(
+        cache.steps_left <= 0, rebuild, reuse, operand=None)
+    new_cache = PairCache(pair_a=pa, pair_b=pb, pair_valid=pv,
+                          num_pairs=num, steps_left=left)
+    return pa, pb, pv, num, ov, new_cache

@@ -504,12 +504,20 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
     sorted_codes = sort_codes[order]
     starts = jnp.searchsorted(sorted_codes, jnp.arange(10, dtype=jnp.int32)).astype(jnp.int32)
 
+    # Effective type presence (hull collides as its OBB -> box).
+    present = list(config.present_shape_types)
+    eff_present = (present[0], present[1] or present[3], present[2])
+
     batches = []
     touch_src = []  # (bucket_pair_idx, bucket_touching)
     overflow = jnp.int32(0)
     for code in range(9):
         cap = (config.max_pairs if code in _SAME_TYPE_CODES
                else max(64, config.max_pairs // _MIXED_FRACTION))
+        if not (eff_present[code // 3] and eff_present[code % 3]):
+            # Combo cannot occur in this world; keep a token bucket so a
+            # stale config still produces (overflow-counted) contacts.
+            cap = 16
         cap = min(cap, p)
         start = jnp.minimum(starts[code], p - cap)
         run_len = starts[code + 1] - starts[code]
@@ -713,16 +721,36 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
     ok &= ~body.is_sensor[body_idx]
     # Clamp runaway penetrations (deep tunnelling) for solver stability.
     pen = jnp.clip(pen, -1e9, 0.5)
+
+    # Keep only the K deepest samples per body (a Jolt contact manifold has
+    # <= 4 points; a flat-resting box needs exactly its 4 floor corners).
+    # Halves the rows fed to contact compaction and the solver.
+    k = min(config.static_contacts_per_body, 8)
+    if k < 8:
+        pen_rows = jnp.where(ok, pen, -1e9).reshape(n, 8)
+        top_pen, top_slot = jax.lax.top_k(pen_rows, k)      # [N, k]
+        flat_sel = (jnp.arange(n, dtype=jnp.int32)[:, None] * 8
+                    + top_slot).reshape(-1)
+        body_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+        point = point[flat_sel]
+        normal = normal[flat_sel]
+        pen = pen[flat_sel]
+        ok = ok[flat_sel] & (top_pen.reshape(-1) > -1e8)
+        key_slot = top_slot.reshape(-1)
+    else:
+        k = 8
+        key_slot = jnp.tile(jnp.arange(8, dtype=jnp.int32), n)
+
     return Contacts(
         a=body_idx,
-        b=jnp.full((n * 8,), -1, jnp.int32),
+        b=jnp.full((n * k,), -1, jnp.int32),
         point=point,
         normal=normal,
         penetration=pen,
         valid=ok,
-        friction=combine_friction(body.friction[body_idx], jnp.full((n * 8,), 0.5)),
+        friction=combine_friction(body.friction[body_idx], jnp.full((n * k,), 0.5)),
         restitution=body.restitution[body_idx],
-        key=jnp.tile(jnp.arange(8, dtype=jnp.int32), n) + 1,
+        key=key_slot + 1,
     )
 
 

@@ -362,11 +362,13 @@ class SimConfig:
         cell_capacity: int = 8,
         cell_size: float = 2.0,
         solver_iters: int = 10,
-        static_contacts_per_body: int = 8,
+        static_contacts_per_body: int = 4,
         max_tri_candidates: int = 16,
         contacts_per_body: int = 16,
         max_active_contacts: int = 0,
         pairs_per_body: int = 8,
+        pair_rebuild_interval: int = 4,
+        present_shape_types: tuple = (True, True, True, True),
     ):
         if capacity > 32768:
             # Broadphase pair compaction packs (a, b) slot ids into one
@@ -387,6 +389,15 @@ class SimConfig:
         # Compacted contact buffer for the solver; 0 = auto heuristic.
         self.max_active_contacts = max_active_contacts or (
             2 * max_pairs + 4 * capacity)
+        # Broadphase temporal reuse: rebuild the pair list at most every this
+        # many steps (1 = every step); the cached rebuild enlarges the pair
+        # margin to cover worst-case motion over the window and PhysicsWorld
+        # forces a rebuild on host mutations and wakes.
+        self.pair_rebuild_interval = pair_rebuild_interval
+        # Which ShapeTypes exist in the world (sphere, box, capsule, hull) —
+        # narrowphase buckets for absent shape-combos get minimal capacity.
+        # PhysicsWorld recomputes this at flush time (recompiles on change).
+        self.present_shape_types = tuple(bool(x) for x in present_shape_types)
 
     def _key(self):
         return tuple(sorted(self.__dict__.items()))

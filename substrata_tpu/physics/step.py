@@ -53,13 +53,16 @@ class StepDiagnostics:
 @partial(jax.jit, static_argnames=("config",))
 def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
                  dt, params: SimParams, config: SimConfig,
-                 solver_cache=None):
+                 solver_cache=None, pair_cache=None):
     """Advance the world one fixed substep (60 Hz in the reference tick,
     GUIClient.cpp:6365-6368).
 
-    Returns (new_body, events, diagnostics) — or, when a
-    solver.SolverCache is passed for warm starting,
-    (new_body, new_cache, events, diagnostics)."""
+    Returns (new_body, events, diagnostics); when a solver.SolverCache is
+    passed for warm starting, (new_body, new_cache, events, diagnostics);
+    when a broadphase.PairCache is also passed (temporal pair reuse),
+    (new_body, new_solver_cache, new_pair_cache, events, diagnostics)."""
+    if pair_cache is not None and solver_cache is None:
+        raise ValueError("pair_cache requires a solver_cache")
     dt = jnp.asarray(dt, jnp.float32)
     prev_awake = body.awake
 
@@ -67,8 +70,14 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     linvel, angvel, in_water = integrate.apply_forces(body, dt, params)
     body = body.replace(linvel=linvel, angvel=angvel)
 
-    # 2. Broadphase.
-    pair_a, pair_b, pair_valid, num_pairs, overflow = broadphase.find_pairs(body, config)
+    # 2. Broadphase (optionally reusing last rebuild's pair list).
+    if pair_cache is not None:
+        (pair_a, pair_b, pair_valid, num_pairs, overflow,
+         new_pair_cache) = broadphase.find_pairs_cached(
+            body, pair_cache, dt, config)
+    else:
+        pair_a, pair_b, pair_valid, num_pairs, overflow = broadphase.find_pairs(body, config)
+        new_pair_cache = None
 
     # 3. Narrowphase.
     pair_cts, pair_touching, bucket_overflow = narrowphase.pair_contacts(
@@ -118,6 +127,13 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
         num_awake=jnp.sum(awake & new_body.alive),
         max_penetration=jnp.max(jnp.where(contacts.valid, contacts.penetration, 0.0)),
     )
+    if new_pair_cache is not None:
+        # A wake means new pairs may be needed (a woken body had no pairs
+        # against its sleeping neighbours at the last rebuild).
+        any_woke = jnp.any(events.newly_awake)
+        new_pair_cache = new_pair_cache.replace(
+            steps_left=jnp.where(any_woke, 0, new_pair_cache.steps_left))
+        return new_body, new_cache, new_pair_cache, events, diags
     if solver_cache is not None:
         return new_body, new_cache, events, diags
     return new_body, events, diags

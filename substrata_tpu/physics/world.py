@@ -131,12 +131,18 @@ class PhysicsWorld:
 
     def __init__(self, config: SimConfig | None = None,
                  params: SimParams | None = None):
-        self.config = config or SimConfig()
+        import copy
+        self.config = copy.copy(config) if config is not None else SimConfig()
+        # Start with no shape types present; add_object grows this, so the
+        # narrowphase only pays for shape combos that can actually occur.
+        self.config.present_shape_types = (False, False, False, False)
         self.params = params or default_sim_params()
         self.state = zero_body_state(self.config.capacity)
+        from substrata_tpu.physics import broadphase as broadphase_mod
         from substrata_tpu.physics import solver as solver_mod
         self.solver_cache = solver_mod.empty_solver_cache(
             solver_mod.cache_size_for(self.config))
+        self.pair_cache = broadphase_mod.empty_pair_cache(self.config)
         self.static_world = default_static_world(ground_z=-1e10)
         self.water_buoyancy_enabled = False
         self._water_z = -1e10
@@ -214,6 +220,15 @@ class PhysicsWorld:
         ob.slot = slot
         self.objects[slot] = ob
         self._dirty[slot] = (ob, True)
+        # Track which shape types exist (sticky — never shrinks, so jit
+        # caches stay warm); absent combos get token narrowphase buckets.
+        st = int(ob.shape.shape_type)
+        if not self.config.present_shape_types[st]:
+            import copy
+            cfg = copy.copy(self.config)
+            cfg.present_shape_types = tuple(
+                p or (i == st) for i, p in enumerate(cfg.present_shape_types))
+            self.config = cfg
         return ob
 
     def remove_object(self, ob: PhysicsObject):
@@ -356,12 +371,23 @@ class PhysicsWorld:
                     self.state, jnp.asarray(idx), jnp.asarray(lv), jnp.asarray(av),
                     jnp.ones((k,), bool))
 
+    def invalidate_pairs(self):
+        """Force a broadphase rebuild at the next step (call after external
+        state mutations; _flush does this automatically)."""
+        self.pair_cache = self.pair_cache.replace(steps_left=jnp.int32(0))
+
     def think(self, dt: float):
         """One substep: PhysicsWorld::think parity (PhysicsWorld.cpp:1356-1442)."""
+        had_mutations = bool(self._dirty or self._vel_dirty)
         self._flush()
-        self.state, self.solver_cache, events, diags = physics_step(
+        if had_mutations:
+            # Host moved/added/removed bodies: the cached pair list is stale.
+            self.invalidate_pairs()
+        (self.state, self.solver_cache, self.pair_cache, events,
+         diags) = physics_step(
             self.state, self.static_world, self._hull_contact_verts,
-            jnp.float32(dt), self.params, self.config, self.solver_cache)
+            jnp.float32(dt), self.params, self.config, self.solver_cache,
+            self.pair_cache)
         self.last_events = events
         self.last_diags = diags
         self._steps += 1

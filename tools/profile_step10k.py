@@ -1,0 +1,92 @@
+"""Per-phase timing of the 10k-body bench workload on the current platform.
+
+Mirrors bench.py's world exactly so phase times sum to the headline step.
+Every timing block ends with a host readback (axon under-reports with
+block_until_ready alone).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp
+import numpy as np
+
+from substrata_tpu.physics import broadphase, narrowphase, solver
+from substrata_tpu.physics.step import physics_step
+
+import bench
+
+
+def timed(name, fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(leaf).ravel()[0]  # true device sync
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    print(f"{name:28s} {ms:8.2f} ms", flush=True)
+    return out
+
+
+def main():
+    w = bench.build_world()
+    cfg = w.config
+    params = w.params
+    sw = w.static_world
+    hull_cv = w._hull_contact_verts
+    dt = jnp.float32(1 / 60)
+
+    state, cache = w.state, w.solver_cache
+
+    @jax.jit
+    def run_step(body, c):
+        nb, nc, _, _ = physics_step(body, sw, hull_cv, dt, params, cfg, c)
+        return nb, nc
+
+    for _ in range(40):  # settle so contact load is realistic
+        state, cache = run_step(state, cache)
+    _ = float(np.asarray(state.pos)[0, 0])
+    body = state
+
+    bp = jax.jit(lambda b: broadphase.find_pairs(b, cfg))
+    pair_a, pair_b, pair_valid, n_pairs, _ = timed("broadphase", bp, body)
+    print("   pairs:", int(n_pairs))
+
+    npf = jax.jit(lambda b, pa, pb, pv: narrowphase.pair_contacts(b, pa, pb, pv, cfg))
+    timed("pair narrowphase", npf, body, pair_a, pair_b, pair_valid)
+
+    scf = jax.jit(lambda b: narrowphase.static_contacts(b, sw, hull_cv, cfg))
+    static_cts = scf(body)
+    timed("static contacts", scf, body)
+
+    pair_cts, _, _ = npf(body, pair_a, pair_b, pair_valid)
+    cc = jax.jit(lambda s, p: narrowphase.compact_contacts(
+        narrowphase.concat_contacts(s, p), cfg.max_active_contacts))
+    contacts, _ = cc(static_cts, pair_cts)
+    timed("concat+compact", cc, static_cts, pair_cts)
+    print("   contacts valid:", int(jnp.sum(contacts.valid)))
+
+    svf = jax.jit(lambda b, c, ca: solver.solve_contacts(b, c, dt, params, cfg, ca))
+    timed(f"solver ({cfg.solver_iters} it)", svf, body, contacts, cache)
+
+    inc = jax.jit(lambda c: solver.build_incidence(c, body.capacity,
+                                                   cfg.contacts_per_body))
+    timed("  build_incidence", inc, contacts)
+
+    full = jax.jit(lambda b, c: run_step(b, c))
+    timed("FULL STEP", full, body, cache)
+
+
+if __name__ == "__main__":
+    main()
