@@ -124,13 +124,6 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
         nb = cells + jnp.array(off, jnp.int32)
         hbs.append(_hash_cells(nb, num_buckets))
     hb = jnp.stack(hbs, axis=1)                 # [N, 27]
-    # Two different neighbour cells can hash to the same bucket, which would
-    # emit DUPLICATE pairs (double contact impulses).  Keep each bucket only
-    # at its first occurrence in the row.
-    dup = jnp.zeros((n, 27), bool)
-    for j in range(1, 27):
-        dup = dup.at[:, j].set(jnp.any(hb[:, :j] == hb[:, j:j + 1], axis=1))
-    hb = jnp.where(dup, num_buckets, hb)        # trash bucket = empty
     cand = table[hb.reshape(-1)].reshape(n, 27 * cap)  # [N, 27*cap] flagged
     k = cand.shape[1]
     jj = jnp.where(cand >= 0, cand & _TBL_IDX_MASK, -1)
@@ -156,6 +149,14 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     _, sel = jax.lax.top_k(score, ppb)                     # [N, ppb]
     sel_mask = jnp.take_along_axis(mask, sel, axis=1)
     sel_j = jnp.take_along_axis(jj_safe, sel, axis=1)
+    # Two different neighbour cells can hash to the same bucket, which would
+    # emit DUPLICATE pairs (double contact impulses).  Dedup among the ppb
+    # selected candidates (28 lane compares) instead of the 27-cell bucket
+    # row (351 compares + 27 scatters).
+    for j in range(1, ppb):
+        dup_j = jnp.any((sel_j[:, :j] == sel_j[:, j:j + 1])
+                        & sel_mask[:, :j], axis=1)
+        sel_mask = sel_mask.at[:, j].set(sel_mask[:, j] & ~dup_j)
     row_overflow = jnp.sum(mask.astype(jnp.int32), axis=1) - jnp.sum(sel_mask, axis=1)
 
     flat_i = jnp.broadcast_to(i_idx[:, None], (n, ppb)).reshape(-1)

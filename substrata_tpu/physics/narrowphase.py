@@ -497,12 +497,14 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
     re = combine_restitution(va[:, 13], vb[:, 13])
 
     # ONE shared sort groups pairs by combo code; each bucket is then a
-    # dynamic_slice at its searchsorted boundary (9 scatter-compactions cost
-    # ~0.7 ms each on TPU; one 32k sort is ~1 ms).
+    # dynamic_slice at its run boundary (9 scatter-compactions cost ~0.7 ms
+    # each on TPU; one 32k sort is ~1 ms).  Boundaries come from counting
+    # codes below each value — jnp.searchsorted lowers to a slow while loop.
     sort_codes = jnp.where(pair_valid, codes, 9)
     order = jnp.argsort(sort_codes).astype(jnp.int32)
     sorted_codes = sort_codes[order]
-    starts = jnp.searchsorted(sorted_codes, jnp.arange(10, dtype=jnp.int32)).astype(jnp.int32)
+    starts = jnp.sum(sort_codes[None, :] < jnp.arange(10, dtype=jnp.int32)[:, None],
+                     axis=1).astype(jnp.int32)
 
     # Effective type presence (hull collides as its OBB -> box).
     present = list(config.present_shape_types)
@@ -563,7 +565,8 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
 # Static world contacts
 # ---------------------------------------------------------------------------
 
-def shape_sample_points(body: BodyState, hull_contact_verts):
+def shape_sample_points(body: BodyState, hull_contact_verts,
+                        present=(True, True, True, True)):
     """Per-body sample points for static-geometry collision: [N, 8, 3] world
     points and [N] sample radii.
 
@@ -571,6 +574,9 @@ def shape_sample_points(body: BodyState, hull_contact_verts):
     box: 8 corners (radius 0); hull: 8 precomputed contact verts (radius 0).
     Unused slots repeat the first point (harmless duplicates are deduped by
     the deepest-point selection in the solver's mass splitting).
+
+    ``present`` (static) lets absent shape types compile away — a
+    homogeneous world pays for one local-point construction, not four.
     """
     n = body.capacity
     st = body.shape_type
@@ -579,19 +585,22 @@ def shape_sample_points(body: BodyState, hull_contact_verts):
     corners = jnp.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
                         jnp.float32)  # [8, 3]
 
-    # box: corners * he
-    box_local = corners[None, :, :] * p[:, None, :3]
-    # capsule endpoints
-    cap_local = jnp.zeros((n, 8, 3)).at[:, 0, 2].set(p[:, 1]).at[:, 1, 2].set(-p[:, 1])
-    # sphere center
-    sph_local = jnp.zeros((n, 8, 3))
-    # hull contact verts
-    hull_ids = jnp.clip(p[:, 0].astype(jnp.int32), 0, hull_contact_verts.shape[0] - 1)
-    hull_local = hull_contact_verts[hull_ids]  # [N, 8, 3]
+    cands = []  # (shape_type, local [N,8,3])
+    if present[int(ShapeType.BOX)]:
+        cands.append((int(ShapeType.BOX), corners[None, :, :] * p[:, None, :3]))
+    if present[int(ShapeType.CAPSULE)]:
+        cap_local = jnp.zeros((n, 8, 3)).at[:, 0, 2].set(p[:, 1]).at[:, 1, 2].set(-p[:, 1])
+        cands.append((int(ShapeType.CAPSULE), cap_local))
+    if present[int(ShapeType.HULL)]:
+        hull_ids = jnp.clip(p[:, 0].astype(jnp.int32), 0, hull_contact_verts.shape[0] - 1)
+        cands.append((int(ShapeType.HULL), hull_contact_verts[hull_ids]))
+    if present[int(ShapeType.SPHERE)] or not cands:
+        cands.append((int(ShapeType.SPHERE), jnp.zeros((n, 8, 3))))
 
-    local = jnp.where((st == int(ShapeType.BOX))[:, None, None], box_local,
-             jnp.where((st == int(ShapeType.CAPSULE))[:, None, None], cap_local,
-              jnp.where((st == int(ShapeType.HULL))[:, None, None], hull_local, sph_local)))
+    local = cands[-1][1]
+    for stype, cand in cands[:-1]:
+        local = jnp.where((st == stype)[:, None, None], cand, local)
+
     n_samples = jnp.where(st == int(ShapeType.BOX), 8,
                  jnp.where(st == int(ShapeType.CAPSULE), 2,
                   jnp.where(st == int(ShapeType.HULL), 8, 1)))
@@ -651,7 +660,8 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
     its heightfield and trimesh candidate.
     """
     n = body.capacity
-    pts, radius, slot_valid = shape_sample_points(body, hull_contact_verts)  # [N,8,3]
+    pts, radius, slot_valid = shape_sample_points(
+        body, hull_contact_verts, config.present_shape_types)  # [N,8,3]
     flat = pts.reshape(n * 8, 3)
     rad = jnp.repeat(radius, 8)
 

@@ -88,22 +88,28 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
 
     Returns (table [N, CPB] i32 contact index (-1 empty), sign [N, CPB] f32
     (+1 if the body is contact.a, -1 if contact.b), counts [N] f32).
-    Built with one sort over the 2C (body, contact) incidence records.
+    Built with ONE sort of a packed i32 key (body<<(cbits+1) | contact<<1 |
+    is_a) — no argsort payload — followed by ONE scatter of packed entries
+    and searchsorted run boundaries for the per-body counts (a colliding
+    scatter-add serialises on TPU).
     Contacts beyond a body's CPB slots are dropped from impulse application
     for that body (their counterpart still sees them).
     """
     c = contacts.capacity
+    cbits = max(c.bit_length(), 1)
+    assert n_bodies < (1 << (30 - cbits)), "capacity*contacts too large for packed key"
     static_b = contacts.b < 0
-    # Two records per contact: (a, +1), (b, -1); invalid/static -> body n_bodies.
-    rec_body = jnp.concatenate([
-        jnp.where(contacts.valid, contacts.a, n_bodies),
-        jnp.where(contacts.valid & ~static_b, contacts.b, n_bodies),
+    cidx = jnp.arange(c, dtype=jnp.int32)
+    # Two records per contact: (a, is_a=1), (b, is_a=0); invalid -> n_bodies.
+    body_a = jnp.where(contacts.valid, contacts.a, n_bodies)
+    body_b = jnp.where(contacts.valid & ~static_b, contacts.b, n_bodies)
+    key = jnp.concatenate([
+        (body_a << (cbits + 1)) | (cidx << 1) | 1,
+        (body_b << (cbits + 1)) | (cidx << 1),
     ])
-    rec_contact = jnp.concatenate([jnp.arange(c, dtype=jnp.int32)] * 2)
-    rec_sign = jnp.concatenate([jnp.ones(c), -jnp.ones(c)])
 
-    order = jnp.argsort(rec_body)
-    sb = rec_body[order]
+    skey = jnp.sort(key)
+    sb = skey >> (cbits + 1)
     idx = jnp.arange(2 * c, dtype=jnp.int32)
     start = jnp.concatenate([jnp.ones((1,), bool), sb[1:] != sb[:-1]])
     run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(start, idx, 0))
@@ -111,17 +117,22 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
 
     in_cap = (rank < cpb) & (sb < n_bodies)
     slot = jnp.where(in_cap, sb * cpb + rank, n_bodies * cpb)
-    table = jnp.full((n_bodies * cpb + 1,), -1, jnp.int32)
-    table = table.at[slot].set(jnp.where(in_cap, rec_contact[order], -1), mode="drop")
-    sign = jnp.zeros((n_bodies * cpb + 1,))
-    sign = sign.at[slot].set(jnp.where(in_cap, rec_sign[order], 0.0), mode="drop")
-    table = table[:-1].reshape(n_bodies, cpb)
-    sign = sign[:-1].reshape(n_bodies, cpb)
+    # One scatter of the packed (contact<<1 | is_a) entry; -1 = empty.
+    entry = skey & ((1 << (cbits + 1)) - 1)
+    packed = jnp.full((n_bodies * cpb + 1,), -1, jnp.int32)
+    packed = packed.at[slot].set(jnp.where(in_cap, entry, -1), mode="drop")
+    packed = packed[:-1].reshape(n_bodies, cpb)
+    table = jnp.where(packed >= 0, packed >> 1, -1)
+    sign = jnp.where(packed >= 0, jnp.where(packed & 1 > 0, 1.0, -1.0), 0.0)
 
-    counts = jnp.zeros((n_bodies + 1,))
-    counts = counts.at[jnp.minimum(rec_body, n_bodies)].add(
-        (rec_body < n_bodies).astype(jnp.float32))
-    return table, sign, counts[:n_bodies]
+    # counts[n] = number of records with body n: the LAST record of each
+    # body run writes rank+1 (unique destinations — a colliding scatter-add
+    # serialises on TPU, and searchsorted lowers to a slow while loop).
+    last = jnp.concatenate([sb[:-1] != sb[1:], jnp.ones((1,), bool)])
+    dst = jnp.where(last & (sb < n_bodies), sb, n_bodies)
+    counts = jnp.zeros((n_bodies + 1,), jnp.float32).at[dst].set(
+        (rank + 1).astype(jnp.float32), mode="drop")[:n_bodies]
+    return table, sign, counts
 
 
 def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
@@ -267,9 +278,12 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     else:
         ln0 = lt10 = lt20 = zeros
 
-    linvel, angvel, ln, lt1, lt2 = jax.lax.fori_loop(
-        0, config.solver_iters, iteration,
-        (linvel0, angvel0, ln0, lt10, lt20))
+    # Unrolled: an XLA while loop costs ~0.5 ms/iteration of fixed overhead
+    # on TPU (carry copies + sync), comparable to the iteration body itself.
+    carry = (linvel0, angvel0, ln0, lt10, lt20)
+    for _ in range(config.solver_iters):
+        carry = iteration(0, carry)
+    linvel, angvel, ln, lt1, lt2 = carry
 
     # --- Refresh the cache with this step's accumulated impulses. ---
     if cache is not None:
@@ -323,4 +337,6 @@ def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,
         g = imp[tbl] * sign[..., None] * tbl_valid            # [N, CPB, 3]
         return pos + im_per_body * jnp.sum(g, axis=1)
 
-    return jax.lax.fori_loop(0, iters, it, pos)
+    for _ in range(iters):
+        pos = it(0, pos)
+    return pos

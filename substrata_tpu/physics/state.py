@@ -189,10 +189,11 @@ class Heightfield:
                 + h01 * (1 - fu) * fv + h11 * fu * fv)
 
     def sample_with_normal(self, xy):
-        """(height, unit normal) at world xy with one 2x2 patch gather —
-        the normal is the analytic gradient of the bilinear patch (vs 4
-        extra height samples for central differences; TPU gathers are the
-        cost here)."""
+        """(height, unit normal) at world xy with ONE 4-lane patch gather —
+        the 2x2 corner heights are packed into a [HX, HY, 4] quad array
+        (elementwise rolls, no gathers) so the per-point lookup is a single
+        gather instead of four; the normal is the analytic gradient of the
+        bilinear patch.  TPU gathers are the cost here."""
         hx, hy = self.heights.shape
         u = (xy[..., 0] - self.origin[0]) / self.cell_w
         v = (xy[..., 1] - self.origin[1]) / self.cell_w
@@ -202,10 +203,15 @@ class Heightfield:
         j0 = jnp.floor(v).astype(jnp.int32)
         fu = u - i0
         fv = v - j0
-        h00 = self.heights[i0, j0]
-        h10 = self.heights[i0 + 1, j0]
-        h01 = self.heights[i0, j0 + 1]
-        h11 = self.heights[i0 + 1, j0 + 1]
+        hh = self.heights
+        hquad = jnp.stack([
+            hh,
+            jnp.roll(hh, -1, axis=0),
+            jnp.roll(hh, -1, axis=1),
+            jnp.roll(jnp.roll(hh, -1, axis=0), -1, axis=1),
+        ], axis=-1)                       # [HX, HY, (h00,h10,h01,h11)]
+        q = hquad[i0, j0]                 # [..., 4] — the one gather
+        h00, h10, h01, h11 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
         h = (h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
              + h01 * (1 - fu) * fv + h11 * fu * fv)
         dzdx = ((h10 - h00) * (1 - fv) + (h11 - h01) * fv) / self.cell_w

@@ -47,15 +47,16 @@ def main():
     hull_cv = w._hull_contact_verts
     dt = jnp.float32(1 / 60)
 
-    state, cache = w.state, w.solver_cache
+    state, cache, pcache = w.state, w.solver_cache, w.pair_cache
 
     @jax.jit
-    def run_step(body, c):
-        nb, nc, _, _ = physics_step(body, sw, hull_cv, dt, params, cfg, c)
-        return nb, nc
+    def run_step(body, c, pc):
+        nb, nc, npc, _, _ = physics_step(body, sw, hull_cv, dt, params, cfg,
+                                         c, pc)
+        return nb, nc, npc
 
     for _ in range(40):  # settle so contact load is realistic
-        state, cache = run_step(state, cache)
+        state, cache, pcache = run_step(state, cache, pcache)
     _ = float(np.asarray(state.pos)[0, 0])
     body = state
 
@@ -84,8 +85,7 @@ def main():
                                                    cfg.contacts_per_body))
     timed("  build_incidence", inc, contacts)
 
-    full = jax.jit(lambda b, c: run_step(b, c))
-    timed("FULL STEP", full, body, cache)
+    timed("FULL STEP (amortized)", run_step, body, cache, pcache)
 
 
 if __name__ == "__main__":
