@@ -41,9 +41,10 @@ def build_world():
         max_pairs=16_384,
         grid_dim=128,
         cell_size=1.4,
-        cell_capacity=8,
+        cell_capacity=6,
         solver_iters=8,
-        pairs_per_body=8,
+        pairs_per_body=10,
+        pair_rebuild_interval=6,
         max_active_contacts=36_864,
         contacts_per_body=12,
     )

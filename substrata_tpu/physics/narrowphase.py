@@ -485,16 +485,11 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
         eff_params, body.friction[:, None], body.restitution[:, None],
         body.is_sensor.astype(jnp.float32)[:, None],
     ], axis=1)  # [N, 15] -> per-side rows [pos0:3 quat3:7 type7 prm8:12 fr12 re13 sn14]
-    va = pview[a]
-    vb = pview[b]
-    codes = (va[:, 7].astype(jnp.int32) * 3 + vb[:, 7].astype(jnp.int32))
+    # Combo code from two narrow i32 gathers; the wide pview rows are
+    # gathered PER BUCKET below (gathering [P,15] here and re-gathering per
+    # bucket would double the dominant gather traffic).
+    codes = eff_type[a] * 3 + eff_type[b]
     codes = jnp.clip(codes, 0, 8)
-
-    # The kernels read params at fixed offsets; build kernel-side rows:
-    # [pos0:3 quat3:7 prm8:12] reindexed as A[:3], A[3:7], A[8:12].
-    sensor = (va[:, 14] > 0) | (vb[:, 14] > 0)
-    fr = combine_friction(va[:, 12], vb[:, 12])
-    re = combine_restitution(va[:, 13], vb[:, 13])
 
     # ONE shared sort groups pairs by combo code; each bucket is then a
     # dynamic_slice at its run boundary (9 scatter-compactions cost ~0.7 ms
@@ -530,14 +525,17 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
         bvalid = src >= 0
         overflow = overflow + jnp.maximum(run_len - cap, 0)
         srcs = jnp.maximum(src, 0)
-        bva = va[srcs]
-        bvb = vb[srcs]
-        pts, pens, normal, valid = _BUCKET_KERNELS[code](bva, bvb)
-        valid = valid & bvalid[:, None]
-        wm = _MANIFOLD_WIDTH[code]
-        cw = cap * wm
         ba = a[srcs]
         bb_ = b[srcs]
+        bva = pview[ba]
+        bvb = pview[bb_]
+        pts, pens, normal, valid = _BUCKET_KERNELS[code](bva, bvb)
+        valid = valid & bvalid[:, None]
+        sensor_b = (bva[:, 14] > 0) | (bvb[:, 14] > 0)
+        fr_b = combine_friction(bva[:, 12], bvb[:, 12])
+        re_b = combine_restitution(bva[:, 13], bvb[:, 13])
+        wm = _MANIFOLD_WIDTH[code]
+        cw = cap * wm
         slotw = jnp.tile(jnp.arange(wm, dtype=jnp.int32), cap)
         batches.append(Contacts(
             a=jnp.repeat(ba, wm)[:cw],
@@ -545,9 +543,9 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
             point=pts[:, :wm].reshape(cw, 3),
             normal=jnp.repeat(normal, wm, axis=0)[:cw],
             penetration=pens[:, :wm].reshape(cw),
-            valid=(valid[:, :wm] & ~sensor[srcs][:, None]).reshape(cw),
-            friction=jnp.repeat(fr[srcs], wm)[:cw],
-            restitution=jnp.repeat(re[srcs], wm)[:cw],
+            valid=(valid[:, :wm] & ~sensor_b[:, None]).reshape(cw),
+            friction=jnp.repeat(fr_b, wm)[:cw],
+            restitution=jnp.repeat(re_b, wm)[:cw],
             key=jnp.repeat(bb_, wm)[:cw] * 4 + slotw + 9,
         ))
         touch_src.append((src, jnp.any(valid, axis=1)))

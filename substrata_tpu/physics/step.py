@@ -129,10 +129,15 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     )
     if new_pair_cache is not None:
         # A wake means new pairs may be needed (a woken body had no pairs
-        # against its sleeping neighbours at the last rebuild).
-        any_woke = jnp.any(events.newly_awake)
+        # against its sleeping neighbours at the last rebuild) — but a
+        # slowly-woken body is covered by the rebuild's 8 cm base margin
+        # for the rest of the window, so only FAST wakes force a rebuild
+        # (v * window * dt < margin ⇒ v < ~1.2 m/s at 60 Hz, window 4).
+        woke_speed = jnp.where(events.newly_awake,
+                               jnp.linalg.norm(linvel, axis=-1), 0.0)
+        fast_wake = jnp.max(woke_speed) > 1.0
         new_pair_cache = new_pair_cache.replace(
-            steps_left=jnp.where(any_woke, 0, new_pair_cache.steps_left))
+            steps_left=jnp.where(fast_wake, 0, new_pair_cache.steps_left))
         return new_body, new_cache, new_pair_cache, events, diags
     if solver_cache is not None:
         return new_body, new_cache, events, diags
