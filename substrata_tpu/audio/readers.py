@@ -111,16 +111,14 @@ def _read_wav_float(raw: bytes) -> SoundFile:
 
 
 def read_mp3(path) -> SoundFile:
-    """MP3 decode.  The reference vendors minimp3 (audio/MP3AudioFileReader);
-    this build has no MP3 decoder available in-image, so MP3 support is
-    gated — substrata_tpu.runtime.native provides the hook for a native
-    decoder when one is built."""
+    """MP3 decode via the system libmpg123 (runtime.codecs) — the reference
+    vendors minimp3 for the same decode (audio/MP3AudioFileReader.cpp)."""
     from substrata_tpu.runtime import native
     if native.has_mp3():
         return native.decode_mp3(path)
-    raise NotImplementedError(
-        "MP3 decoding requires the native decoder (runtime.native); "
-        "convert to WAV or provide a native libsubstrata build")
+    raise RuntimeError(
+        "MP3 decoding requires libmpg123 (not found on this system); "
+        "convert to WAV")
 
 
 def read_sound_file(path, target_rate: int | None = None) -> SoundFile:

@@ -11,10 +11,10 @@ Reference surface:
   streaming AudioSource.
 - server relay: server/UDPHandlerThread.cpp (implemented in net.server).
 
-Codec: the reference uses Opus (vendored C library).  This image has no
-Opus, so the built-in codec is G.711-style mu-law at 8 bits/sample over
-48 kHz mono (2:1 vs PCM16) — wire format tagged with a codec id so a
-native Opus build can slot in via runtime.native without protocol changes.
+Codec: Opus via the system libopus (runtime.codecs), matching the
+reference (MicReadThread.cpp:304-331) — with G.711-style mu-law and PCM16
+fallbacks for environments without libopus.  The wire format tags each
+packet with a codec id so mixed deployments interoperate.
 
 Voice packet layout (type 1, relayed verbatim by the server):
   u8 type=1 | u64 avatar_uid | u32 stream_id | u32 seq | u8 codec | payload
@@ -33,7 +33,12 @@ from substrata_tpu.net import protocol as P
 
 CODEC_MULAW = 0
 CODEC_PCM16 = 1
-CODEC_OPUS = 2  # native decoder hook (not built in-image)
+CODEC_OPUS = 2  # system libopus via runtime.codecs
+
+
+def default_codec() -> int:
+    from substrata_tpu.runtime import codecs
+    return CODEC_OPUS if codecs.has_opus() else CODEC_MULAW
 
 VOICE_FRAME = 960          # 20 ms @ 48 kHz (Opus frame parity)
 STREAM_RENEW_PERIOD = 30.0  # periodic stream renewal (MicReadThread.cpp:377)
@@ -59,6 +64,8 @@ def mulaw_decode(data: bytes) -> np.ndarray:
 
 
 def encode_frame(pcm: np.ndarray, codec: int = CODEC_MULAW) -> bytes:
+    """Stateless encode (mu-law / PCM16).  Opus is stateful — VoiceInput
+    holds a per-stream runtime.codecs.OpusEncoder instead."""
     if codec == CODEC_MULAW:
         return mulaw_encode(pcm)
     if codec == CODEC_PCM16:
@@ -67,6 +74,8 @@ def encode_frame(pcm: np.ndarray, codec: int = CODEC_MULAW) -> bytes:
 
 
 def decode_frame(data: bytes, codec: int) -> np.ndarray:
+    """Stateless decode (mu-law / PCM16); Opus decodes via the receiver's
+    per-stream decoder."""
     if codec == CODEC_MULAW:
         return mulaw_decode(data)
     if codec == CODEC_PCM16:
@@ -93,10 +102,14 @@ class VoiceInput:
     """
 
     def __init__(self, server_host: str, server_udp_port: int, avatar_uid: int,
-                 capture_source, codec: int = CODEC_MULAW):
+                 capture_source, codec: int | None = None):
         self.avatar_uid = avatar_uid
         self.capture = capture_source
-        self.codec = codec
+        self.codec = default_codec() if codec is None else codec
+        self._opus_enc = None
+        if self.codec == CODEC_OPUS:
+            from substrata_tpu.runtime import codecs
+            self._opus_enc = codecs.OpusEncoder(rate=48_000)
         self.addr = (server_host, server_udp_port)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.bind(("127.0.0.1", 0))
@@ -126,8 +139,15 @@ class VoiceInput:
             self.stream_id += 1
             self.seq = 0
             self._stream_started = time.monotonic()
+            if self._opus_enc is not None:
+                from substrata_tpu.runtime import codecs
+                self._opus_enc = codecs.OpusEncoder(rate=48_000)
+        if self.codec == CODEC_OPUS:
+            payload = self._opus_enc.encode(np.asarray(pcm, np.float32))
+        else:
+            payload = encode_frame(pcm, self.codec)
         pkt = pack_voice_packet(self.avatar_uid, self.stream_id, self.seq,
-                                encode_frame(pcm, self.codec), self.codec)
+                                payload, self.codec)
         self.sock.sendto(pkt, self.addr)
         self.seq += 1
         self.packets_sent += 1
@@ -170,6 +190,7 @@ class VoiceReceiver:
         self.sock.settimeout(0.2)
         # Per-avatar stream state: uid -> (stream_id, last_seq)
         self.streams: dict[int, tuple[int, int]] = {}
+        self.decoders: dict[int, object] = {}  # uid -> OpusDecoder
         self.sources: dict[int, object] = {}   # uid -> streaming AudioSource
         self.packets_received = 0
         self.packets_lost = 0
@@ -215,19 +236,33 @@ class VoiceReceiver:
         if prev is None or prev[0] != stream_id:
             # New/renewed stream: decoder reset (ClientUDPHandlerThread:84-121).
             self.streams[uid] = (stream_id, seq)
+            self.decoders.pop(uid, None)
             lost = 0
         else:
             lost = max(0, seq - prev[1] - 1)
             self.streams[uid] = (stream_id, seq)
-        pcm = decode_frame(payload, codec)
+        dec = None
+        if codec == CODEC_OPUS:
+            dec = self.decoders.get(uid)
+            if dec is None:
+                from substrata_tpu.runtime import codecs
+                dec = self.decoders[uid] = codecs.OpusDecoder(rate=48_000)
         src = self._source_for(uid)
         if lost:
-            # Packet-loss concealment: silence for the gap (the reference
-            # asks Opus for FEC/PLC frames; mu-law has none).
+            # Packet-loss concealment: Opus PLC interpolates the gap
+            # (ClientUDPHandlerThread.cpp:190-191); mu-law gets silence.
             self.packets_lost += lost
-            gap = np.zeros(min(lost, 5) * VOICE_FRAME, np.float32)
+            if dec is not None:
+                gap = np.concatenate([dec.decode(None, VOICE_FRAME)
+                                      for _ in range(min(lost, 5))])
+            else:
+                gap = np.zeros(min(lost, 5) * VOICE_FRAME, np.float32)
             if src is not None:
                 self.audio.stream_samples(src, gap)
+            elif dec is not None:
+                self.received_pcm.setdefault(uid, []).append(gap)
+        pcm = (dec.decode(payload, VOICE_FRAME) if dec is not None
+               else decode_frame(payload, codec))
         if src is not None:
             self.audio.stream_samples(src, pcm)
         else:

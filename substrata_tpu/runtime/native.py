@@ -37,12 +37,19 @@ def available() -> bool:
 
 
 def has_mp3() -> bool:
-    lib = _lib()
-    return lib is not None and hasattr(lib, "decode_mp3")
+    from substrata_tpu.runtime import codecs
+    return codecs.has_mp3()
 
 
 def decode_mp3(path):
-    raise NotImplementedError("native MP3 decoder not built")
+    """Decode an MP3 file to a SoundFile (system libmpg123 via
+    runtime.codecs — the reference vendors minimp3 for the same job,
+    audio/MP3AudioFileReader.cpp)."""
+    from substrata_tpu.audio.readers import SoundFile
+    from substrata_tpu.runtime import codecs
+    arr, rate = codecs.decode_mp3(path)
+    nch = 1 if arr.ndim == 1 else arr.shape[1]
+    return SoundFile(buf=arr, num_channels=nch, sample_rate=rate)
 
 
 # ---------------------------------------------------------------------------

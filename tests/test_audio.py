@@ -197,3 +197,53 @@ def test_streaming_resampler_api():
     zc = len(np.where(np.diff(np.signbit(out)))[0])
     freq = zc / 2 / (len(out) / 48000)
     assert freq == pytest.approx(500, rel=0.05)
+
+
+def test_mp3_decode_fixture(tmp_path):
+    """MP3 decode via libmpg123 (reference decodes with vendored minimp3,
+    audio/MP3AudioFileReader.cpp); fixture encoded with libmp3lame."""
+    from substrata_tpu.runtime import codecs
+    from substrata_tpu.audio.readers import read_sound_file
+    if not (codecs.has_mp3() and codecs.has_mp3_encode()):
+        pytest.skip("mp3 codecs not available")
+    x = sine(440, 1.0, rate=48000)
+    path = str(tmp_path / "tone.mp3")
+    codecs.encode_mp3(x, 48000, path)
+    sf = read_sound_file(path)
+    assert sf.sample_rate == 48000
+    mono = sf.buf if sf.buf.ndim == 1 else sf.buf[:, 0]
+    assert len(mono) > 40000
+    sp = np.abs(np.fft.rfft(mono[4000:4000 + 32768]))
+    freqs = np.fft.rfftfreq(32768, 1 / 48000)
+    assert abs(freqs[int(np.argmax(sp))] - 440) < 5
+
+
+def test_mp3_streamer_feeds_sources(tmp_path):
+    """StreamerThread parity: shared decoder fans out to attached sources,
+    keeping ~TARGET_BUFFERED samples queued (StreamerThread.cpp:27-60)."""
+    from substrata_tpu.runtime import codecs
+    from substrata_tpu.audio.streamer import AudioStreamer, TARGET_BUFFERED
+    from substrata_tpu.audio.engine import (
+        AudioEngine, AudioSource, SOURCE_TYPE_STREAMING,
+    )
+    if not (codecs.has_mp3() and codecs.has_mp3_encode()):
+        pytest.skip("mp3 codecs not available")
+    x = sine(220, 1.0, rate=48000)
+    path = str(tmp_path / "loop.mp3")
+    codecs.encode_mp3(x, 48000, path)
+    eng = AudioEngine(max_sources=8)
+    s1 = AudioSource(source_type=SOURCE_TYPE_STREAMING, remove_on_finish=False)
+    s2 = AudioSource(source_type=SOURCE_TYPE_STREAMING, remove_on_finish=False)
+    eng.add_source(s1)
+    eng.add_source(s2)
+    st = AudioStreamer(eng)
+    st.attach(path, s1, loop=True)
+    st.attach(path, s2, loop=True)
+    for _ in range(8):
+        st.pump()
+        st.consume(256)
+    # Both sources' write heads advanced by the same decoded sample count.
+    wh1 = float(eng.sources.stream_write_head[s1.slot])
+    wh2 = float(eng.sources.stream_write_head[s2.slot])
+    assert wh1 == wh2 and wh1 >= TARGET_BUFFERED
+    st.stop()

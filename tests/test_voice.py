@@ -87,6 +87,7 @@ def test_packet_loss_concealment():
     rx.avatar_uid = 99
     rx.audio = None
     rx.streams = {}
+    rx.decoders = {}
     rx.sources = {}
     rx.packets_received = 0
     rx.packets_lost = 0
@@ -98,3 +99,59 @@ def test_packet_loss_concealment():
     # Stream renewal resets sequence tracking (no false loss).
     rx.handle_packet(pack_voice_packet(1, 6, 0, pcm))
     assert rx.packets_lost == 2
+
+
+def test_opus_codec_roundtrip():
+    """Opus voice codec (reference: MicReadThread.cpp:304-331 encodes with
+    libopus; this build binds the system library)."""
+    from substrata_tpu.runtime import codecs
+    if not codecs.has_opus():
+        pytest.skip("libopus not available")
+    enc = codecs.OpusEncoder(rate=48_000)
+    dec = codecs.OpusDecoder(rate=48_000)
+    x = sine(440, VOICE_FRAME * 10)
+    out = []
+    for i in range(10):
+        pkt = enc.encode(x[i * VOICE_FRAME:(i + 1) * VOICE_FRAME])
+        assert 0 < len(pkt) < 1000  # compressed well below PCM16's 1920 B
+        out.append(dec.decode(pkt, VOICE_FRAME))
+    y = np.concatenate(out)
+    assert len(y) == len(x)
+    # Opus has ~6.5 ms of codec lookahead delay, so compare the decoded
+    # signal's dominant frequency and steady-state level, not samples.
+    b = y[VOICE_FRAME * 2:]
+    sp = np.abs(np.fft.rfft(b))
+    freqs = np.fft.rfftfreq(len(b), 1 / 48_000)
+    assert abs(freqs[int(np.argmax(sp))] - 440) < 10
+    assert abs(float(np.sqrt(np.mean(b ** 2))) - 0.5 / np.sqrt(2)) < 0.1
+
+
+def test_opus_loss_concealment_interpolates():
+    from substrata_tpu.audio.voice import CODEC_OPUS
+    from substrata_tpu.runtime import codecs
+    if not codecs.has_opus():
+        pytest.skip("libopus not available")
+    rx = VoiceReceiver.__new__(VoiceReceiver)
+    rx.avatar_uid = 99
+    rx.audio = None
+    rx.streams = {}
+    rx.decoders = {}
+    rx.sources = {}
+    rx.packets_received = 0
+    rx.packets_lost = 0
+    rx.received_pcm = {}
+    enc = codecs.OpusEncoder(rate=48_000)
+    x = sine(300, VOICE_FRAME * 6)
+    pkts = [enc.encode(x[i * VOICE_FRAME:(i + 1) * VOICE_FRAME])
+            for i in range(6)]
+    for i, p in enumerate(pkts):
+        if i == 3:
+            continue  # drop one packet
+        rx.handle_packet(pack_voice_packet(1, 5, i, p, codec=CODEC_OPUS))
+    assert rx.packets_lost == 1
+    pcm = np.concatenate(rx.received_pcm[1])
+    # PLC fills the gap: output covers all 6 frames, and the concealed
+    # region is non-silent (Opus interpolates, unlike the mu-law path).
+    assert len(pcm) == 6 * VOICE_FRAME
+    concealed = pcm[3 * VOICE_FRAME:4 * VOICE_FRAME]
+    assert float(np.abs(concealed).max()) > 0.01
