@@ -163,10 +163,14 @@ class ClientApp:
             shape = shapes.make_box([0.5, 0.5, 0.5], mass=ob.mass)
         else:
             shape = shapes.make_box([0.5, 0.5, 0.5])
+        # Hulls simulate in their COM/principal frame; compose the authored
+        # mesh pose into the body pose (Jolt COM-offset decoration parity,
+        # PhysicsWorld.cpp:1138-1152).
+        body_pos, body_rot = shape.body_pose_from_mesh(ob.pos, ob.quat)
         phys = PhysicsObject(
             shape=shape,
-            pos=np.asarray(ob.pos, np.float32),
-            rot=ob.quat,
+            pos=body_pos,
+            rot=body_rot,
             scale=np.asarray(ob.scale, np.float32),
             motion_type=int(MotionType.DYNAMIC) if ob.is_dynamic()
             else int(MotionType.STATIC),
@@ -462,8 +466,9 @@ class ClientApp:
             phys = ob.physics_object
             if phys is None or phys.motion_type == int(MotionType.STATIC):
                 continue
-            ob.pos = np.asarray(phys.pos, np.float64)
-            ob.set_rotation_quat(phys.rot)
+            mesh_pos, mesh_rot = phys.shape.mesh_pose_from_body(phys.pos, phys.rot)
+            ob.pos = np.asarray(mesh_pos, np.float64)
+            ob.set_rotation_quat(mesh_rot)
             ob.linear_vel = phys.linvel
             ob.angular_vel = phys.angvel
             if ob.audio_source is not None and self.audio is not None:

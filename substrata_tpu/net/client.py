@@ -68,6 +68,8 @@ class ClientEvents:
     objects_destroyed: list = field(default_factory=list)
     avatars_created: list = field(default_factory=list)
     avatars_destroyed: list = field(default_factory=list)
+    new_resources: list = field(default_factory=list)   # urls announced
+    files_received: list = field(default_factory=list)  # (url, found)
 
 
 class Client:
@@ -84,6 +86,10 @@ class Client:
         self.running = False
         self._reader_thread = None
         self._ping_sent_at: dict[bytes, float] = {}
+        # Resource transfer: downloaded files land here (set by the app).
+        self.resource_manager = None
+        self._file_cv = threading.Condition()
+        self._file_results: dict[str, bytes | None] = {}
 
         self.sock = socket.create_connection((host, port), timeout=5.0)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
@@ -177,6 +183,49 @@ class Client:
         self.send_message(P.make_message(P.CHAT_MESSAGE_ID,
                                          P.pack_chat_message(name, msg)))
 
+    # -- Resource transfer (Protocol.h:167-170; DownloadResourcesThread /
+    #    UploadResourceThread counterparts) --------------------------------
+    def request_files(self, urls):
+        """Fire a GetFiles request; responses arrive async (files_received
+        events + resource_manager storage)."""
+        body = struct.pack("<I", len(urls))
+        for u in urls:
+            body += P.pack_string(u)
+        self.send_message(P.make_message(P.GET_FILES, body))
+
+    def download_files(self, urls, timeout: float = 10.0):
+        """Blocking fetch over this connection: {url: bytes | None}."""
+        with self._file_cv:
+            for u in urls:
+                self._file_results.pop(u, None)
+        self.request_files(urls)
+        deadline = time.monotonic() + timeout
+        out = {}
+        with self._file_cv:
+            for u in urls:
+                while u not in self._file_results:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or not self.connected:
+                        out[u] = None
+                        break
+                    self._file_cv.wait(remaining)
+                else:
+                    out[u] = self._file_results[u]
+        return out
+
+    def _apply_object_initial_send(self, payload: bytes):
+        ws = self.world_state
+        ob = WorldObject.from_bytes(payload)
+        with ws.lock:
+            ws.objects[ob.uid] = ob
+            ws.dirty_from_remote_objects.add(ob.uid)
+            slot = ws.slot_for(ob.uid)
+            ws.ownership.owner_id[slot] = ob.physics_owner_id
+            ws.ownership.change_time[slot] = \
+                ob.last_physics_ownership_change_global_time
+        with self.events_lock:
+            self.events.objects_created.append(ob.uid)
+
     def send_ping(self):
         token = struct.pack("<d", time.monotonic())
         self._ping_sent_at[token] = time.monotonic()
@@ -214,16 +263,35 @@ class Client:
     def _dispatch(self, msg_type: int, payload: bytes):
         ws = self.world_state
         if msg_type in (P.OBJECT_INITIAL_SEND, P.OBJECT_CREATED):
-            ob = WorldObject.from_bytes(payload)
-            with ws.lock:
-                ws.objects[ob.uid] = ob
-                ws.dirty_from_remote_objects.add(ob.uid)
-                slot = ws.slot_for(ob.uid)
-                ws.ownership.owner_id[slot] = ob.physics_owner_id
-                ws.ownership.change_time[slot] = \
-                    ob.last_physics_ownership_change_global_time
+            self._apply_object_initial_send(payload)
+        elif msg_type == P.OBJECT_INITIAL_SEND_COMPRESSED:
+            # One zlib batch of length-prefixed ObjectInitialSend payloads
+            # (Protocol.h:137; we advertise the capability and the server
+            # actually compresses).
+            import zlib
+            blob = zlib.decompress(payload)
+            (count,) = struct.unpack_from("<I", blob, 0)
+            off = 4
+            for _ in range(count):
+                (blen,) = struct.unpack_from("<I", blob, off)
+                off += 4
+                self._apply_object_initial_send(blob[off:off + blen])
+                off += blen
+        elif msg_type == P.NEW_RESOURCE_ON_SERVER:
+            url, _ = P.unpack_string(payload, 0)
             with self.events_lock:
-                self.events.objects_created.append(ob.uid)
+                self.events.new_resources.append(url)
+        elif msg_type == P.GET_FILE:
+            url, off = P.unpack_string(payload, 0)
+            found, dlen = struct.unpack_from("<BI", payload, off)
+            data = payload[off + 5:off + 5 + dlen] if found else None
+            if found and self.resource_manager is not None:
+                self.resource_manager.store_resource(url, data)
+            with self.events_lock:
+                self.events.files_received.append((url, bool(found)))
+            with self._file_cv:
+                self._file_results[url] = data
+                self._file_cv.notify_all()
         elif msg_type == P.OBJECT_PHYSICS_TRANSFORM_UPDATE:
             uid, pos, quat, linvel, angvel, ct, sender = \
                 P.unpack_physics_transform_update(payload)
@@ -312,3 +380,100 @@ class Client:
         elif msg_type == P.ERROR_MESSAGE_ID:
             with self.events_lock:
                 self.events.errors.append(payload.decode("utf-8", "replace"))
+
+
+# ---------------------------------------------------------------------------
+# Dedicated resource-transfer connections (Protocol.h:70-76 connection types)
+# ---------------------------------------------------------------------------
+
+def _resource_handshake(host, port, conn_type, world_name=""):
+    sock = socket.create_connection((host, port), timeout=10.0)
+    sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    sock.sendall(struct.pack("<II", P.CYBERSPACE_HELLO,
+                             P.CYBERSPACE_PROTOCOL_VERSION))
+    buf = b""
+    while len(buf) < 8:
+        d = sock.recv(8 - len(buf))
+        if not d:
+            raise ConnectionError("eof in handshake")
+        buf += d
+    code, _ = struct.unpack("<II", buf)
+    if code != P.CLIENT_PROTOCOL_OK:
+        raise ConnectionError(f"server rejected protocol: {code}")
+    wb = world_name.encode("utf-8")
+    sock.sendall(struct.pack("<II", conn_type, 0)
+                 + struct.pack("<I", len(wb)) + wb)
+    return sock
+
+
+def upload_resource(host: str, port: int, url: str, data: bytes,
+                    world_name: str = "") -> int:
+    """UploadResourceThread counterpart: one resource over a
+    ConnectionTypeUploadResource (501) connection.  Returns the server's
+    response code (UploadAllowed on success, else an error id from
+    Protocol.h:173-178)."""
+    sock = _resource_handshake(host, port, P.CONNECTION_TYPE_UPLOAD_RESOURCE,
+                               world_name)
+    try:
+        ub = url.encode("utf-8")
+        sock.sendall(struct.pack("<I", len(ub)) + ub
+                     + struct.pack("<II", 0, len(data)))
+        (code,) = struct.unpack("<I", sock.recv(4))
+        if code != P.UPLOAD_ALLOWED:
+            return code
+        sock.sendall(data)
+        (code,) = struct.unpack("<I", sock.recv(4))
+        return code
+    finally:
+        sock.close()
+
+
+class ResourceDownloader:
+    """DownloadResourcesThread counterpart (gui_client, 387 LoC): a
+    dedicated ConnectionTypeDownloadResources (502) connection that fetches
+    resources the client is missing and stores them into its
+    ResourceManager."""
+
+    def __init__(self, host: str, port: int, resource_manager=None,
+                 world_name: str = ""):
+        self.sock = _resource_handshake(
+            host, port, P.CONNECTION_TYPE_DOWNLOAD_RESOURCES, world_name)
+        self.resource_manager = resource_manager
+        self._reader = P.MessageReader()
+
+    def fetch(self, urls, timeout: float = 10.0):
+        """Blocking fetch: {url: bytes | None}."""
+        body = struct.pack("<I", len(urls))
+        for u in urls:
+            body += P.pack_string(u)
+        self.sock.sendall(P.make_message(P.GET_FILES, body))
+        out = {}
+        self.sock.settimeout(timeout)
+        pending = set(urls)
+        try:
+            while pending:
+                data = self.sock.recv(1 << 20)
+                if not data:
+                    break
+                self._reader.feed(data)
+                for msg_type, payload in self._reader.messages():
+                    if msg_type != P.GET_FILE:
+                        continue
+                    url, off = P.unpack_string(payload, 0)
+                    found, dlen = struct.unpack_from("<BI", payload, off)
+                    blob = payload[off + 5:off + 5 + dlen] if found else None
+                    out[url] = blob
+                    pending.discard(url)
+                    if found and self.resource_manager is not None:
+                        self.resource_manager.store_resource(url, blob)
+        except OSError:
+            pass
+        for u in pending:
+            out.setdefault(u, None)
+        return out
+
+    def close(self):
+        try:
+            self.sock.close()
+        except OSError:
+            pass

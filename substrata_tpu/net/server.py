@@ -235,7 +235,8 @@ class WorkerConnection(threading.Thread):
 
     def _handshake(self):
         """hello + version + connection type (Protocol.h:57-76;
-        WorkerThread handshake)."""
+        WorkerThread handshake + connection-type dispatch: updates /
+        upload-resource 501 / download-resources 502)."""
         hello, version = struct.unpack("<II", self._recv_exact(8))
         if hello != P.CYBERSPACE_HELLO:
             raise ValueError("bad hello")
@@ -249,7 +250,16 @@ class WorkerConnection(threading.Thread):
         self.capabilities = caps
         (nlen,) = struct.unpack("<I", self._recv_exact(4))
         self.world_name = self._recv_exact(nlen).decode() if nlen else ""
-        # Assign avatar uid + initial state push.
+        self.conn_type = conn_type
+        if conn_type == P.CONNECTION_TYPE_UPLOAD_RESOURCE:
+            self._handle_upload_connection()
+            self.alive = False
+            return
+        if conn_type == P.CONNECTION_TYPE_DOWNLOAD_RESOURCES:
+            # Served by the normal message loop (GetFile/GetFiles handlers);
+            # no avatar, no broadcasts, no initial world push.
+            return
+        # Updates connection: assign avatar uid + initial state push.
         self.avatar_uid = self.server.worlds_state.next_avatar_uid
         self.server.worlds_state.next_avatar_uid += 1
         self.sock.sendall(struct.pack("<Q", self.avatar_uid))
@@ -258,20 +268,74 @@ class WorkerConnection(threading.Thread):
         self.send_message(P.make_message(P.TIME_SYNC_MESSAGE,
                                          P.pack_time_sync(self.server.global_time())))
 
+    def _handle_upload_connection(self):
+        """UploadResourceThread counterpart: one resource per connection —
+        metadata, permission checks (UploadAllowed / error ids,
+        Protocol.h:173-178), then the payload."""
+        # Read metadata: url + flags + size.
+        (ulen,) = struct.unpack("<I", self._recv_exact(4))
+        url = self._recv_exact(ulen).decode("utf-8")
+        (flags, size) = struct.unpack("<II", self._recv_exact(8))
+        ext = os.path.splitext(url)[1].lower()
+        if self.server.read_only:
+            self.sock.sendall(struct.pack("<I", P.SERVER_IS_IN_READ_ONLY_MODE))
+            return
+        if size > self.server.MAX_UPLOAD_BYTES:
+            self.sock.sendall(struct.pack("<I", P.INVALID_FILE_SIZE))
+            return
+        if ext not in self.server.ALLOWED_UPLOAD_EXTS:
+            self.sock.sendall(struct.pack("<I", P.INVALID_FILE_TYPE))
+            return
+        self.sock.sendall(struct.pack("<I", P.UPLOAD_ALLOWED))
+        data = self._recv_exact(size)
+        self.server.resources.store_resource(url, data)
+        # Tell every updates client the resource exists now
+        # (NewResourceOnServer broadcast, Server.cpp new-resource path).
+        self.server.broadcast(self.world_name,
+                              P.make_message(P.NEW_RESOURCE_ON_SERVER,
+                                             P.pack_string(url)))
+        self.sock.sendall(struct.pack("<I", P.UPLOAD_ALLOWED))
+
     def _send_initial_objects(self):
         """ObjectInitialSend for every object (cell-query streaming is
-        handled by QueryObjects; initial world push for small worlds)."""
+        handled by QueryObjects; initial world push for small worlds).
+        Clients advertising STREAMING_COMPRESSED_OBJECT_SUPPORT get ONE
+        zlib-compressed batch (ObjectInitialSendCompressed, Protocol.h:137)
+        instead of per-object messages."""
         w = self.server.worlds_state.get_world(self.world_name)
         with self.server.worlds_state.lock:
             obs = list(w.objects.values())
             parcels = list(w.parcels.values())
             avatars = list(w.avatars.values())
-        for ob in obs:
-            self.send_message(P.make_message(P.OBJECT_INITIAL_SEND, ob.to_bytes()))
+        if obs and (self.capabilities & P.STREAMING_COMPRESSED_OBJECT_SUPPORT):
+            import zlib
+            blob = io.BytesIO()
+            blob.write(struct.pack("<I", len(obs)))
+            for ob in obs:
+                b = ob.to_bytes()
+                blob.write(struct.pack("<I", len(b)))
+                blob.write(b)
+            self.send_message(P.make_message(
+                P.OBJECT_INITIAL_SEND_COMPRESSED,
+                zlib.compress(blob.getvalue(), level=1)))
+        else:
+            for ob in obs:
+                self.send_message(P.make_message(P.OBJECT_INITIAL_SEND, ob.to_bytes()))
         for p in parcels:
             self.send_message(P.make_message(P.PARCEL_CREATED, p.to_bytes()))
         for av in avatars:
             self.send_message(P.make_message(P.AVATAR_IS_HERE, av.to_bytes()))
+
+    def _send_file(self, url: str):
+        """GetFile response: url + found flag + payload (DownloadResources
+        serving path; reference streams over connection type 502)."""
+        rm = self.server.resources
+        if rm.is_file_present(url):
+            data = rm.load_resource(url)
+            body = P.pack_string(url) + struct.pack("<BI", 1, len(data)) + data
+        else:
+            body = P.pack_string(url) + struct.pack("<BI", 0, 0)
+        self.send_message(P.make_message(P.GET_FILE, body))
 
     # ------------------------------------------------------------------
     def _dispatch(self, msg_type: int, payload: bytes):
@@ -364,6 +428,15 @@ class WorkerConnection(threading.Thread):
                                                  P.pack_chat_message(name, msg)))
         elif msg_type == P.QUERY_OBJECTS or msg_type == P.QUERY_OBJECTS_IN_AABB:
             self._send_initial_objects()
+        elif msg_type == P.GET_FILE:
+            url, _ = P.unpack_string(payload, 0)
+            self._send_file(url)
+        elif msg_type == P.GET_FILES:
+            (count,) = struct.unpack_from("<I", payload, 0)
+            off = 4
+            for _ in range(min(count, 4096)):
+                url, off = P.unpack_string(payload, off)
+                self._send_file(url)
         elif msg_type == P.PING:
             self.send_message(P.make_message(P.PONG, payload))
         elif msg_type == P.KEEP_ALIVE:
@@ -387,13 +460,25 @@ class Server:
     """server/Server.cpp parity: listener + workers + 100 ms broadcast tick
     + UDP voice relay + periodic DB flush."""
 
+    MAX_UPLOAD_BYTES = 64 * 1024 * 1024  # InvalidFileSize threshold
+    ALLOWED_UPLOAD_EXTS = (".bmesh", ".glb", ".gltf", ".vox", ".voxdata",
+                           ".png", ".jpg", ".jpeg", ".ktx", ".ktx2", ".basis",
+                           ".mp3", ".wav", ".xml", ".luau", ".lua", ".sub", "")
+
     def __init__(self, port: int = 0, udp_port: int = 0, db_path: str | None = None,
-                 clock=time.monotonic):
+                 resource_dir: str | None = None, clock=time.monotonic):
         self.worlds_state = ServerAllWorldsState(db_path)
         self.connections: list[WorkerConnection] = []
         self.conn_lock = threading.Lock()
         self.running = False
         self.read_only = False  # server read-only mode (WorkerThread.cpp:1991)
+        # Server-side resource store for network asset transfer
+        # (GetFile/GetFiles/NewResourceOnServer, Protocol.h:167-170).
+        from substrata_tpu.shared.resources import ResourceManager
+        if resource_dir is None:
+            import tempfile
+            resource_dir = tempfile.mkdtemp(prefix="substrata_server_res_")
+        self.resources = ResourceManager(resource_dir)
         self.script_events: list = []
         self.unknown_messages: list = []
         # Server-side scripting (ServerSideScripting parity): user-event

@@ -12,13 +12,14 @@ from the broadphase:
 - box-capsule: convex ternary search of the segment-to-box distance (the
   distance along the segment to a convex set is convex, so a fixed-iteration
   ternary search converges deterministically)
-- convex hulls collide as their principal-frame OBB against other dynamic
-  shapes (hull_id in shape_params[0], OBB half extents in shape_params[1:4]);
-  against static world geometry they use true sampled vertices.
+- convex hulls collide exactly via a generic convex SAT (face planes of
+  both sides + data-driven auxiliary axes) with a verts-past-reference-plane
+  manifold; box/sphere/capsule vs hull go through the same kernel
+  (hull_id in shape_params[0]).
 
 Static world contacts (heightfield + static trimesh) are generated per body
-from up to 8 shape sample points (box corners, capsule endpoints, hull
-contact vertices), mirroring what matters from Jolt's mesh/heightfield
+from up to 8 shape sample points (box corners, capsule endpoints, hull verts
+support-selected around world-down at the current orientation), mirroring what matters from Jolt's mesh/heightfield
 collision for resting/rolling behaviour (reference shape factories:
 gui_client/PhysicsWorld.cpp:735-1135).
 
@@ -367,61 +368,171 @@ def _box_box(pa, qa, hea, pb, qb, heb):
 
 
 # ---------------------------------------------------------------------------
-# Pair dispatch
+# Generic convex-vs-convex (hull narrowphase)
 # ---------------------------------------------------------------------------
+#
+# Every convex shape is represented as (padded vertex set, vertex mask,
+# radius, padded face planes, plane mask): hull = its reduced hull verts +
+# qhull face planes; box = 8 corners + 6 planes; capsule = 2 segment
+# endpoints + radius (no planes); sphere = 1 vert + radius.  Contact is SAT
+# over both sides' face planes plus data-driven auxiliary axes (closest
+# vertex directions), with a verts-past-reference-plane manifold (<= 4
+# points, like Jolt manifolds).  This replaces the round-1 hull->OBB proxy
+# (reference collides true hulls via GJK/EPA, PhysicsWorld.cpp:1000-1083;
+# face SAT omits exact edge-edge axes — deep crossed-edge poses get an
+# approximate normal, everything else is exact).
 
-def _effective_shape(shape_type, params):
-    """Map hulls to their principal-frame OBB for dynamic-pair collision."""
-    is_hull = shape_type == int(ShapeType.HULL)
-    eff_type = jnp.where(is_hull, int(ShapeType.BOX), shape_type)
-    eff_params = jnp.where(is_hull, jnp.concatenate([params[1:4], params[:1]]), params)
-    return eff_type, eff_params
 
+def _convex_convex(pa, wa, maska, ra, pl_a, plmask_a,
+                   pb, wb, maskb, rb, pl_b, plmask_b):
+    """One convex pair.  wa [Va,3] world verts (masked), ra radius;
+    pl_* [F,4] world planes (unit n, d with n·x <= d for the shape's solid),
+    plmask_* [F] bool.  Returns (pts [4,3], pens [4], normal b->a, valid)."""
+    NEG = jnp.float32(-3e38)
+    POS = jnp.float32(3e38)
 
-def _pair_contact_single(pos_a, quat_a, type_a, params_a,
-                         pos_b, quat_b, type_b, params_b):
-    """Contact manifold for one pair; computes all 9 shape-combo branches
-    then selects by branch code with ONE indexed gather (a chain of
-    jnp.where selects costs ~a full extra pass per branch on TPU)."""
-    type_a, params_a = _effective_shape(type_a, params_a)
-    type_b, params_b = _effective_shape(type_b, params_b)
+    # --- Candidate axes: A's faces (pointing A->B), B's faces (B->A). ---
+    # Separation along A's face j: min over B verts of n·v - rb - d_j.
+    proj_ba = wb @ pl_a[:, :3].T                          # [Vb, Fa]
+    min_b = jnp.min(jnp.where(maskb[:, None], proj_ba, POS), axis=0)
+    sep_a = jnp.where(plmask_a, min_b - rb - pl_a[:, 3], NEG)   # [Fa]
+    proj_ab = wa @ pl_b[:, :3].T                          # [Va, Fb]
+    min_a = jnp.min(jnp.where(maska[:, None], proj_ab, POS), axis=0)
+    sep_b = jnp.where(plmask_b, min_a - ra - pl_b[:, 3], NEG)   # [Fb]
 
-    # Branch order indexed by code = type_a * 3 + type_b
-    # (types: 0=sphere, 1=box, 2=capsule after hull->OBB mapping).
-    def flip(res):
-        pts, pens, n, val = res
-        return pts, pens, -n, val
+    # --- Auxiliary axes (vertex/edge Voronoi coverage for sphere/capsule
+    # sides and a center axis): directions between closest vertices. ---
+    d2 = jnp.sum((wa[:, None, :] - wb[None, :, :]) ** 2, axis=-1)  # [Va,Vb]
+    d2 = jnp.where(maska[:, None] & maskb[None, :], d2, POS)
+    flat = jnp.argmin(d2.reshape(-1))
+    ia, ib = flat // d2.shape[1], flat % d2.shape[1]
+    axis1 = _safe_normalize(wb[ib] - wa[ia])              # closest-verts dir
+    axis2 = _safe_normalize(pb - pa)                      # center axis
+    aux = jnp.stack([axis1, axis2])                       # [2,3] point A->B
 
-    branches = [
-        _sphere_sphere(pos_a, params_a[0], pos_b, params_b[0]),                 # 0: s-s
-        _sphere_box(pos_a, params_a[0], pos_b, quat_b, params_b[:3]),           # 1: s-b
-        _sphere_capsule(pos_a, params_a[0], pos_b, quat_b,
-                        params_b[0], params_b[1]),                              # 2: s-c
-        flip(_sphere_box(pos_b, params_b[0], pos_a, quat_a, params_a[:3])),     # 3: b-s
-        _box_box(pos_a, quat_a, params_a[:3], pos_b, quat_b, params_b[:3]),     # 4: b-b
-        flip(_capsule_box(pos_b, quat_b, params_b[0], params_b[1],
-                          pos_a, quat_a, params_a[:3])),                        # 5: b-c
-        flip(_sphere_capsule(pos_b, params_b[0], pos_a, quat_a,
-                             params_a[0], params_a[1])),                        # 6: c-s
-        _capsule_box(pos_a, quat_a, params_a[0], params_a[1],
-                     pos_b, quat_b, params_b[:3]),                              # 7: c-b
-        _capsule_capsule(pos_a, quat_a, params_a[0], params_a[1],
-                         pos_b, quat_b, params_b[0], params_b[1]),              # 8: c-c
-    ]
-    code = jnp.clip(type_a * 3 + type_b, 0, 8)
-    pts = jax.lax.select_n(code, *[b[0] for b in branches])
-    pens = jax.lax.select_n(code, *[b[1] for b in branches])
-    normal = jax.lax.select_n(code, *[b[2] for b in branches])
-    valid = jax.lax.select_n(code, *[b[3] for b in branches])
+    def sep_along(u):
+        sa = jnp.max(jnp.where(maska, wa @ u, NEG)) + ra
+        sb = jnp.min(jnp.where(maskb, wb @ u, POS)) - rb
+        return sb - sa
+
+    sep_aux = jax.vmap(sep_along)(aux)                    # [2]
+
+    best_a = jnp.max(sep_a)
+    best_b = jnp.max(sep_b)
+    best_x = jnp.max(sep_aux)
+    best = jnp.maximum(jnp.maximum(best_a, best_b), best_x)
+    separated = best > CONTACT_MARGIN
+
+    # Prefer face axes (stable manifolds) unless an aux axis is clearly
+    # better (same bias rule as the box-box SAT).
+    best_face = jnp.maximum(best_a, best_b)
+    use_aux = best_x > best_face * 0.98 + 0.001
+    use_b = (~use_aux) & (best_b > best_a * 0.98 + 0.001)
+
+    # --- Manifold from A's reference face: B's verts past the plane. ---
+    def face_manifold(pl, sep, vin, maskin, rin):
+        oh = jax.nn.one_hot(jnp.argmax(sep), pl.shape[0], dtype=pl.dtype)
+        n = oh @ pl[:, :3]                                # ref normal (A->B)
+        d = jnp.sum(oh * pl[:, 3])
+        depth = d + rin - vin @ n                         # [Vin] >0 past plane
+        depth = jnp.where(maskin, depth, NEG)
+        k = min(4, vin.shape[0])
+        top_d, top_i = jax.lax.top_k(depth, k)
+        if k < 4:  # sphere/capsule incident side: pad to the 4-slot manifold
+            top_d = jnp.concatenate([top_d, jnp.full((4 - k,), NEG)])
+            top_i = jnp.concatenate([top_i, jnp.zeros((4 - k,), top_i.dtype)])
+        vsel = vin[top_i]                                 # [4,3]
+        pts = vsel - n[None, :] * (rin - 0.5 * jnp.maximum(top_d, 0.0))[:, None]
+        valid = top_d > -CONTACT_MARGIN
+        return pts, top_d, n, valid
+
+    pts_a, pen_a, n_a, val_a = face_manifold(pl_a, sep_a, wb, maskb, rb)
+    pts_b, pen_b, n_b, val_b = face_manifold(pl_b, sep_b, wa, maska, ra)
+
+    # --- Aux single point: between supports along the axis. ---
+    ohx = jax.nn.one_hot(jnp.argmax(sep_aux), 2, dtype=wa.dtype)
+    u = ohx @ aux
+    pa_s = wa[jnp.argmax(jnp.where(maska, wa @ u, NEG))] + u * ra
+    pb_s = wb[jnp.argmin(jnp.where(maskb, wb @ u, POS))] - u * rb
+    pen_x = -best_x
+    pts_x, pens_x, n_x, val_x = _one_point(
+        0.5 * (pa_s + pb_s), pen_x, -u, pen_x > -CONTACT_MARGIN)
+
+    # Normal convention: from B to A.
+    pts = jnp.where(use_aux, pts_x, jnp.where(use_b, pts_b, pts_a))
+    pens = jnp.where(use_aux, pens_x, jnp.where(use_b, pen_b, pen_a))
+    normal = jnp.where(use_aux, n_x, jnp.where(use_b, n_b, -n_a))
+    valid = jnp.where(use_aux, val_x, jnp.where(use_b, val_b, val_a))
+    valid = valid & ~separated
     return pts, pens, normal, valid
 
 
-_pair_contacts_vmapped = jax.vmap(_pair_contact_single)
+_BOX_CORNERS = jnp.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    jnp.float32)
+_BOX_NORMALS = jnp.array(
+    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    jnp.float32)
 
 
-# Branch kernels indexed by code = type_a*3 + type_b (after hull->OBB).
-# Each takes the packed per-side rows and returns (pts [K,4,3], pens [K,4],
-# normal [K,3], valid [K,4]); f suffixes flip the normal (swapped operands).
+def _convex_rep(row, stype, hull_verts, hull_planes, hull_n_verts,
+                hull_n_faces):
+    """World-space convex representation for one packed body row
+    [pos0:3 quat3:7 type7 prm8:12 ...] of static shape class ``stype``.
+    Returns (pos, verts [V,3], mask [V], radius, planes [F,4], plmask [F])."""
+    pos = row[:3]
+    quat = row[3:7]
+    prm = row[8:12]
+    if stype == int(ShapeType.SPHERE):
+        verts = pos[None, :]
+        mask = jnp.ones((1,), bool)
+        return pos, verts, mask, prm[0], jnp.zeros((1, 4)), jnp.zeros((1,), bool)
+    if stype == int(ShapeType.CAPSULE):
+        z = quatm.rotate_vec(quat, jnp.array([0.0, 0.0, 1.0])) * prm[1]
+        verts = jnp.stack([pos + z, pos - z])
+        mask = jnp.ones((2,), bool)
+        return pos, verts, mask, prm[0], jnp.zeros((1, 4)), jnp.zeros((1,), bool)
+    if stype == int(ShapeType.BOX):
+        local = _BOX_CORNERS * prm[:3]
+        verts = pos[None, :] + quatm.rotate_vec(quat[None, :], local)
+        n_w = quatm.rotate_vec(quat[None, :], _BOX_NORMALS)
+        he6 = jnp.concatenate([prm[:3], prm[:3]])[
+            jnp.array([0, 0, 1, 1, 2, 2])]
+        d = he6 + n_w @ pos
+        planes = jnp.concatenate([n_w, d[:, None]], axis=1)
+        return pos, verts, jnp.ones((8,), bool), jnp.float32(0.0), planes, jnp.ones((6,), bool)
+    # HULL: prm[0] = hull slot.
+    hid = jnp.clip(prm[0].astype(jnp.int32), 0, hull_verts.shape[0] - 1)
+    local = hull_verts[hid]                                # [V,3]
+    verts = pos[None, :] + quatm.rotate_vec(quat[None, :], local)
+    mask = jnp.arange(local.shape[0]) < hull_n_verts[hid]
+    pl = hull_planes[hid]                                  # [F,4]
+    n_w = quatm.rotate_vec(quat[None, :], pl[:, :3])
+    d = pl[:, 3] + n_w @ pos
+    planes = jnp.concatenate([n_w, d[:, None]], axis=1)
+    plmask = jnp.arange(pl.shape[0]) < hull_n_faces[hid]
+    return pos, verts, mask, jnp.float32(0.0), planes, plmask
+
+
+def _make_convex_kernel(type_a: int, type_b: int, hulls):
+    """Bucket kernel for a hull-involving combo: batched generic SAT."""
+    hv, hp = hulls.verts, hulls.planes
+    hnv, hnf = hulls.n_verts, hulls.n_faces
+
+    def single(rowa, rowb):
+        ra = _convex_rep(rowa, type_a, hv, hp, hnv, hnf)
+        rb = _convex_rep(rowb, type_b, hv, hp, hnv, hnf)
+        return _convex_convex(*ra, *rb)
+
+    return lambda va, vb: jax.vmap(single)(va, vb)
+
+
+# Branch kernels indexed by code = type_a*4 + type_b (types: 0=sphere,
+# 1=box, 2=capsule, 3=hull).  Each takes the packed per-side rows and
+# returns (pts [K,4,3], pens [K,4], normal [K,3], valid [K,4]); flipped
+# variants negate the normal (swapped operands).  Hull combos use the
+# generic convex SAT kernel (built per call — it closes over the hull
+# library).
 
 
 def _flip3(res):
@@ -429,89 +540,91 @@ def _flip3(res):
     return pts, pens, -n, val
 
 
-_BUCKET_KERNELS = [
-    lambda va, vb: jax.vmap(lambda A, B: _sphere_sphere(
+_CLOSED_FORM_KERNELS = {
+    0: lambda va, vb: jax.vmap(lambda A, B: _sphere_sphere(
         A[:3], A[8], B[:3], B[8]))(va, vb),
-    lambda va, vb: jax.vmap(lambda A, B: _sphere_box(
+    1: lambda va, vb: jax.vmap(lambda A, B: _sphere_box(
         A[:3], A[8], B[:3], B[3:7], B[8:11]))(va, vb),
-    lambda va, vb: jax.vmap(lambda A, B: _sphere_capsule(
+    2: lambda va, vb: jax.vmap(lambda A, B: _sphere_capsule(
         A[:3], A[8], B[:3], B[3:7], B[8], B[9]))(va, vb),
-    lambda va, vb: jax.vmap(lambda A, B: _flip3(_sphere_box(
+    4: lambda va, vb: jax.vmap(lambda A, B: _flip3(_sphere_box(
         B[:3], B[8], A[:3], A[3:7], A[8:11])))(va, vb),
-    lambda va, vb: jax.vmap(lambda A, B: _box_box(
+    5: lambda va, vb: jax.vmap(lambda A, B: _box_box(
         A[:3], A[3:7], A[8:11], B[:3], B[3:7], B[8:11]))(va, vb),
-    lambda va, vb: jax.vmap(lambda A, B: _flip3(_capsule_box(
+    6: lambda va, vb: jax.vmap(lambda A, B: _flip3(_capsule_box(
         B[:3], B[3:7], B[8], B[9], A[:3], A[3:7], A[8:11])))(va, vb),
-    lambda va, vb: jax.vmap(lambda A, B: _flip3(_sphere_capsule(
+    8: lambda va, vb: jax.vmap(lambda A, B: _flip3(_sphere_capsule(
         B[:3], B[8], A[:3], A[3:7], A[8], A[9])))(va, vb),
-    lambda va, vb: jax.vmap(lambda A, B: _capsule_box(
+    9: lambda va, vb: jax.vmap(lambda A, B: _capsule_box(
         A[:3], A[3:7], A[8], A[9], B[:3], B[3:7], B[8:11]))(va, vb),
-    lambda va, vb: jax.vmap(lambda A, B: _capsule_capsule(
+    10: lambda va, vb: jax.vmap(lambda A, B: _capsule_capsule(
         A[:3], A[3:7], A[8], A[9], B[:3], B[3:7], B[8], B[9]))(va, vb),
-]
+}
 
 # Same-type combos can fill the whole pair list (homogeneous worlds);
 # mixed combos get max_pairs / MIXED_FRACTION slots.
-_SAME_TYPE_CODES = (0, 4, 8)
+_SAME_TYPE_CODES = (0, 5, 10, 15)
 _MIXED_FRACTION = 4
+_NUM_CODES = 16
 # Manifold width per combo code: sphere contacts have 1 point, capsule
-# contacts up to 2, box-box up to 4 — emitting 4 slots for every combo
-# inflates the contact-compaction input ~2x for nothing.
-_MANIFOLD_WIDTH = [1, 1, 1, 1, 4, 2, 1, 2, 1]
+# contacts up to 2, box/hull faces up to 4 — emitting 4 slots for every
+# combo inflates the contact-compaction input ~2x for nothing.
+_MANIFOLD_WIDTH = [1, 1, 1, 1,
+                   1, 4, 2, 4,
+                   1, 2, 1, 2,
+                   1, 4, 2, 4]
 
 
-def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig):
+def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
+                  config: SimConfig, hulls=None):
     """Generate manifolds for the broadphase pair list.
 
     TPU design: pairs are partitioned by shape-combo code into fixed-size
     buckets and each combo's kernel runs ONLY on its own bucket (computing
-    all 9 branches for every pair and selecting costs ~a full pass per
-    branch).  Returns (Contacts, pair_touching [P] for contact events,
-    bucket overflow count).
+    all 16 branches for every pair and selecting costs ~a full pass per
+    branch).  ``hulls`` (state.HullLibrary) feeds the generic convex SAT
+    for hull combos.  Returns (Contacts, pair_touching [P] for contact
+    events, bucket overflow count).
     """
+    if hulls is None:
+        from substrata_tpu.physics.state import empty_hull_library
+        hulls = empty_hull_library(capacity=1)
     p = pair_a.shape[0]
     a = jnp.maximum(pair_a, 0)
     b = jnp.maximum(pair_b, 0)
-    # Packed gather rows: pos3 | quat4+ | efftype1 | effparams4 | friction |
-    # restitution | sensor  (hull -> principal OBB folded in here).
-    is_hull = (body.shape_type == int(ShapeType.HULL))
-    eff_type = jnp.where(is_hull, int(ShapeType.BOX), body.shape_type)
-    eff_params = jnp.where(is_hull[:, None],
-                           jnp.concatenate([body.shape_params[:, 1:4],
-                                            body.shape_params[:, :1]], axis=1),
-                           body.shape_params)
+    # Packed gather rows: pos3 | quat4 | type1 | params4 | friction |
+    # restitution | sensor.
     pview = jnp.concatenate([
-        body.pos, body.quat, eff_type.astype(jnp.float32)[:, None],
-        eff_params, body.friction[:, None], body.restitution[:, None],
+        body.pos, body.quat, body.shape_type.astype(jnp.float32)[:, None],
+        body.shape_params, body.friction[:, None], body.restitution[:, None],
         body.is_sensor.astype(jnp.float32)[:, None],
     ], axis=1)  # [N, 15] -> per-side rows [pos0:3 quat3:7 type7 prm8:12 fr12 re13 sn14]
     # Combo code from two narrow i32 gathers; the wide pview rows are
     # gathered PER BUCKET below (gathering [P,15] here and re-gathering per
     # bucket would double the dominant gather traffic).
-    codes = eff_type[a] * 3 + eff_type[b]
-    codes = jnp.clip(codes, 0, 8)
+    codes = jnp.clip(body.shape_type[a] * 4 + body.shape_type[b],
+                     0, _NUM_CODES - 1)
 
     # ONE shared sort groups pairs by combo code; each bucket is then a
-    # dynamic_slice at its run boundary (9 scatter-compactions cost ~0.7 ms
+    # dynamic_slice at its run boundary (16 scatter-compactions cost ~0.7 ms
     # each on TPU; one 32k sort is ~1 ms).  Boundaries come from counting
     # codes below each value — jnp.searchsorted lowers to a slow while loop.
-    sort_codes = jnp.where(pair_valid, codes, 9)
+    sort_codes = jnp.where(pair_valid, codes, _NUM_CODES)
     order = jnp.argsort(sort_codes).astype(jnp.int32)
     sorted_codes = sort_codes[order]
-    starts = jnp.sum(sort_codes[None, :] < jnp.arange(10, dtype=jnp.int32)[:, None],
-                     axis=1).astype(jnp.int32)
+    starts = jnp.sum(
+        sort_codes[None, :] < jnp.arange(_NUM_CODES + 1, dtype=jnp.int32)[:, None],
+        axis=1).astype(jnp.int32)
 
-    # Effective type presence (hull collides as its OBB -> box).
     present = list(config.present_shape_types)
-    eff_present = (present[0], present[1] or present[3], present[2])
 
     batches = []
     touch_src = []  # (bucket_pair_idx, bucket_touching)
     overflow = jnp.int32(0)
-    for code in range(9):
+    for code in range(_NUM_CODES):
         cap = (config.max_pairs if code in _SAME_TYPE_CODES
                else max(64, config.max_pairs // _MIXED_FRACTION))
-        if not (eff_present[code // 3] and eff_present[code % 3]):
+        if not (present[code // 4] and present[code % 4]):
             # Combo cannot occur in this world; keep a token bucket so a
             # stale config still produces (overflow-counted) contacts.
             cap = 16
@@ -529,7 +642,10 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
         bb_ = b[srcs]
         bva = pview[ba]
         bvb = pview[bb_]
-        pts, pens, normal, valid = _BUCKET_KERNELS[code](bva, bvb)
+        kernel = _CLOSED_FORM_KERNELS.get(code)
+        if kernel is None:
+            kernel = _make_convex_kernel(code // 4, code % 4, hulls)
+        pts, pens, normal, valid = kernel(bva, bvb)
         valid = valid & bvalid[:, None]
         sensor_b = (bva[:, 14] > 0) | (bvb[:, 14] > 0)
         fr_b = combine_friction(bva[:, 12], bvb[:, 12])
@@ -563,15 +679,18 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid, config: SimConfig
 # Static world contacts
 # ---------------------------------------------------------------------------
 
-def shape_sample_points(body: BodyState, hull_contact_verts,
+def shape_sample_points(body: BodyState, hulls,
                         present=(True, True, True, True)):
     """Per-body sample points for static-geometry collision: [N, 8, 3] world
     points and [N] sample radii.
 
     sphere: center (radius r); capsule: 2 endpoints (radius r);
-    box: 8 corners (radius 0); hull: 8 precomputed contact verts (radius 0).
-    Unused slots repeat the first point (harmless duplicates are deduped by
-    the deepest-point selection in the solver's mass splitting).
+    box: 8 corners (radius 0); hull: 8 verts support-selected along a cone
+    of directions around world-down AT THE CURRENT ORIENTATION, so the
+    resting face's vertices are always among the samples (a fixed
+    precomputed vertex set misses them for e.g. an octahedron lying on a
+    face).  Unused slots repeat the first point (harmless duplicates are
+    deduped by the deepest-point selection in the solver's mass splitting).
 
     ``present`` (static) lets absent shape types compile away — a
     homogeneous world pays for one local-point construction, not four.
@@ -590,8 +709,25 @@ def shape_sample_points(body: BodyState, hull_contact_verts,
         cap_local = jnp.zeros((n, 8, 3)).at[:, 0, 2].set(p[:, 1]).at[:, 1, 2].set(-p[:, 1])
         cands.append((int(ShapeType.CAPSULE), cap_local))
     if present[int(ShapeType.HULL)]:
-        hull_ids = jnp.clip(p[:, 0].astype(jnp.int32), 0, hull_contact_verts.shape[0] - 1)
-        cands.append((int(ShapeType.HULL), hull_contact_verts[hull_ids]))
+        hull_ids = jnp.clip(p[:, 0].astype(jnp.int32), 0, hulls.capacity - 1)
+        hverts = hulls.verts[hull_ids]                    # [N, V, 3]
+        # World-down in local frame + a 30° ring around it (8 directions).
+        down_l = quatm.inverse_rotate_vec(body.quat,
+                                          jnp.array([0.0, 0.0, -1.0]))  # [N,3]
+        ax = jnp.where(jnp.abs(down_l[:, 0:1]) < 0.9,
+                       jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+        u1 = jnp.cross(ax, down_l)
+        u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-9)
+        u2 = jnp.cross(down_l, u1)
+        ang = jnp.arange(8, dtype=jnp.float32) * (2.0 * jnp.pi / 8.0)
+        cone_c, cone_s = 0.866, 0.5                       # 30° half-angle
+        dirs = (down_l[:, None, :] * cone_c
+                + (u1[:, None, :] * jnp.cos(ang)[None, :, None]
+                   + u2[:, None, :] * jnp.sin(ang)[None, :, None]) * cone_s)
+        scores = jnp.einsum("nvd,nkd->nkv", hverts, dirs)  # [N, 8, V]
+        sel = jnp.argmax(scores, axis=-1)                  # [N, 8]
+        hull_local = jnp.take_along_axis(hverts, sel[..., None], axis=1)
+        cands.append((int(ShapeType.HULL), hull_local))
     if present[int(ShapeType.SPHERE)] or not cands:
         cands.append((int(ShapeType.SPHERE), jnp.zeros((n, 8, 3))))
 
@@ -659,7 +795,7 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
     """
     n = body.capacity
     pts, radius, slot_valid = shape_sample_points(
-        body, hull_contact_verts, config.present_shape_types)  # [N,8,3]
+        body, world.hulls, config.present_shape_types)  # [N,8,3]
     flat = pts.reshape(n * 8, 3)
     rad = jnp.repeat(radius, 8)
 
@@ -669,7 +805,14 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
     hf_pen = (h - (flat[:, 2] - rad))
     # Project penetration onto the surface normal (slope correction).
     hf_pen = hf_pen * hf_n[:, 2]
-    hf_point = jnp.concatenate([flat[:, :2], h[:, None]], axis=1)
+    # Contact point: for radius samples (sphere/capsule) it must lie along
+    # the contact NORMAL from the sample centre — using the vertical-drop
+    # surface point gives the normal impulse a torque that exactly cancels
+    # friction's, freezing balls on slopes in a spurious static equilibrium
+    # (caught by the rolling-sphere analytic fidelity test: a = 5/7 g sinθ).
+    hf_point = jnp.where(
+        (rad > 0)[:, None], flat - hf_n * rad[:, None],
+        jnp.concatenate([flat[:, :2], h[:, None]], axis=1))
     hf_ok = world.has_heightfield & (hf_pen > -CONTACT_MARGIN)
 
     # --- Trimesh: candidates from this point's grid cell (skipped entirely

@@ -112,6 +112,34 @@ def _ray_capsule(o, d, pc, qc, r, hh):
     return t, n
 
 
+def _ray_hull(o, d, pos, q, hid, hull_planes, hull_n_faces):
+    """Ray vs convex hull by half-space clipping of the hull's face planes
+    (replaces the round-1 OBB proxy; reference rays hit the true Jolt
+    ConvexHullShape, PhysicsWorld.cpp:1668-1716).  Returns (t, normal)."""
+    from substrata_tpu.maths import quat as quatm
+
+    hid = jnp.clip(hid.astype(jnp.int32), 0, hull_planes.shape[0] - 1)
+    pl = hull_planes[hid]                                  # [F, 4] local
+    fmask = jnp.arange(pl.shape[0]) < hull_n_faces[hid]
+    n_w = quatm.rotate_vec(q[None, :], pl[:, :3])          # [F, 3]
+    d_w = pl[:, 3] + n_w @ pos
+    denom = n_w @ d                                        # [F]
+    dist = d_w - n_w @ o                                   # slack at t=0
+    eps = 1e-9
+    t_pl = dist / jnp.where(jnp.abs(denom) > eps, denom, eps)
+    entering = fmask & (denom < -eps)
+    exiting = fmask & (denom > eps)
+    parallel_out = fmask & (jnp.abs(denom) <= eps) & (dist < 0.0)
+    t_enter = jnp.max(jnp.where(entering, t_pl, 0.0))
+    t_exit = jnp.min(jnp.where(exiting, t_pl, BIG))
+    ok = ((t_enter <= t_exit) & ~jnp.any(parallel_out)
+          & (hull_n_faces[hid] > 0) & (t_enter > 0.0))
+    # Normal = the entering face that set t_enter.
+    score = jnp.where(entering, t_pl, -BIG)
+    n = n_w[jnp.argmax(score)]
+    return jnp.where(ok, t_enter, BIG), n
+
+
 def _ray_triangle(o, d, v0, v1, v2):
     """Moller-Trumbore; returns (t, n) with t=BIG on miss."""
     e1 = v1 - v0
@@ -182,7 +210,7 @@ def _ray_trimesh_single(o, d, max_t, tm, n_steps: int, tri_cap: int):
 
 def _ray_bodies_single(o, d, max_t, body: BodyState, table, config: SimConfig,
                        n_steps: int, exclude: jnp.ndarray,
-                       collidable_only: bool):
+                       collidable_only: bool, hulls=None):
     """March the broadphase hash grid, test candidate bodies analytically."""
     num_buckets = config.grid_dim * config.grid_dim
     cap = config.cell_capacity
@@ -216,8 +244,11 @@ def _ray_bodies_single(o, d, max_t, body: BodyState, table, config: SimConfig,
         t_s, n_s = _ray_sphere(o, d, pos_i, prm_i[0])
         t_b, n_b = _ray_box(o, d, pos_i, q_i, prm_i[:3])
         t_c, n_c = _ray_capsule(o, d, pos_i, q_i, prm_i[0], prm_i[1])
-        # hull -> its principal OBB
-        t_h, n_h = _ray_box(o, d, pos_i, q_i, prm_i[1:4])
+        if hulls is not None:
+            t_h, n_h = _ray_hull(o, d, pos_i, q_i, prm_i[0],
+                                 hulls.planes, hulls.n_faces)
+        else:  # no hull library: fall back to the principal OBB
+            t_h, n_h = _ray_box(o, d, pos_i, q_i, prm_i[1:4])
         t = jnp.where(st_i == int(ShapeType.SPHERE), t_s,
              jnp.where(st_i == int(ShapeType.BOX), t_b,
               jnp.where(st_i == int(ShapeType.CAPSULE), t_c, t_h)))
@@ -247,7 +278,8 @@ def trace_rays(origins, dirs, max_ts, body: BodyState, world: StaticWorld,
 
     tb, nb, bi = jax.vmap(
         lambda o, d, mt, ex: _ray_bodies_single(
-            o, d, mt, body, table, config, n_steps, ex, collidable_only)
+            o, d, mt, body, table, config, n_steps, ex, collidable_only,
+            world.hulls)
     )(origins, dirs, max_ts, exclude)
 
     th, nh = jax.vmap(

@@ -9,10 +9,10 @@ Replaces the reference's Jolt shape factory functions
 - ground quad (1123-1135) -> box
 - COM-offset (1138-1152) and scaled shapes (1155-1166) -> baked at build
 
-Hulls are reduced to <= max_verts well-spread extreme vertices, recentred on
-the centroid and rotated into principal axes so bodies can use a diagonal
-local inertia; the principal-frame AABB doubles as the OBB used for
-hull-vs-dynamic collision.
+Hulls are exact (scipy qhull): reduced to <= max_verts extreme vertices,
+recentred on the solid COM and rotated into principal axes (tetrahedron-
+decomposition volume/COM/inertia) with face planes stored for the
+narrowphase SAT and ray clipping.
 """
 
 from __future__ import annotations
@@ -39,8 +39,38 @@ class PhysicsShape:
     # Hull-only payload (uploaded into the device HullLibrary by PhysicsWorld):
     hull_verts: np.ndarray | None = None       # [V, 3] in principal frame
     hull_contact_verts: np.ndarray | None = None  # [8, 3]
-    # Rotation from original mesh frame into the principal frame (host info).
+    hull_planes: np.ndarray | None = None      # [F, 4] unit outward (n, d): n·x <= d
+    # Rotation from original mesh frame into the principal frame, and the
+    # mesh-frame COM: the BODY pose is the principal frame at the COM
+    # (reference: Jolt COM-offset shape decoration, PhysicsWorld.cpp:1138-1152).
     principal_rot: np.ndarray = field(default_factory=lambda: np.eye(3, dtype=np.float32))
+    com_offset: np.ndarray = field(default_factory=lambda: np.zeros(3, dtype=np.float32))
+
+    def body_pose_from_mesh(self, pos, quat):
+        """Compose an authored mesh-frame pose into the body (COM/principal)
+        pose the simulator integrates."""
+        from substrata_tpu.maths import quat as quatm
+        import jax.numpy as jnp
+        pos = np.asarray(pos, np.float32)
+        quat = np.asarray(quat, np.float32)
+        q_p = np.asarray(quatm.from_matrix(jnp.asarray(self.principal_rot)))
+        body_q = np.asarray(quatm.mul(jnp.asarray(quat), jnp.asarray(q_p)))
+        body_p = pos + np.asarray(
+            quatm.rotate_vec(jnp.asarray(quat), jnp.asarray(self.com_offset)))
+        return body_p.astype(np.float32), body_q.astype(np.float32)
+
+    def mesh_pose_from_body(self, pos, quat):
+        """Inverse of body_pose_from_mesh (for render/replication readback)."""
+        from substrata_tpu.maths import quat as quatm
+        import jax.numpy as jnp
+        pos = np.asarray(pos, np.float32)
+        quat = np.asarray(quat, np.float32)
+        q_p = np.asarray(quatm.from_matrix(jnp.asarray(self.principal_rot)))
+        mesh_q = np.asarray(quatm.mul(jnp.asarray(quat),
+                                      quatm.conjugate(jnp.asarray(q_p))))
+        mesh_p = pos - np.asarray(
+            quatm.rotate_vec(jnp.asarray(mesh_q), jnp.asarray(self.com_offset)))
+        return mesh_p.astype(np.float32), mesh_q.astype(np.float32)
 
     def size_bytes(self) -> int:
         n = 16 + 12 + 4 * 7
@@ -92,37 +122,107 @@ def _reduce_hull_verts(verts: np.ndarray, max_verts: int) -> np.ndarray:
     return verts[np.array(uniq[:max_verts])]
 
 
+def _hull_mass_properties(verts: np.ndarray, simplices: np.ndarray):
+    """Exact solid volume / COM / covariance of a convex hull by tetrahedron
+    decomposition (the same integrals Jolt computes for ConvexHullShape mass
+    properties).
+
+    Returns (volume, com [3], C_com [3,3]) with C_com = ∫ x xᵀ dV about the
+    COM.  Decomposes from an interior point with |det| (qhull simplices are
+    not consistently oriented; with an interior apex every tet is disjoint,
+    and the integrals below are symmetric in (a, b, c) so orientation only
+    affects the det sign).
+    """
+    p = verts.mean(axis=0)  # interior point of a convex hull
+    a = verts[simplices[:, 0]] - p
+    b = verts[simplices[:, 1]] - p
+    c = verts[simplices[:, 2]] - p
+    det = np.abs(np.einsum("ij,ij->i", a, np.cross(b, c)))  # 6 * tet volume
+    vol = det.sum() / 6.0
+    com_l = (det[:, None] * (a + b + c)).sum(axis=0) / 24.0 / max(vol, 1e-12)
+    # ∫ x xᵀ over tet(0,a,b,c) = det/120 * (Σ v vᵀ + S Sᵀ), S = a+b+c.
+    s = a + b + c
+    cov = (np.einsum("i,ij,ik->jk", det, a, a)
+           + np.einsum("i,ij,ik->jk", det, b, b)
+           + np.einsum("i,ij,ik->jk", det, c, c)
+           + np.einsum("i,ij,ik->jk", det, s, s)) / 120.0
+    cov_com = cov - vol * np.outer(com_l, com_l)
+    return float(vol), p + com_l, cov_com
+
+
+def _hull_face_planes(verts: np.ndarray, max_faces: int = 32) -> np.ndarray:
+    """Unit outward face planes (n, d with n·x <= d) of the convex hull of
+    ``verts``, coplanar triangles merged.  Padded callers mask with n = 0."""
+    from scipy.spatial import ConvexHull
+    hull = ConvexHull(verts, qhull_options="QJ")
+    eqs = hull.equations  # [F, 4]: n·x + offset <= 0 with |n| = 1
+    planes = np.column_stack([eqs[:, :3], -eqs[:, 3]])
+    # Merge coplanar triangle faces (quantised key).
+    key = np.round(planes / 1e-4).astype(np.int64)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    planes = planes[np.sort(idx)]
+    if len(planes) > max_faces:
+        # Keep the largest-offset-spread faces: prefer planes whose normals
+        # are most spread (greedy farthest-normal selection).
+        keep = [0]
+        normals = planes[:, :3]
+        d = np.full(len(planes), np.inf)
+        for _ in range(max_faces - 1):
+            d = np.minimum(d, 1.0 - normals @ normals[keep[-1]])
+            nxt = int(np.argmax(d))
+            keep.append(nxt)
+            d[nxt] = -np.inf
+        planes = planes[np.array(sorted(set(keep)))]
+    return planes.astype(np.float32)
+
+
 def make_convex_hull(vertices, density: float = 1000.0, mass: float = 0.0,
                      max_verts: int = 32) -> PhysicsShape:
     """Convex hull from a vertex cloud (reference: ConvexHullShapeSettings
     from BatchedMesh vertices, PhysicsWorld.cpp:1000-1060).
 
-    The hull is recentred on its centroid and rotated into principal axes
-    (diagonalised point-cloud covariance as the inertia proxy)."""
-    v = np.asarray(vertices, np.float32).reshape(-1, 3)
-    centroid = v.mean(axis=0)
-    v = v - centroid
-    # Principal axes via covariance eigenvectors.
-    cov = np.cov(v.T) if len(v) > 3 else np.eye(3)
-    w, rot = np.linalg.eigh(cov + 1e-9 * np.eye(3))
+    Exact hull (scipy qhull): solid volume / COM / inertia by tetrahedron
+    decomposition, recentred on the COM and rotated into principal axes so
+    the body uses a diagonal local inertia.  Face planes are stored for the
+    narrowphase SAT and ray clipping."""
+    v = np.asarray(vertices, np.float64).reshape(-1, 3)
+    try:
+        from scipy.spatial import ConvexHull
+        hull = ConvexHull(v, qhull_options="QJ")
+        hv = v[hull.vertices]
+        vol0, com, cov_com = _hull_mass_properties(
+            v, hull.simplices.astype(np.int64))
+        vol = max(vol0, 1e-9)
+    except Exception:
+        # Degenerate input (planar / tiny): fall back to the point cloud.
+        hv = v
+        com = v.mean(axis=0)
+        vol = max(float(np.ptp(v, axis=0).prod()) * 0.5, 1e-6)
+        cov_com = np.einsum("ij,ik->jk", v - com, v - com) / max(len(v), 1) * vol
+
+    m = mass if mass > 0 else density * vol
+    # Covariance about the COM, scaled to mass; inertia = tr(C)·I − C.
+    cov_m = cov_com * (m / vol)
+    inertia_t = np.trace(cov_m) * np.eye(3) - cov_m
+    inertia_t = 0.5 * (inertia_t + inertia_t.T)
+    w, rot = np.linalg.eigh(inertia_t)
     if np.linalg.det(rot) < 0:
         rot[:, 0] = -rot[:, 0]
-    vp = v @ rot  # principal frame
-    vp = _reduce_hull_verts(vp, max_verts)
+
+    vp = (hv - com) @ rot  # principal frame, COM at origin
+    vp = _reduce_hull_verts(vp.astype(np.float32), max_verts)
+    try:
+        planes = _hull_face_planes(vp.astype(np.float64))
+    except Exception:
+        planes = np.zeros((0, 4), np.float32)
     obb_he = np.maximum(np.abs(vp).max(axis=0), 1e-4)
     bound = float(np.linalg.norm(vp, axis=1).max())
-    # Volume estimate: OBB volume * 0.66 (hulls are typically ~2/3 their OBB).
-    vol = float(8.0 * obb_he.prod() * 0.66)
-    m = mass if mass > 0 else density * vol
-    # Point-mass inertia of the vertex cloud scaled to the mass (principal frame).
-    r2 = (vp ** 2).sum(axis=1)
-    inertia = np.array([
-        (r2 - vp[:, 0] ** 2).mean(), (r2 - vp[:, 1] ** 2).mean(),
-        (r2 - vp[:, 2] ** 2).mean()], np.float32) * m
-    inv_inertia = np.where(inertia > 1e-9, 1.0 / inertia, 0.0).astype(np.float32)
+    inertia = np.maximum(w, 1e-9)
+    inv_inertia = (1.0 / inertia).astype(np.float32)
     params = np.array([0, obb_he[0], obb_he[1], obb_he[2]], np.float32)  # [0]=hull slot, set on add
 
-    # 8 contact vertices: extremes along the 8 corner directions.
+    # 8 contact vertices: extremes along the 8 corner directions (static
+    # heightfield/trimesh sampling).
     corner_dirs = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
                            np.float32)
     contact_idx = np.argmax(vp @ corner_dirs.T, axis=0)
@@ -130,10 +230,12 @@ def make_convex_hull(vertices, density: float = 1000.0, mass: float = 0.0,
 
     return PhysicsShape(
         int(ShapeType.HULL), params, float(m), 1.0 / m if m > 0 else 0.0,
-        inv_inertia, vol, bound,
+        inv_inertia, float(vol), bound,
         hull_verts=vp.astype(np.float32),
         hull_contact_verts=contact_verts.astype(np.float32),
+        hull_planes=planes,
         principal_rot=rot.astype(np.float32),
+        com_offset=np.asarray(com, np.float32),
     )
 
 

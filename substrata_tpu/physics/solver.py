@@ -199,8 +199,13 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
 
     v0 = rel_vel(body.linvel, body.angvel)
     vn0 = jnp.sum(v0 * nrm, -1)
+    # Inactive restitution must NOT clamp the target to zero: a separated
+    # (speculative) contact's target is pen/dt < 0 — it LIMITS approach
+    # speed to exactly close the gap, it doesn't forbid approach.  (With a
+    # 0.0 floor, slowly-approaching bodies hover at the speculative margin
+    # ~4 cm above surfaces — caught by the golden-trajectory harness.)
     restitution_target = jnp.where(vn0 < -params.restitution_threshold,
-                                   -contacts.restitution * vn0, 0.0)
+                                   -contacts.restitution * vn0, -jnp.inf)
     # Baumgarte bias, clamped to a max depenetration velocity (unclamped,
     # deep penetrations launch bodies — Jolt clamps the same way); the
     # position-correction pass recovers the rest without adding energy.

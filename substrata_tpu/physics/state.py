@@ -143,6 +143,8 @@ class HullLibrary:
 
     verts: jnp.ndarray   # [H, MAX_HULL_VERTS, 3] f32, padded with repeats
     n_verts: jnp.ndarray  # [H] i32
+    planes: jnp.ndarray  # [H, MAX_HULL_FACES, 4] unit outward (n, d): n·x <= d
+    n_faces: jnp.ndarray  # [H] i32
 
     @property
     def capacity(self) -> int:
@@ -152,11 +154,18 @@ class HullLibrary:
     def max_verts(self) -> int:
         return self.verts.shape[1]
 
+    @property
+    def max_faces(self) -> int:
+        return self.planes.shape[1]
 
-def empty_hull_library(capacity: int = 64, max_verts: int = 32) -> HullLibrary:
+
+def empty_hull_library(capacity: int = 64, max_verts: int = 32,
+                       max_faces: int = 32) -> HullLibrary:
     return HullLibrary(
         verts=jnp.zeros((capacity, max_verts, 3), jnp.float32),
         n_verts=jnp.zeros((capacity,), jnp.int32),
+        planes=jnp.zeros((capacity, max_faces, 4), jnp.float32),
+        n_faces=jnp.zeros((capacity,), jnp.int32),
     )
 
 

@@ -81,7 +81,7 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
 
     # 3. Narrowphase.
     pair_cts, pair_touching, bucket_overflow = narrowphase.pair_contacts(
-        body, pair_a, pair_b, pair_valid, config)
+        body, pair_a, pair_b, pair_valid, config, world.hulls)
     static_cts = narrowphase.static_contacts(body, world, hull_contact_verts, config)
     # Static (ground) contacts FIRST: if the compacted buffer overflows, the
     # dropped rows must be body-body extras — never the world contacts, or

@@ -254,12 +254,20 @@ class PhysicsWorld:
         pad[: len(v)] = v
         if len(v) < mv:
             pad[len(v):] = v[0]
+        mf = self._hulls.max_faces
+        pl = (shape.hull_planes[:mf] if shape.hull_planes is not None
+              else np.zeros((0, 4), np.float32))
+        plpad = np.zeros((mf, 4), np.float32)
+        plpad[: len(pl)] = pl
         self._hulls = self._hulls.replace(
             verts=self._hulls.verts.at[h].set(jnp.asarray(pad)),
             n_verts=self._hulls.n_verts.at[h].set(len(v)),
+            planes=self._hulls.planes.at[h].set(jnp.asarray(plpad)),
+            n_faces=self._hulls.n_faces.at[h].set(len(pl)),
         )
         self._hull_contact_verts = self._hull_contact_verts.at[h].set(
             jnp.asarray(shape.hull_contact_verts))
+        self._hulls_dirty = True
         self._num_hulls += 1
         return h
 
@@ -308,6 +316,9 @@ class PhysicsWorld:
     # Flush / think
     # ------------------------------------------------------------------
     def _flush(self):
+        if self._hulls_dirty:
+            self.static_world = self.static_world.replace(hulls=self._hulls)
+            self._hulls_dirty = False
         if self._dirty:
             items = list(self._dirty.items())
             self._dirty.clear()

@@ -261,3 +261,77 @@ def test_smoothing_decay():
     for _ in range(60):
         rings.decay_smoothing(1 / 60.0)
     assert abs(rings.smooth_translation[0, 0]) < 0.05
+
+
+def test_resource_upload_download_roundtrip(server, tmp_path):
+    """Network asset transfer (Protocol.h:167-170 + connection types
+    501/502): client A uploads a resource, the server broadcasts
+    NewResourceOnServer, and client B — which has never seen the file —
+    downloads it over a dedicated download connection."""
+    from substrata_tpu.net.client import ResourceDownloader, upload_resource
+    from substrata_tpu.shared.resources import ResourceManager
+
+    b = connect(server)
+    data = b"BMESH" + bytes(range(256)) * 8
+    code = upload_resource("127.0.0.1", server.port, "chair_abc123.glb", data)
+    assert code == P.UPLOAD_ALLOWED
+
+    # B hears the announcement on its updates connection.
+    heard = []
+    assert wait_for(lambda: (heard.extend(b.pop_events().new_resources),
+                             "chair_abc123.glb" in heard)[1])
+
+    # B fetches over a download connection into its ResourceManager.
+    rm = ResourceManager(str(tmp_path / "client_b_res"))
+    dl = ResourceDownloader("127.0.0.1", server.port, rm)
+    out = dl.fetch(["chair_abc123.glb", "missing.glb"])
+    dl.close()
+    assert out["chair_abc123.glb"] == data
+    assert out["missing.glb"] is None
+    assert rm.is_file_present("chair_abc123.glb")
+    assert rm.load_resource("chair_abc123.glb") == data
+    b.stop()
+
+
+def test_upload_rejections(server):
+    from substrata_tpu.net.client import upload_resource
+    # Bad file type.
+    assert upload_resource("127.0.0.1", server.port, "evil.exe",
+                           b"x") == P.INVALID_FILE_TYPE
+    # Read-only server.
+    server.read_only = True
+    try:
+        assert upload_resource("127.0.0.1", server.port, "ok.glb",
+                               b"x") == P.SERVER_IS_IN_READ_ONLY_MODE
+    finally:
+        server.read_only = False
+
+
+def test_get_files_on_updates_connection(server):
+    """GetFiles also works on the normal updates connection (blocking
+    helper Client.download_files)."""
+    from substrata_tpu.net.client import upload_resource
+    upload_resource("127.0.0.1", server.port, "tone.mp3", b"\xff\xfbsome")
+    a = connect(server)
+    out = a.download_files(["tone.mp3"])
+    assert out["tone.mp3"] == b"\xff\xfbsome"
+    a.stop()
+
+
+def test_compressed_initial_send(server):
+    """Clients advertising STREAMING_COMPRESSED_OBJECT_SUPPORT receive the
+    world as ONE ObjectInitialSendCompressed zlib batch (Protocol.h:137)."""
+    a = connect(server)
+    for i in range(10):
+        a.send_create_object(WorldObject(flags=1))
+    assert wait_for(lambda: len(a.world_state.objects) >= 10)
+    # New client with the capability: receives all objects (via the batch).
+    b = Client("127.0.0.1", server.port,
+               capabilities=P.STREAMING_COMPRESSED_OBJECT_SUPPORT)
+    b.start()
+    assert wait_for(lambda: len(b.world_state.objects) >= 10)
+    # And one WITHOUT the capability still gets everything per-object.
+    c = Client("127.0.0.1", server.port, capabilities=0)
+    c.start()
+    assert wait_for(lambda: len(c.world_state.objects) >= 10)
+    a.stop(); b.stop(); c.stop()

@@ -1,0 +1,63 @@
+"""Generate the committed golden-trajectory fixtures for
+tests/test_jolt_fidelity.py from the independent sequential-impulse
+reference (tools/golden_ref.py — Jolt's documented solver semantics).
+
+Run:  python tools/gen_golden_fixtures.py
+Writes tests/fixtures/golden_<scene>.npz with (pos [T,N,3], quat [T,N,4]).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from tools import golden_ref as G
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "fixtures")
+
+OCTA = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                 [0, 0, 1], [0, 0, -1]], np.float32) * 0.5
+
+
+def scene_sphere_bounce():
+    return [G.make_sphere_body(0.3, [0, 0, 2.0], restitution=0.6)], 180
+
+
+def scene_two_spheres():
+    # Head-on: momentum/restitution exchange.
+    a = G.make_sphere_body(0.3, [-1.5, 0, 0.3], restitution=0.3)
+    b = G.make_sphere_body(0.3, [1.5, 0, 0.3], restitution=0.3)
+    a.linvel = np.array([3.0, 0, 0.0])
+    return [a, b], 180
+
+
+def scene_hull_drop():
+    h = G.make_hull_body(OCTA, [0, 0, 1.2])
+    h.angvel = np.array([1.0, 0.3, 0.0])
+    return [h], 150
+
+
+SCENES = {
+    "sphere_bounce": scene_sphere_bounce,
+    "two_spheres": scene_two_spheres,
+    "hull_drop": scene_hull_drop,
+}
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, fn in SCENES.items():
+        bodies, steps = fn()
+        pos, quat = G.run(bodies, steps)
+        np.savez_compressed(os.path.join(OUT, f"golden_{name}.npz"),
+                            pos=pos.astype(np.float32),
+                            quat=quat.astype(np.float32))
+        print(f"{name}: T={steps} N={len(bodies)} "
+              f"final z={pos[-1, :, 2].round(3)}")
+
+
+if __name__ == "__main__":
+    main()

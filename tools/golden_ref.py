@@ -1,0 +1,308 @@
+"""Independent sequential-impulse reference solver (numpy, host-side).
+
+The fidelity bar for this engine is "matching Jolt trajectories within
+tolerance" (BASELINE.md).  Jolt itself is not buildable in this image, so
+this module implements Jolt's *documented* solver semantics independently —
+sequential (Gauss-Seidel) impulses in contact order, 10 velocity + 2
+position iterations per step, warm starting, accumulated-impulse clamping,
+box friction clamped to mu*lambda_n, Baumgarte stabilisation with slop,
+restitution on approach speed, semi-implicit Euler — the algorithm of
+physics_system->Update (gui_client/PhysicsWorld.cpp:1356-1364, Jolt 5.3
+defaults).  It is deliberately a DIFFERENT implementation style from the
+TPU engine (scalar sequential vs mass-splitting Jacobi): agreement between
+the two is evidence the TPU solver reproduces sequential-impulse behaviour,
+which is the property "Jolt fidelity" names.
+
+Scope: enough shapes for the canonical fixture scenes — sphere / box /
+convex vert-cloud bodies against the ground plane, sphere-sphere, and
+near-aligned box-box stacking (upper corners vs lower top face).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+GRAVITY = np.array([0.0, 0.0, -9.81])
+VEL_ITERS = 10       # Jolt default velocity iterations
+POS_ITERS = 2        # Jolt default position iterations
+BAUMGARTE = 0.2
+SLOP = 0.005
+REST_THRESHOLD = 1.0  # min approach speed for restitution (m/s)
+
+
+def quat_mul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
+
+
+def quat_rot(q, v):
+    x, y, z, w = q
+    u = np.array([x, y, z])
+    return v + 2.0 * np.cross(u, np.cross(u, v) + w * v)
+
+
+def quat_to_mat(q):
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+@dataclass
+class Body:
+    pos: np.ndarray
+    quat: np.ndarray = field(default_factory=lambda: np.array([0.0, 0.0, 0.0, 1.0]))
+    linvel: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    angvel: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    inv_mass: float = 1.0
+    inv_inertia: np.ndarray = field(default_factory=lambda: np.ones(3))  # local diag
+    friction: float = 0.5
+    restitution: float = 0.0
+    # Contact sample vertices in local frame (sphere: one vert + radius).
+    verts: np.ndarray = field(default_factory=lambda: np.zeros((1, 3)))
+    radius: float = 0.0
+    # For box-box stacking: half extents (None for non-boxes).
+    half_extents: np.ndarray | None = None
+    lin_damping: float = 0.05
+    ang_damping: float = 0.05
+
+    def world_inv_inertia(self):
+        r = quat_to_mat(self.quat)
+        return r @ np.diag(self.inv_inertia) @ r.T
+
+
+def make_sphere_body(r, pos, density=1000.0, restitution=0.0, friction=0.5):
+    m = density * 4 / 3 * np.pi * r ** 3
+    i = 0.4 * m * r * r
+    return Body(pos=np.asarray(pos, float), inv_mass=1 / m,
+                inv_inertia=np.full(3, 1 / i), radius=r,
+                restitution=restitution, friction=friction)
+
+
+def make_box_body(he, pos, density=1000.0, friction=0.5, restitution=0.0):
+    he = np.asarray(he, float)
+    m = density * 8 * he.prod()
+    c = m / 3.0
+    inertia = np.array([c * (he[1] ** 2 + he[2] ** 2),
+                        c * (he[0] ** 2 + he[2] ** 2),
+                        c * (he[0] ** 2 + he[1] ** 2)])
+    corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)], float) * he
+    return Body(pos=np.asarray(pos, float), inv_mass=1 / m,
+                inv_inertia=1 / inertia, verts=corners, half_extents=he,
+                friction=friction, restitution=restitution)
+
+
+def make_hull_body(verts, pos, density=1000.0, friction=0.5, restitution=0.0):
+    """Convex vert-cloud body with the SAME exact mass properties the engine
+    computes (shapes.make_convex_hull) so trajectories are comparable."""
+    from substrata_tpu.physics import shapes
+    sh = shapes.make_convex_hull(np.asarray(verts, np.float32),
+                                 density=density)
+    return Body(pos=np.asarray(pos, float), inv_mass=sh.inv_mass,
+                inv_inertia=np.asarray(sh.inv_inertia, float),
+                verts=np.asarray(sh.hull_verts, float),
+                friction=friction, restitution=restitution)
+
+
+class _Contact:
+    __slots__ = ("a", "b", "point", "normal", "pen", "key",
+                 "ln", "lt1", "lt2", "t1", "t2",
+                 "r_a", "r_b", "kn", "kt1", "kt2", "iw_a", "iw_b", "im_b",
+                 "target", "mu")
+
+    def __init__(self, a, b, point, normal, pen, key):
+        self.a, self.b = a, b
+        self.point, self.normal, self.pen, self.key = point, normal, pen, key
+        self.ln = self.lt1 = self.lt2 = 0.0
+        ax = np.array([1.0, 0, 0]) if abs(normal[0]) < 0.9 else np.array([0, 1.0, 0])
+        self.t1 = np.cross(ax, normal)
+        self.t1 /= max(np.linalg.norm(self.t1), 1e-9)
+        self.t2 = np.cross(normal, self.t1)
+
+
+def _collect_contacts(bodies, ground_z, margin=0.04):
+    contacts = []
+    for i, b in enumerate(bodies):
+        # vs ground plane
+        if b.radius > 0:
+            pen = ground_z + b.radius - b.pos[2]
+            if pen > -margin:
+                contacts.append(_Contact(i, -1,
+                                         np.array([b.pos[0], b.pos[1], ground_z]),
+                                         np.array([0.0, 0, 1.0]), pen, (i, -1, 0)))
+        else:
+            w = b.pos + (quat_to_mat(b.quat) @ b.verts.T).T
+            for k in np.argsort(w[:, 2])[:4]:
+                pen = ground_z - w[k, 2]
+                if pen > -margin:
+                    contacts.append(_Contact(i, -1, w[k].copy(),
+                                             np.array([0.0, 0, 1.0]), pen,
+                                             (i, -1, int(k) + 1)))
+    # pairwise
+    for i in range(len(bodies)):
+        for j in range(i + 1, len(bodies)):
+            a, b = bodies[i], bodies[j]
+            if a.radius > 0 and b.radius > 0:
+                d = a.pos - b.pos
+                dist = np.linalg.norm(d)
+                pen = a.radius + b.radius - dist
+                if pen > -margin:
+                    n = d / max(dist, 1e-9)
+                    contacts.append(_Contact(i, j, b.pos + n * b.radius,
+                                             n, pen, (i, j, 0)))
+            elif a.half_extents is not None and b.half_extents is not None:
+                # Near-aligned stacking: upper's low corners vs lower's top.
+                # lo/hi fixed by slot order (scenes are built bottom-up) so
+                # warm-start keys stay stable when boxes jostle.
+                lo, hi = i, j
+                bl, bh = bodies[lo], bodies[hi]
+                top = bl.pos[2] + bl.half_extents[2]
+                wh = bh.pos + (quat_to_mat(bh.quat) @ bh.verts.T).T
+                for k in np.argsort(wh[:, 2])[:4]:
+                    if (abs(wh[k, 0] - bl.pos[0]) < bl.half_extents[0] + 0.02
+                            and abs(wh[k, 1] - bl.pos[1]) < bl.half_extents[1] + 0.02):
+                        pen = top - wh[k, 2]
+                        if pen > -margin:
+                            contacts.append(_Contact(
+                                hi, lo, wh[k].copy(), np.array([0.0, 0, 1.0]),
+                                pen, (hi, lo, int(k) + 1)))
+    return contacts
+
+
+def step(bodies, dt, ground_z=0.0, warm: dict | None = None):
+    """One 60 Hz-style step: forces -> contacts -> sequential impulses
+    (VEL_ITERS passes in contact order) -> integrate -> position solve."""
+    for b in bodies:
+        if b.inv_mass > 0:
+            b.linvel = b.linvel + GRAVITY * dt
+            b.linvel *= np.exp(-b.lin_damping * dt)
+            b.angvel *= np.exp(-b.ang_damping * dt)
+
+    contacts = _collect_contacts(bodies, ground_z)
+    warm = warm if warm is not None else {}
+
+    # Precompute per-contact data + warm start (Jolt applies cached impulses
+    # before iterating).
+    for c in contacts:
+        ba = bodies[c.a]
+        bb = bodies[c.b] if c.b >= 0 else None
+        c.r_a = c.point - ba.pos
+        c.r_b = c.point - bb.pos if bb is not None else np.zeros(3)
+        iw_a = ba.world_inv_inertia()
+        iw_b = bb.world_inv_inertia() if bb is not None else np.zeros((3, 3))
+        im_b = bb.inv_mass if bb is not None else 0.0
+
+        def eff(d, c=c, ba=ba, iw_a=iw_a, iw_b=iw_b, im_b=im_b):
+            ra_x = np.cross(c.r_a, d)
+            rb_x = np.cross(c.r_b, d)
+            return max(ba.inv_mass + im_b + ra_x @ iw_a @ ra_x
+                       + rb_x @ iw_b @ rb_x, 1e-9)
+
+        c.kn = eff(c.normal)
+        c.kt1 = eff(c.t1)
+        c.kt2 = eff(c.t2)
+        c.iw_a, c.iw_b, c.im_b = iw_a, iw_b, im_b
+        v = _rel_vel(bodies, c)
+        vn0 = v @ c.normal
+        rest = max(ba.restitution,
+                   bb.restitution if bb is not None else 0.0)
+        # Separated (speculative) contacts LIMIT approach speed to pen/dt;
+        # inactive restitution must not clamp that to zero.
+        c.target = max(
+            min(BAUMGARTE / dt * max(c.pen - SLOP, 0.0), 3.0)
+            if c.pen > 0 else c.pen / dt,
+            -rest * vn0 if vn0 < -REST_THRESHOLD else -np.inf)
+        c.mu = np.sqrt(max(ba.friction * (bb.friction if bb is not None
+                                          else 0.5), 0.0))
+        ln, lt1, lt2 = warm.get(c.key, (0.0, 0.0, 0.0))
+        c.ln = max(ln, 0.0)
+        c.lt1, c.lt2 = lt1, lt2
+        _apply(bodies, c, c.ln, c.lt1, c.lt2)
+
+    # Sequential impulses: contacts solved IN ORDER within each iteration
+    # (the order-dependence the TPU Jacobi solver must reproduce in effect).
+    for _ in range(VEL_ITERS):
+        for c in contacts:
+            v = _rel_vel(bodies, c)
+            dln = (c.target - v @ c.normal) / c.kn
+            ln_new = max(c.ln + dln, 0.0)
+            dln = ln_new - c.ln
+            c.ln = ln_new
+            max_f = c.mu * c.ln
+            lt1_new = np.clip(c.lt1 - (v @ c.t1) / c.kt1, -max_f, max_f)
+            lt2_new = np.clip(c.lt2 - (v @ c.t2) / c.kt2, -max_f, max_f)
+            dlt1, dlt2 = lt1_new - c.lt1, lt2_new - c.lt2
+            c.lt1, c.lt2 = lt1_new, lt2_new
+            _apply(bodies, c, dln, dlt1, dlt2)
+
+    for b in bodies:
+        if b.inv_mass > 0:
+            b.pos = b.pos + b.linvel * dt
+            w = b.angvel
+            dq = np.array([w[0], w[1], w[2], 0.0]) * (0.5 * dt)
+            b.quat = b.quat + quat_mul(dq, b.quat)
+            b.quat /= np.linalg.norm(b.quat)
+
+    # Split-impulse position correction (translation, like the TPU engine).
+    for _ in range(POS_ITERS):
+        for c in contacts:
+            ba = bodies[c.a]
+            bb = bodies[c.b] if c.b >= 0 else None
+            p_a = ba.pos + c.r_a
+            pen_res = c.pen - ((ba.pos + c.r_a - c.point) @ c.normal
+                               - ((bb.pos + c.r_b - c.point) @ c.normal
+                                  if bb is not None else 0.0))
+            push = max(pen_res - SLOP, 0.0) * 0.25
+            w_sum = ba.inv_mass + (bb.inv_mass if bb is not None else 0.0)
+            if w_sum <= 0:
+                continue
+            corr = c.normal * push / w_sum
+            ba.pos = ba.pos + corr * ba.inv_mass
+            if bb is not None:
+                bb.pos = bb.pos - corr * bb.inv_mass
+
+    return {c.key: (c.ln, c.lt1, c.lt2) for c in contacts}
+
+
+def _rel_vel(bodies, c):
+    ba = bodies[c.a]
+    v = ba.linvel + np.cross(ba.angvel, c.r_a)
+    if c.b >= 0:
+        bb = bodies[c.b]
+        v = v - bb.linvel - np.cross(bb.angvel, c.r_b)
+    return v
+
+
+def _apply(bodies, c, dln, dlt1, dlt2):
+    imp = dln * c.normal + dlt1 * c.t1 + dlt2 * c.t2
+    ba = bodies[c.a]
+    ba.linvel = ba.linvel + imp * ba.inv_mass
+    ba.angvel = ba.angvel + c.iw_a @ np.cross(c.r_a, imp)
+    if c.b >= 0:
+        bb = bodies[c.b]
+        bb.linvel = bb.linvel - imp * bb.inv_mass
+        bb.angvel = bb.angvel - c.iw_b @ np.cross(c.r_b, imp)
+
+
+def run(bodies, n_steps, dt=1 / 60, ground_z=0.0):
+    """Simulate and return trajectories: (pos [T,N,3], quat [T,N,4])."""
+    pos = np.zeros((n_steps, len(bodies), 3))
+    qu = np.zeros((n_steps, len(bodies), 4))
+    warm = {}
+    for t in range(n_steps):
+        warm = step(bodies, dt, ground_z, warm)
+        for i, b in enumerate(bodies):
+            pos[t, i] = b.pos
+            qu[t, i] = b.quat
+    return pos, qu
