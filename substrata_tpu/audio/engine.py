@@ -85,6 +85,8 @@ class AudioEngine:
         self._pool_cursor = 0
         self._pool_size = pool_size
         self.source_objs: dict[int, AudioSource] = {}
+        self.room = None          # RoomState when room effects enabled
+        self.use_hrtf = True      # HRIR binaural (kBinauralHighQuality parity)
         self.sound_file_cache: dict[str, tuple[int, int]] = {}  # path -> (off, len)
         self._stream_ring_pos: dict[int, int] = {}
 
@@ -276,10 +278,28 @@ class AudioEngine:
         self.sources = s
         self._pending.clear()
 
+    def set_room_effects_from_aabb(self, aabb_min, aabb_max,
+                                   reflectivity: float = 0.5):
+        """Enable room reverb derived from the enclosing object's AABB
+        (AudioEngine.cpp:738-767 SetRoomProperties/reflections parity)."""
+        from substrata_tpu.audio.mix import room_from_aabb
+        self.room = room_from_aabb(aabb_min, aabb_max, reflectivity)
+
+    def disable_room_effects(self):
+        self.room = None
+
     def render_block(self) -> np.ndarray:
         """Mix one 256-frame stereo block and return it [BLOCK, 2]."""
         self._apply_pending()
-        self.sources, out = mix_block(self.sources, self.pool, self.listener)
+        room = getattr(self, "room", None)
+        if room is not None:
+            self.sources, out, self.room = mix_block(
+                self.sources, self.pool, self.listener, room=room,
+                use_hrtf=self.use_hrtf)
+        else:
+            self.sources, out = mix_block(self.sources, self.pool,
+                                          self.listener,
+                                          use_hrtf=self.use_hrtf)
         self._retire_finished()
         return np.asarray(out)
 

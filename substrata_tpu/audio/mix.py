@@ -33,6 +33,64 @@ ENGINE_RATE = 48_000   # Hz stereo f32 output (AudioEngine.cpp:576-612)
 NUM_MIX_LAYERS = 3     # engine-sound layers (BikePhysics.cpp:261-270)
 SPEED_OF_SOUND = 343.0  # Doppler (AudioEngine.cpp:131-146)
 
+from substrata_tpu.audio.hrtf import TAPS as HRIR_TAPS, hrir_bank, quantize_direction
+
+# Reverb feedback-delay network (room effects, AudioEngine.cpp:738-767).
+FDN_LINES = 4
+FDN_MAX_DELAY = 8192   # ~170 ms at 48 kHz
+
+
+@flax.struct.dataclass
+class RoomState:
+    """Room reverb state + parameters (set from the containing object's
+    AABB like the reference's SetRoomProperties/reflection pass)."""
+
+    delay_lines: jnp.ndarray   # [FDN_LINES, FDN_MAX_DELAY]
+    write_idx: jnp.ndarray     # [] i32
+    delays: jnp.ndarray        # [FDN_LINES] i32 per-line delay
+    feedback: jnp.ndarray      # [] f32 decay gain
+    wet: jnp.ndarray           # [] f32 reverb send level (0 = off)
+
+
+def default_room() -> RoomState:
+    return RoomState(
+        delay_lines=jnp.zeros((FDN_LINES, FDN_MAX_DELAY), jnp.float32),
+        write_idx=jnp.int32(0),
+        delays=jnp.array([1323, 1811, 2203, 2707], jnp.int32),
+        feedback=jnp.float32(0.0),
+        wet=jnp.float32(0.0),
+    )
+
+
+def room_from_aabb(aabb_min, aabb_max, reflectivity: float) -> RoomState:
+    """Room parameters from the enclosing object's AABB (the reference
+    derives Resonance room properties + reflections the same way,
+    AudioEngine.cpp:738-767)."""
+    import numpy as np
+    dims = np.maximum(np.asarray(aabb_max, np.float64)
+                      - np.asarray(aabb_min, np.float64), 0.5)
+    # First-order reflection path lengths per dimension pair -> delays,
+    # de-tuned by small co-prime factors so modes don't stack.
+    base = np.array([dims[0], dims[1], dims[2],
+                     float(np.linalg.norm(dims)) * 0.5])
+    # Min delay = one block so the FDN processes whole blocks in parallel
+    # (reads never depend on writes within the same block).
+    delays = np.clip((base / 343.0 * ENGINE_RATE
+                      * np.array([1.0, 1.13, 1.31, 1.53])).astype(np.int64),
+                     BLOCK, FDN_MAX_DELAY - 1)
+    refl = float(np.clip(reflectivity, 0.0, 0.98))
+    room = default_room()
+    return room.replace(delays=jnp.asarray(delays, jnp.int32),
+                        feedback=jnp.float32(0.55 + 0.4 * refl),
+                        wet=jnp.float32(0.25 * refl))
+
+
+# Householder feedback matrix: orthogonal, fully mixing, cheap.
+_FDN_MIX = jnp.array([[0.5, 0.5, 0.5, 0.5],
+                      [0.5, -0.5, 0.5, -0.5],
+                      [0.5, 0.5, -0.5, -0.5],
+                      [0.5, -0.5, -0.5, 0.5]], jnp.float32)
+
 
 @flax.struct.dataclass
 class SourceState:
@@ -68,6 +126,9 @@ class SourceState:
     # zero-pad (underflow parity, AudioEngine.cpp:461-474).
     stream_mode: jnp.ndarray   # [S] bool
     stream_write_head: jnp.ndarray  # [S] f32 absolute samples written
+    # HRIR convolution history: last TAPS-1 fetched samples per source so
+    # block boundaries convolve seamlessly.
+    hrir_hist: jnp.ndarray     # [S, TAPS-1] f32
 
     @property
     def capacity(self):
@@ -103,6 +164,7 @@ def zero_sources(capacity: int) -> SourceState:
         alive=jnp.zeros((s,), bool),
         stream_mode=jnp.zeros((s,), bool),
         stream_write_head=jnp.zeros((s,), f),
+        hrir_hist=jnp.zeros((s, HRIR_TAPS - 1), f),
     )
 
 
@@ -152,9 +214,17 @@ def _fetch_layer(pool, offset, length, playhead, delta, looping, stream_mode,
     return out, new_playhead
 
 
-@jax.jit
-def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener, dt_block=BLOCK / ENGINE_RATE):
-    """Mix one 256-frame stereo block.  Returns (new_src, out [B, 2])."""
+@partial(jax.jit, static_argnames=("use_hrtf",))
+def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener,
+              dt_block=BLOCK / ENGINE_RATE, room: RoomState | None = None,
+              use_hrtf: bool = True):
+    """Mix one 256-frame stereo block.
+
+    Returns (new_src, out [B, 2]) — or (new_src, out, new_room) when a
+    RoomState is passed (room-effects reverb, AudioEngine.cpp:738-767).
+    use_hrtf=True spatialises through the HRIR FIR bank (measured-style
+    interaural time + level differences, audio/hrtf.py); False falls back
+    to constant-power pan + head-shadow low-pass (the round-1 path)."""
     s = src.capacity
     active = src.alive & ~src.paused & ~src.finished
 
@@ -217,10 +287,15 @@ def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener, dt_block=
     gl = gl * active
     gr = gr * active
 
-    # --- Head-shadow / occlusion low-pass (one-pole, scanned over frames).
-    # Rear sources and occluded sources get darkened (binaural-lite).
-    fc = jnp.where(src.num_occlusions > 0, 800.0,
-                   jnp.where(behind & src.spatial, 3000.0, 20000.0))
+    # --- Occlusion low-pass (one-pole, scanned over frames); with HRTF on,
+    # head shadow comes from the HRIRs so only occlusion darkens here.
+    if use_hrtf:
+        fc = jnp.where(src.num_occlusions > 0, 800.0, 20000.0)
+        use_lp = src.num_occlusions > 0
+    else:
+        fc = jnp.where(src.num_occlusions > 0, 800.0,
+                       jnp.where(behind & src.spatial, 3000.0, 20000.0))
+        use_lp = (src.num_occlusions > 0) | (behind & src.spatial)
     alpha = jnp.clip(2.0 * jnp.pi * fc / ENGINE_RATE, 0.0, 1.0)
 
     def lp_scan(state, frame):
@@ -229,17 +304,63 @@ def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener, dt_block=
 
     lp_out, filtered = jax.lax.scan(lp_scan, src.lp_state, samples.T)
     filtered = filtered.T                                  # [S, B]
-    use_lp = (src.num_occlusions > 0) | (behind & src.spatial)
     samples = jnp.where(use_lp[:, None], filtered, samples)
+
+    if use_hrtf:
+        # --- HRIR spatialisation: gather each source's quantised-direction
+        # FIR pair and convolve (48 static shifts -> one einsum per ear).
+        bank = jnp.asarray(hrir_bank())                    # [A, E, 2, T]
+        zc = jnp.sum(to_src * listener.up[None, :], -1)
+        ai, ei = quantize_direction(x, y, zc, dist)
+        h = bank[ai, ei]                                   # [S, 2, T]
+        x_ext = jnp.concatenate([src.hrir_hist, samples], axis=1)  # [S, B+T-1]
+        t = HRIR_TAPS
+        windows = jnp.stack([x_ext[:, t - 1 - k: t - 1 - k + BLOCK]
+                             for k in range(t)], axis=2)   # [S, B, T]
+        conv_l = jnp.einsum("sbt,st->sb", windows, h[:, 0])
+        conv_r = jnp.einsum("sbt,st->sb", windows, h[:, 1])
+        sig_l = jnp.where(src.spatial[:, None], conv_l, samples)
+        sig_r = jnp.where(src.spatial[:, None], conv_r, samples)
+        # Direction is in the HRIRs; both channels carry the full gain.
+        gl = gain * jnp.where(src.spatial, 1.0, 0.70710678) * active
+        gr = gl
+        new_hist = x_ext[:, BLOCK:]
+    else:
+        sig_l = sig_r = samples
+        new_hist = src.hrir_hist
 
     # --- Gain ramp over the block (zipper-noise suppression) then the
     # stereo downmix as one [2, S] @ [S, B] matmul on the MXU. ---
     ramp = jnp.linspace(0.0, 1.0, BLOCK, dtype=jnp.float32)[None, :]
     gl_t = src.prev_gain_l[:, None] + (gl[:, None] - src.prev_gain_l[:, None]) * ramp
     gr_t = src.prev_gain_r[:, None] + (gr[:, None] - src.prev_gain_r[:, None]) * ramp
-    left = jnp.sum(gl_t * samples, axis=0)
-    right = jnp.sum(gr_t * samples, axis=0)
+    left = jnp.sum(gl_t * sig_l, axis=0)
+    right = jnp.sum(gr_t * sig_r, axis=0)
     out = jnp.stack([left, right], axis=1) * listener.master_volume
+
+    new_room = None
+    if room is not None:
+        # --- Room-effects reverb (FDN): mono send of spatial sources,
+        # block-parallel because every line delay >= BLOCK. ---
+        send = jnp.sum(samples * (gain * active
+                                  * src.spatial.astype(jnp.float32))[:, None],
+                       axis=0)                             # [B]
+        b = jnp.arange(BLOCK, dtype=jnp.int32)
+        rpos = jnp.mod(room.write_idx - room.delays[:, None] + b[None, :],
+                       FDN_MAX_DELAY)                      # [L, B]
+        taps = jnp.take_along_axis(room.delay_lines, rpos, axis=1)
+        mixed = (_FDN_MIX @ taps) * room.feedback          # [L, B]
+        in_gain = jnp.array([1.0, 0.8, 0.6, 0.5], jnp.float32)
+        new_vals = mixed + send[None, :] * in_gain[:, None]
+        wpos = jnp.mod(room.write_idx + b, FDN_MAX_DELAY)
+        lines = room.delay_lines.at[:, wpos].set(new_vals)
+        wet_l = (taps[0] + taps[2]) * room.wet
+        wet_r = (taps[1] + taps[3]) * room.wet
+        out = out + jnp.stack([wet_l, wet_r], axis=1) * listener.master_volume
+        new_room = room.replace(
+            delay_lines=lines,
+            write_idx=jnp.mod(room.write_idx + BLOCK, FDN_MAX_DELAY))
+
     out = jnp.clip(out, -1.0, 1.0)  # device-callback clamp (AudioEngine.cpp:191-226)
 
     level = jnp.max(jnp.abs(samples), axis=1) * gain
@@ -249,6 +370,9 @@ def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener, dt_block=
         playhead=new_heads, finished=finished, mute_factor=mute,
         doppler_factor=dop_smooth, lp_state=lp_out,
         prev_gain_l=gl, prev_gain_r=gr, smoothed_level=smoothed,
+        hrir_hist=new_hist,
         alive=src.alive & ~(finished & src.remove_on_finish),
     )
+    if room is not None:
+        return new_src, out, new_room
     return new_src, out

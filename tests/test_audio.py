@@ -247,3 +247,69 @@ def test_mp3_streamer_feeds_sources(tmp_path):
     wh2 = float(eng.sources.stream_write_head[s2.slot])
     assert wh1 == wh2 and wh1 >= TARGET_BUFFERED
     st.stop()
+
+
+def test_hrtf_itd_and_ild():
+    """A source hard to the right must reach the right ear EARLIER (ITD)
+    and LOUDER (ILD) — the properties the HRIR bank adds over pan+LPF
+    (reference: Resonance kBinauralHighQuality, AudioEngine.cpp:857-868)."""
+    from substrata_tpu.audio.mix import (
+        default_listener, mix_block, zero_sources,
+    )
+    import jax.numpy as jnp
+    src = zero_sources(4)
+    # Impulse at sample 100 in the pool.
+    pool = jnp.zeros(4096).at[100].set(1.0)
+    src = src.replace(
+        alive=src.alive.at[0].set(True),
+        buf_len=src.buf_len.at[0, 0].set(4096),
+        pos=src.pos.at[0].set(jnp.array([3.0, 0.0, 0.0])))  # hard right
+    _, out = mix_block(src, pool, default_listener(), use_hrtf=True)
+    out = np.asarray(out)
+    l, r = np.abs(out[:, 0]), np.abs(out[:, 1])
+    assert r.max() > 0
+    t_r = int(np.argmax(r > 0.1 * r.max()))
+    t_l = int(np.argmax(l > 0.1 * max(l.max(), 1e-9))) if l.max() > 1e-6 else 256
+    assert t_r < t_l, (t_r, t_l)          # right ear leads
+    assert r.max() > 3.0 * max(l.max(), 1e-9)  # and is much louder
+
+
+def test_room_reverb_tail():
+    """Room effects: after the dry impulse passes, the FDN keeps producing
+    energy (reverb tail), and a bigger wet level means more tail."""
+    from substrata_tpu.audio.mix import (
+        default_listener, mix_block, room_from_aabb, zero_sources,
+    )
+    import jax.numpy as jnp
+    src = zero_sources(4)
+    pool = jnp.zeros(4096).at[10].set(1.0)
+    src = src.replace(
+        alive=src.alive.at[0].set(True),
+        buf_len=src.buf_len.at[0, 0].set(4096),
+        pos=src.pos.at[0].set(jnp.array([0.0, 2.0, 0.0])))
+    room = room_from_aabb([-5, -5, 0], [5, 5, 3], reflectivity=0.8)
+    lst = default_listener()
+    tail = 0.0
+    for blk in range(8):
+        src, out, room = mix_block(src, pool, lst, room=room)
+        if blk >= 2:  # impulse long gone; only the FDN can make sound
+            tail += float(np.abs(np.asarray(out)).sum())
+    assert tail > 0.01, tail
+
+
+def test_hrtf_off_matches_legacy_pan():
+    """use_hrtf=False keeps the round-1 constant-power pan path working."""
+    from substrata_tpu.audio.mix import (
+        default_listener, mix_block, zero_sources,
+    )
+    import jax.numpy as jnp
+    src = zero_sources(4)
+    pool = jnp.sin(jnp.arange(4096) * 0.1).astype(jnp.float32)
+    src = src.replace(
+        alive=src.alive.at[0].set(True),
+        buf_len=src.buf_len.at[0, 0].set(4096),
+        looping=src.looping.at[0].set(True),
+        pos=src.pos.at[0].set(jnp.array([3.0, 0.0, 0.0])))
+    _, out = mix_block(src, pool, default_listener(), use_hrtf=False)
+    out = np.asarray(out)
+    assert np.abs(out[:, 1]).mean() > 5.0 * np.abs(out[:, 0]).mean()

@@ -48,17 +48,27 @@ def main():
     )
     listener = default_listener()
 
-    step = jax.jit(mix_block)
-    src2, out = step(src, pool, listener)
+    # Full-quality path: HRIR binaural + room-effects reverb enabled
+    # (the budget the reference spends in Resonance's binaural HQ mode).
+    from substrata_tpu.audio.mix import room_from_aabb
+    room0 = room_from_aabb([-20, -20, 0], [20, 20, 8], reflectivity=0.6)
+
+    def step_fn(s_, r_):
+        s2, out, r2 = mix_block(s_, pool, listener, room=r_, use_hrtf=True)
+        return s2, out, r2
+
+    step3 = jax.jit(step_fn)
+    step = None
+    src2, out, room = step3(src, room0)
     _ = float(np.asarray(out)[0, 0])
     for _ in range(20):
-        src2, out = step(src2, pool, listener)
+        src2, out, room = step3(src2, room)
     _ = float(np.asarray(out)[0, 0])
 
     n_blocks = 200
     t0 = time.perf_counter()
     for _ in range(n_blocks):
-        src2, out = step(src2, pool, listener)
+        src2, out, room = step3(src2, room)
     _ = float(np.asarray(out)[0, 0])
     wall = time.perf_counter() - t0
     frames = n_blocks * BLOCK
