@@ -39,6 +39,86 @@ def test_winter_bracket_vec_literal_and_env():
     np.testing.assert_allclose(out, [0, 0, 1.3], atol=1e-6)
 
 
+def test_winter_let_block_and_user_defs():
+    # Winter let/in + helper def, modelled on testfiles/instancing_test.win.
+    ev = WinterScriptEvaluator("""
+def wave(float x) float : sin(x * 3.0) * 4.0
+def evalTranslation(float time, WinterEnv env) vec3 :
+    let
+        i = toFloat(env.instance_index)
+        ifactor = i * 0.1
+        timefactor = time * 0.3
+    in
+        vec3(wave(timefactor + ifactor), 0.0, sin((timefactor + ifactor) * 2.0) * 4.0)
+""")
+    out = np.asarray(ev.eval_translation(1.0, instance_index=2))
+    tf = 1.0 * 0.3 + 2 * 0.1
+    np.testing.assert_allclose(
+        out, [np.sin(tf * 3) * 4, 0.0, np.sin(tf * 2) * 4], atol=1e-5)
+
+
+def test_winter_if_conditional_and_comparisons():
+    ev = WinterScriptEvaluator(
+        "def evalRotation(float time, WinterEnv env) vec3 : "
+        "vec3(if(time > 1.0 && time < 3.0, time * 2.0, 0.0 - 1.0), 0.0, 0.0)")
+    assert np.asarray(ev.eval_rotation(2.0))[0] == 4.0
+    assert np.asarray(ev.eval_rotation(5.0))[0] == -1.0
+
+
+def test_winter_vector_ops_and_swizzles():
+    ev = WinterScriptEvaluator("""
+def evalTranslation(float time, WinterEnv env) vec3 :
+    let
+        p = vec3(3.0, 4.0, 0.0)
+        n = normalise(p)
+    in
+        vec3(length(p), dot(n, n), cross(vec3(1.0, 0.0, 0.0), vec3(0.0, 1.0, 0.0)).z) * time
+""")
+    np.testing.assert_allclose(
+        np.asarray(ev.eval_translation(2.0)), [10.0, 2.0, 2.0], atol=1e-5)
+
+
+def test_winter_struct_def():
+    ev = WinterScriptEvaluator("""
+struct Params { real amp, real freq }
+def mk() Params : Params(2.0, 3.0)
+def evalRotation(float time, WinterEnv env) vec3 :
+    let p = mk() in vec3(0.0, 0.0, sin(time * p.freq) * p.amp)
+""")
+    np.testing.assert_allclose(
+        np.asarray(ev.eval_rotation(0.5))[2], np.sin(1.5) * 2.0, atol=1e-5)
+
+
+def test_winter_parses_reference_fixture_scripts():
+    # The actual scripts shipped in the reference's testfiles.
+    import pathlib
+    ref = pathlib.Path("/root/reference/testfiles")
+    if not ref.exists():
+        pytest.skip("reference not mounted")
+    src = (ref / "instancing_test.win").read_text()
+    ev = WinterScriptEvaluator(src)
+    out = np.asarray(ev.eval_rotation(2.0, instance_index=4))
+    np.testing.assert_allclose(out, [-0.6 * 2 + 4, 0, 0], atol=1e-5)
+
+
+def test_batched_by_source_bucket_caching():
+    src = "def evalRotation(float time, WinterEnv env) vec3 : vec3(0.0, 0.0, time)"
+    ose = ObjectScriptsEvaluator()
+    obs = [object() for _ in range(6)]
+    for ob in obs[:4]:
+        ose.add(ob, src)
+    ose.evaluate(1.0)
+    # 4 objects fit the min bucket of 8 -> one compiled program.
+    assert list(ose._jitted) == [(src, 8)]
+    for ob in obs[4:]:
+        ose.add(ob, src)
+    out = ose.evaluate(2.0)
+    # Still within bucket 8: no new compile, all 6 evaluated.
+    assert list(ose._jitted) == [(src, 8)]
+    assert len(out) == 6
+    np.testing.assert_allclose(out[5][1][0], [0, 0, 2.0], atol=1e-6)
+
+
 def test_winter_rejects_unsafe():
     with pytest.raises(WinterParseError):
         WinterScriptEvaluator(
