@@ -10,8 +10,12 @@ its scale axes are object count and world count.  On TPU we scale:
 - **Audio source parallelism** (``sources`` axis): N-source downmix is a
   sum-reduction over sources, so sources shard across devices and the stereo
   mix reduces with psum over ICI (tensor-parallel-style).
-- Spatial domain decomposition with halo exchange (ppermute) is the planned
-  third axis for single worlds larger than one chip.
+- **Spatial domain decomposition** (``spatial.py``): ONE world split into
+  x-slabs, boundary bodies ppermuted to neighbours as fixed-size halos each
+  step — the axis for single worlds larger than one chip.
 """
 
 from substrata_tpu.parallel.mesh import make_mesh, multi_world_step  # noqa: F401
+from substrata_tpu.parallel.spatial import (  # noqa: F401
+    partition_by_slab, shard_partitioned, spatial_world_step,
+)

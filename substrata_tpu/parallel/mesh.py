@@ -35,14 +35,14 @@ def multi_world_step(states: BodyState, world: StaticWorld, hull_cv,
     global total awake-body count) — the count is psum-reduced over the mesh
     so the program contains a real cross-device collective.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     naxis = mesh.axis_names[0]
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(naxis), P(), P()),
              out_specs=(P(naxis), P()),
-             check_rep=False)
+             check_vma=False)
     def stepper(states_shard, world_rep, hull_rep):
         def one(body):
             nb, diags = _step_one_world(body, world_rep, hull_rep, dt, params, config)
@@ -70,7 +70,7 @@ def sharded_mix_block(src, pool, listener, mesh: Mesh):
     src: SourceState with capacity divisible by the mesh size.
     Returns (new_src sharded as input, mixed block [BLOCK, 2]).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from substrata_tpu.audio import mix as mixmod
 
@@ -79,7 +79,7 @@ def sharded_mix_block(src, pool, listener, mesh: Mesh):
     @partial(shard_map, mesh=mesh,
              in_specs=(P(naxis), P(), P()),
              out_specs=(P(naxis), P()),
-             check_rep=False)
+             check_vma=False)
     def mix_shard(src_shard, pool_rep, listener_rep):
         new_src, out = mixmod.mix_block(src_shard, pool_rep, listener_rep)
         # The per-shard outputs already clamp; psum the PRE-clamp sum would
