@@ -386,9 +386,18 @@ class SimConfig:
         present_shape_types: tuple = (True, True, True, True),
     ):
         if capacity > 32768:
-            # Broadphase pair compaction packs (a, b) slot ids into one
-            # int32 (15 bits each); shard bigger worlds across instances.
-            raise ValueError("SimConfig.capacity is limited to 32768 bodies")
+            # DOCUMENTED CEILING (vs the reference's 65536,
+            # PhysicsWorld.cpp:492-506): broadphase cell tables and pair
+            # compaction pack a body slot id into 15 bits of an int32
+            # (broadphase.py _TBL_IDX_MASK; narrowphase.py packs a<<16|b+1),
+            # keeping the hot path int32 on the TPU vector unit.  Worlds
+            # beyond 32768 bodies shard spatially across devices instead
+            # (parallel/spatial.py x-slab decomposition + halo exchange),
+            # which also restores the per-step cost budget — one chip at
+            # 65k bodies would miss 60 Hz anyway.
+            raise ValueError(
+                "SimConfig.capacity is limited to 32768 bodies per device; "
+                "use parallel.spatial spatial sharding for larger worlds")
         self.capacity = capacity
         self.max_pairs = max_pairs
         self.max_contacts_per_pair = max_contacts_per_pair

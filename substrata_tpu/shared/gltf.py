@@ -162,6 +162,8 @@ def load_gltf(path_or_bytes, base_dir: str | None = None) -> GLTFModel:
         gltf = json.loads(data.decode("utf-8"))
     if gltf is None:
         raise ValueError("no JSON chunk in GLB")
+    if not isinstance(gltf, dict):
+        raise ValueError("glTF top-level JSON must be an object")
 
     buffers = [_read_buffer(b.get("uri"), base_dir, glb_bin)
                for b in gltf.get("buffers", [])]

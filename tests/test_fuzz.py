@@ -1,0 +1,122 @@
+"""Fuzzing for the untrusted-bytes decoders (reference: docs/fuzzing.txt —
+the reference fuzzes its format decoders with libFuzzer; here hypothesis
+drives the same attack surface: protocol framing/payload codecs, WorldObject
+deserialisation, voxel group decompression, glTF/GLB parsing, WAV reading).
+
+Property: hostile input may raise a CONTROLLED error (ValueError,
+struct.error, ...) but must never crash the process, hang, or succeed with
+unbounded allocation."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings, strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from substrata_tpu.net import protocol
+from substrata_tpu.shared.voxel import compress_voxel_group, decompress_voxel_group
+from substrata_tpu.shared.world_object import WorldObject
+from substrata_tpu.shared import gltf as gltf_mod
+from substrata_tpu.audio import readers
+
+# Errors a decoder is ALLOWED to raise on hostile input.
+DECODE_ERRORS = (ValueError, struct.error, EOFError, KeyError, IndexError,
+                 UnicodeDecodeError, OverflowError, zlib.error, TypeError,
+                 NotImplementedError, MemoryError)
+
+FUZZ = settings(max_examples=200, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+@FUZZ
+@given(st.binary(max_size=4096))
+def test_fuzz_message_reader(data):
+    r = protocol.MessageReader()
+    r.feed(data)
+    try:
+        for msg_type, payload in r.messages():
+            assert len(payload) <= len(data)
+    except DECODE_ERRORS:
+        pass
+
+
+@FUZZ
+@given(st.binary(max_size=512))
+def test_fuzz_payload_codecs(payload):
+    for fn in (protocol.unpack_physics_transform_update,
+               protocol.unpack_physics_ownership_taken,
+               protocol.unpack_avatar_transform_update,
+               protocol.unpack_time_sync,
+               protocol.unpack_chat_message):
+        try:
+            fn(payload)
+        except DECODE_ERRORS:
+            pass
+    try:
+        protocol.unpack_string(payload, 0)
+    except DECODE_ERRORS:
+        pass
+
+
+@FUZZ
+@given(st.binary(max_size=2048))
+def test_fuzz_world_object_from_bytes(data):
+    try:
+        ob = WorldObject.from_bytes(data)
+        # If it decodes, it must round-trip without crashing.
+        ob.to_bytes()
+    except DECODE_ERRORS:
+        pass
+
+
+@FUZZ
+@given(st.binary(max_size=2048))
+def test_fuzz_voxel_decompress(data):
+    try:
+        coords, mats = decompress_voxel_group(data)
+        assert len(coords) == len(mats)
+        # A decoded group must be bounded by its payload, not attacker-sized.
+        assert len(coords) <= 4_000_000
+    except DECODE_ERRORS:
+        pass
+
+
+@FUZZ
+@given(st.binary(max_size=2048))
+def test_fuzz_voxel_bitflip_roundtrip(data):
+    """Flip bytes inside an otherwise-valid compressed voxel group."""
+    coords = np.array([[0, 0, 0], [1, 0, 0], [0, 2, 1]], np.int32)
+    mats = np.array([0, 1, 0], np.int32)
+    blob = bytearray(compress_voxel_group(coords, mats))
+    for i, b in enumerate(data[:len(blob)]):
+        blob[i % len(blob)] ^= b
+    try:
+        decompress_voxel_group(bytes(blob))
+    except DECODE_ERRORS:
+        pass
+
+
+@FUZZ
+@given(st.binary(max_size=2048))
+def test_fuzz_glb_loader(data):
+    # Raw hostile bytes + hostile bytes behind a valid GLB magic/header.
+    for blob in (data, b"glTF" + data):
+        try:
+            gltf_mod.load_gltf(blob)
+        except DECODE_ERRORS:
+            pass
+
+
+@FUZZ
+@given(st.binary(max_size=2048))
+def test_fuzz_wav_reader(data):
+    for blob in (data, b"RIFF" + data, b"RIFF\xff\xff\xff\xffWAVE" + data):
+        try:
+            readers.read_wav(blob)
+        except DECODE_ERRORS:
+            pass
