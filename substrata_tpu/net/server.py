@@ -135,6 +135,14 @@ class ServerAllWorldsState:
         self.next_uid = 1
         self.next_avatar_uid = 1
         self.feature_flags = {"SERVER_SCRIPT_EXEC": True, "LUA_HTTP_REQUESTS": False}
+        # Admin-settable site state (Server.cpp:1142 server_admin_message;
+        # WorkerThread.cpp:1991 read-only mode).
+        self.server_admin_message = ""
+        self.read_only_mode = False
+        # World metadata for the web world list (shared/WorldDetails.h).
+        self.world_details: dict[str, object] = {}
+        # Combined-LOD chunk records per world (shared/LODChunk.h).
+        self.lod_chunks: dict[tuple, object] = {}
         self._load_from_db()
 
     def get_world(self, name: str = "") -> ServerWorldState:

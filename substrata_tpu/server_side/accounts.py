@@ -33,6 +33,14 @@ class User:
     flags: int = 0
     avatar_settings: object = None
 
+    # server/User.h:90-91 permission flag bits.
+    WORLD_GARDENER_FLAG = 1          # may add objects outside parcels
+    ALLOW_DYN_TEX_UPDATE_CHECKING = 2
+
+    @property
+    def is_world_gardener(self) -> bool:
+        return bool(self.flags & User.WORLD_GARDENER_FLAG)
+
     def set_password(self, password: str):
         self.password_salt = os.urandom(16)
         self.hashed_password = _hash_password(password, self.password_salt)
@@ -155,6 +163,16 @@ class AccountStore:
         self.api_keys: dict[str, APIKey] = {}
         self.password_resets: dict[str, PasswordReset] = {}
         self.next_user_id = 1
+        # Admin model (ObjectPermissions.cpp:65: "god user"; the reference
+        # hardwires id 0 — here the first created user is god by default and
+        # more can be granted).  User ids here start at 1.
+        self.god_user_ids: set[int] = {1}
+        # server/UserSecret.h: per-user named secrets (scripts read them).
+        self.user_secrets: dict[int, dict[str, str]] = {}
+        self.auctions: dict[int, ParcelAuction] = {}
+        self.orders: dict[int, Order] = {}
+        self.next_auction_id = 1
+        self.next_order_id = 1
 
     def create_user(self, name: str, email: str, password: str) -> User:
         if name in self.users_by_name:
@@ -201,6 +219,54 @@ class AccountStore:
         pr = PasswordReset(user_id=u.user_id)
         self.password_resets[pr.token] = pr
         return pr
+
+    def is_god_user(self, user_id: int) -> bool:
+        """ObjectPermissions.cpp:65 isGodUser equivalent."""
+        return user_id in self.god_user_ids
+
+    def change_password(self, user_id: int, old: str, new: str) -> bool:
+        u = self.users.get(user_id)
+        if u is None or not u.is_password_valid(old):
+            return False
+        u.set_password(new)
+        return True
+
+    def revoke_api_key(self, user_id: int, key: str) -> bool:
+        k = self.api_keys.get(key)
+        if k is None or k.user_id != user_id:
+            return False
+        k.revoked = True
+        return True
+
+    # -- user secrets (server/UserSecret.h) --
+    def add_secret(self, user_id: int, name: str, value: str):
+        self.user_secrets.setdefault(user_id, {})[name] = value
+
+    def delete_secret(self, user_id: int, name: str) -> bool:
+        return self.user_secrets.get(user_id, {}).pop(name, None) is not None
+
+    def secrets_for_user(self, user_id: int) -> dict[str, str]:
+        return dict(self.user_secrets.get(user_id, {}))
+
+    # -- auctions + orders (server/ParcelAuction.h, Order.h registries) --
+    def create_auction(self, parcel_id: int, start_price: float,
+                       end_price: float, start_time: float,
+                       end_time: float) -> ParcelAuction:
+        a = ParcelAuction(auction_id=self.next_auction_id,
+                          parcel_id=parcel_id, start_price=start_price,
+                          end_price=end_price, start_time=start_time,
+                          end_time=end_time)
+        self.next_auction_id += 1
+        self.auctions[a.auction_id] = a
+        return a
+
+    def create_order(self, user_id: int, parcel_id: int,
+                     price: float) -> Order:
+        o = Order(order_id=self.next_order_id, user_id=user_id,
+                  parcel_id=parcel_id, price=price)
+        self.next_order_id += 1
+        self.orders[o.order_id] = o
+        return o
 
     def reset_password(self, token: str, new_password: str) -> bool:
         pr = self.password_resets.pop(token, None)

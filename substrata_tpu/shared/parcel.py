@@ -14,6 +14,7 @@ import numpy as np
 class Parcel:
     parcel_id: int = 0
     owner_id: int = 0
+    title: str = ""
     description: str = ""
     # Axis-aligned bounds (verts in the reference are a quad + zmin/zmax;
     # we store the AABB directly).
