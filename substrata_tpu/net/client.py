@@ -40,6 +40,7 @@ class ClientWorldState:
         self._slot_by_uid: dict[int, int] = {}
         self._free_slots = list(range(capacity - 1, -1, -1))
         self.time_sync = GlobalTimeSync()
+        self.world_settings = None        # WorldSettings replica (3700/3701)
 
     def slot_for(self, uid: int) -> int:
         s = self._slot_by_uid.get(uid)
@@ -70,6 +71,16 @@ class ClientEvents:
     avatars_destroyed: list = field(default_factory=list)
     new_resources: list = field(default_factory=list)   # urls announced
     files_received: list = field(default_factory=list)  # (url, found)
+    move_tos: list = field(default_factory=list)        # eased moveTo/rotateTo
+    summons: list = field(default_factory=list)         # (uid, pos, axis_angle)
+    parcel_lists: list = field(default_factory=list)    # [Parcel, ...] replies
+    gear: list = field(default_factory=list)            # GearItem updates
+    map_tiles: list = field(default_factory=list)       # [(x,y,z,sid), ...]
+    lod_chunks: list = field(default_factory=list)      # LODChunk records
+    seat_changes: list = field(default_factory=list)    # (type, av, veh, seat)
+    audio_streams: list = field(default_factory=list)   # (type, av, rate, id)
+    eth: list = field(default_factory=list)             # (ok, info)
+    builder_ai: list = field(default_factory=list)      # (kind, text)
 
 
 class Client:
@@ -182,6 +193,78 @@ class Client:
     def send_chat(self, name: str, msg: str):
         self.send_message(P.make_message(P.CHAT_MESSAGE_ID,
                                          P.pack_chat_message(name, msg)))
+
+    def request_create_object(self, ob: WorldObject):
+        """CreateObject 3004: ask the server to allocate a UID and
+        broadcast (vs send_create_object which pushes OBJECT_CREATED)."""
+        self.send_message(P.make_message(P.CREATE_OBJECT, ob.to_bytes()))
+
+    def request_destroy_object(self, uid: int):
+        self.send_message(P.make_message(P.DESTROY_OBJECT,
+                                         struct.pack("<Q", uid)))
+
+    def send_object_move_to(self, uid: int, target_pos, duration: float = 1.0,
+                            easing: int = 1, start_pos=None):
+        ws = self.world_state
+        with ws.lock:
+            ob = ws.objects.get(uid)
+            sp = (start_pos if start_pos is not None
+                  else (ob.pos if ob is not None else target_pos))
+        self.send_message(P.make_message(P.OBJECT_MOVE_TO,
+            P.pack_object_move_to(uid, ws.global_time(), duration, easing,
+                                  sp, target_pos)))
+
+    def send_summon_object(self, uid: int, pos, axis_angle=(0.0, 0.0, 0.0)):
+        self.send_message(P.make_message(P.SUMMON_OBJECT,
+            P.pack_summon_object(uid, pos, axis_angle, self.avatar_uid)))
+
+    def query_parcels(self):
+        self.send_message(P.make_message(P.QUERY_PARCELS))
+
+    def query_map_tiles(self):
+        self.send_message(P.make_message(P.QUERY_MAP_TILES))
+
+    def query_lod_chunks(self):
+        self.send_message(P.make_message(P.QUERY_LOD_CHUNKS_MESSAGE))
+
+    def send_seat_change(self, msg_type: int, vehicle_uid: int,
+                         seat_index: int = 0):
+        """AVATAR_SAT_ON_SEAT / AVATAR_GOT_UP_FROM_SEAT /
+        AVATAR_EXITED_VEHICLE (Protocol.h:1101, 1110-1111)."""
+        self.send_message(P.make_message(msg_type,
+            P.pack_avatar_seat_change(self.avatar_uid, vehicle_uid,
+                                      seat_index)))
+
+    def send_audio_stream_state(self, started: bool, stream_id: int,
+                                sample_rate: int = 48000):
+        self.send_message(P.make_message(
+            P.AUDIO_STREAM_TO_SERVER_STARTED if started
+            else P.AUDIO_STREAM_TO_SERVER_ENDED,
+            P.pack_audio_stream_state(self.avatar_uid, sample_rate,
+                                      stream_id)))
+
+    def query_user_gear(self):
+        self.send_message(P.make_message(P.QUERY_USER_GEAR))
+
+    def send_create_gear_item(self, gear):
+        self.send_message(P.make_message(P.CREATE_GEAR_ITEM, gear.to_bytes()))
+
+    def send_gear_action(self, msg_type: int, item_id: int):
+        """PICK_UP_GEAR_ITEM / DROP_GEAR_ITEM / CLONE_GEAR_ITEM_IN_INVENTORY."""
+        self.send_message(P.make_message(msg_type,
+                                         struct.pack("<Q", item_id)))
+
+    def submit_eth_transaction(self, parcel_id: int, to_address: str):
+        self.send_message(P.make_message(
+            P.SUBMIT_ETH_TRANSACTION_REQUEST,
+            P.pack_eth_transaction_request(parcel_id, to_address)))
+
+    def send_builder_ai_message(self, text: str):
+        self.send_message(P.make_message(P.BUILDER_AI_USER_MESSAGE,
+                                         P.pack_builder_ai_user_message(text)))
+
+    def send_builder_ai_cancel(self):
+        self.send_message(P.make_message(P.BUILDER_AI_CANCEL))
 
     # -- Resource transfer (Protocol.h:167-170; DownloadResourcesThread /
     #    UploadResourceThread counterparts) --------------------------------
@@ -380,6 +463,124 @@ class Client:
         elif msg_type == P.ERROR_MESSAGE_ID:
             with self.events_lock:
                 self.events.errors.append(payload.decode("utf-8", "replace"))
+        elif msg_type in (P.OBJECT_MOVE_TO, P.OBJECT_ROTATE_TO):
+            # Eased scripted motion: surfaced to the app layer which drives
+            # an ObjectMoveToController (GUIClient ScriptedObMoveToMessage).
+            if msg_type == P.OBJECT_MOVE_TO:
+                uid, t0, dur, ease, sp, tp = P.unpack_object_move_to(payload)
+                mv = {"uid": uid, "start_time": t0, "duration": dur,
+                      "easing": ease, "start_pos": sp, "target_pos": tp,
+                      "is_rotation": False}
+            else:
+                (uid, t0, dur, ease, sax, sang, tax,
+                 tang) = P.unpack_object_rotate_to(payload)
+                mv = {"uid": uid, "start_time": t0, "duration": dur,
+                      "easing": ease, "start_axis": sax, "start_angle": sang,
+                      "target_axis": tax, "target_angle": tang,
+                      "is_rotation": True}
+            with self.events_lock:
+                self.events.move_tos.append(mv)
+        elif msg_type == P.SUMMON_OBJECT:
+            uid, pos, aa, sender = P.unpack_summon_object(payload)
+            if sender != self.avatar_uid:     # discard own echo
+                with ws.lock:
+                    ob = ws.objects.get(uid)
+                    if ob is not None:
+                        ob.pos = pos.astype(np.float64)
+                        ws.dirty_from_remote_objects.add(uid)
+                with self.events_lock:
+                    self.events.summons.append((uid, pos, aa))
+        elif msg_type == P.PARCEL_LIST:
+            (count,) = struct.unpack_from("<I", payload, 0)
+            off = 4
+            parcels = []
+            for _ in range(min(count, 65536)):
+                (n,) = struct.unpack_from("<I", payload, off)
+                off += 4
+                parcels.append(Parcel.from_bytes(payload[off:off + n]))
+                off += n
+            with ws.lock:
+                for p in parcels:
+                    ws.parcels[p.parcel_id] = p
+            with self.events_lock:
+                self.events.parcel_lists.append(parcels)
+        elif msg_type in (P.WORLD_SETTINGS_INITIAL_SEND_MESSAGE,
+                          P.WORLD_SETTINGS_UPDATE):
+            from substrata_tpu.shared.records import WorldSettings
+            with ws.lock:
+                ws.world_settings = WorldSettings.from_bytes(payload)
+        elif msg_type in (P.USER_GEAR_LIST,):
+            from substrata_tpu.shared.records import GearItem
+            (count,) = struct.unpack_from("<I", payload, 0)
+            off = 4
+            items = []
+            for _ in range(min(count, 65536)):
+                (n,) = struct.unpack_from("<I", payload, off)
+                off += 4
+                items.append(GearItem.from_bytes(payload[off:off + n]))
+                off += n
+            with self.events_lock:
+                self.events.gear.extend(items)
+        elif msg_type == P.GEAR_ITEM_UPDATE:
+            from substrata_tpu.shared.records import GearItem
+            with self.events_lock:
+                self.events.gear.append(GearItem.from_bytes(payload))
+        elif msg_type == P.MAP_TILES_RESULT:
+            (count,) = struct.unpack_from("<I", payload, 0)
+            tiles = [struct.unpack_from("<iiiI", payload, 4 + 16 * i)
+                     for i in range(min(count, 1_000_000))]
+            with self.events_lock:
+                self.events.map_tiles.extend(tiles)
+        elif msg_type in (P.LOD_CHUNK_INITIAL_SEND,
+                          P.LOD_CHUNK_UPDATED_MESSAGE):
+            from substrata_tpu.shared.records import LODChunk
+            with self.events_lock:
+                self.events.lod_chunks.append(LODChunk.from_bytes(payload))
+        elif msg_type in (P.AVATAR_EXITED_VEHICLE, P.AVATAR_SAT_ON_SEAT,
+                          P.AVATAR_GOT_UP_FROM_SEAT):
+            av_uid, veh_uid, seat = P.unpack_avatar_seat_change(payload)
+            with ws.lock:
+                av = ws.avatars.get(av_uid)
+                if av is not None:
+                    if msg_type == P.AVATAR_SAT_ON_SEAT:
+                        av.entered_vehicle_uid = veh_uid
+                        av.vehicle_seat_index = seat
+                    else:
+                        av.entered_vehicle_uid = 0
+                        av.vehicle_seat_index = 0
+            with self.events_lock:
+                self.events.seat_changes.append(
+                    (msg_type, av_uid, veh_uid, seat))
+        elif msg_type in (P.AUDIO_STREAM_TO_SERVER_STARTED,
+                          P.AUDIO_STREAM_TO_SERVER_ENDED):
+            av_uid, rate, sid = P.unpack_audio_stream_state(payload)
+            with ws.lock:
+                av = ws.avatars.get(av_uid)
+                if av is not None:
+                    av.audio_stream_id = (
+                        sid if msg_type == P.AUDIO_STREAM_TO_SERVER_STARTED
+                        else 0)
+            with self.events_lock:
+                self.events.audio_streams.append(
+                    (msg_type, av_uid, rate, sid))
+        elif msg_type == P.ETH_TRANSACTION_SUBMITTED:
+            (parcel_id,) = struct.unpack_from("<I", payload, 0)
+            raw_hex, _ = P.unpack_string(payload, 4)
+            with self.events_lock:
+                self.events.eth.append((True, parcel_id, raw_hex))
+        elif msg_type == P.ETH_TRANSACTION_SUBMISSION_FAILED:
+            err, _ = P.unpack_string(payload, 0)
+            with self.events_lock:
+                self.events.eth.append((False, None, err))
+        elif msg_type in (P.BUILDER_AI_TEXT_DELTA, P.BUILDER_AI_TOOL_ACTIVITY,
+                          P.BUILDER_AI_TURN_COMPLETE, P.BUILDER_AI_ERROR):
+            kind = {P.BUILDER_AI_TEXT_DELTA: "text_delta",
+                    P.BUILDER_AI_TOOL_ACTIVITY: "tool_activity",
+                    P.BUILDER_AI_TURN_COMPLETE: "turn_complete",
+                    P.BUILDER_AI_ERROR: "error"}[msg_type]
+            text, _ = P.unpack_string(payload, 0)
+            with self.events_lock:
+                self.events.builder_ai.append((kind, text))
 
 
 # ---------------------------------------------------------------------------

@@ -311,3 +311,104 @@ def unpack_chat_message(payload: bytes):
     name, off = unpack_string(payload, 0)
     msg, _ = unpack_string(payload, off)
     return name, msg
+
+
+# --- Scripted moveTo / rotateTo / summon (Protocol.h:123-131) --------------
+
+MOVE_TO_EASING_LINEAR = 0
+MOVE_TO_EASING_SMOOTHSTEP = 1       # ease in and out
+
+_MOVE_TO = struct.Struct("<QdfI6d")
+
+
+def pack_object_move_to(uid: int, start_time: float, duration: float,
+                        easing: int, start_pos, target_pos) -> bytes:
+    """ObjectMoveTo 3018 (gui_client/ClientThread.cpp:675-687 layout:
+    uid, start_time f64, duration f32, easing u32, start/target pos f64x3)."""
+    return _MOVE_TO.pack(uid, start_time, duration, easing,
+                         *np.asarray(start_pos, np.float64),
+                         *np.asarray(target_pos, np.float64))
+
+
+def unpack_object_move_to(payload: bytes):
+    v = _MOVE_TO.unpack(payload)
+    return (v[0], v[1], v[2], v[3], np.array(v[4:7]), np.array(v[7:10]))
+
+
+_ROTATE_TO = struct.Struct("<QdfI3ff3ff")
+
+
+def pack_object_rotate_to(uid: int, start_time: float, duration: float,
+                          easing: int, start_axis, start_angle: float,
+                          target_axis, target_angle: float) -> bytes:
+    """ObjectRotateTo 3019 (ClientThread.cpp:688-701 layout)."""
+    return _ROTATE_TO.pack(uid, start_time, duration, easing,
+                           *np.asarray(start_axis, np.float32), start_angle,
+                           *np.asarray(target_axis, np.float32), target_angle)
+
+
+def unpack_object_rotate_to(payload: bytes):
+    v = _ROTATE_TO.unpack(payload)
+    return (v[0], v[1], v[2], v[3], np.array(v[4:7], np.float32), v[7],
+            np.array(v[8:11], np.float32), v[11])
+
+
+_SUMMON = struct.Struct("<Q6dI")
+
+
+def pack_summon_object(uid: int, pos, axis_angle,
+                       transform_update_avatar_uid: int) -> bytes:
+    """SummonObject 3030 (SummonObjectMessage structs: new transform +
+    the summoning avatar so the sender discards its own echo)."""
+    return _SUMMON.pack(uid, *np.asarray(pos, np.float64),
+                        *np.asarray(axis_angle, np.float64),
+                        transform_update_avatar_uid)
+
+
+def unpack_summon_object(payload: bytes):
+    v = _SUMMON.unpack(payload)
+    return v[0], np.array(v[1:4]), np.array(v[4:7]), v[7]
+
+
+# --- Audio stream control (Protocol.h:10020-10021) -------------------------
+
+def pack_audio_stream_state(avatar_uid: int, sample_rate: int = 48000,
+                            stream_id: int = 0) -> bytes:
+    return struct.pack("<QII", avatar_uid, sample_rate, stream_id)
+
+
+def unpack_audio_stream_state(payload: bytes):
+    return struct.unpack("<QII", payload[:16])
+
+
+# --- Seats / vehicles (1101, 1110-1111) ------------------------------------
+
+def pack_avatar_seat_change(avatar_uid: int, vehicle_uid: int,
+                            seat_index: int) -> bytes:
+    return struct.pack("<QQI", avatar_uid, vehicle_uid, seat_index)
+
+
+def unpack_avatar_seat_change(payload: bytes):
+    return struct.unpack("<QQI", payload[:20])
+
+
+# --- Eth transactions (12001-12003) ----------------------------------------
+
+def pack_eth_transaction_request(parcel_id: int, to_address: str) -> bytes:
+    return struct.pack("<I", parcel_id) + pack_string(to_address)
+
+
+def unpack_eth_transaction_request(payload: bytes):
+    (parcel_id,) = struct.unpack_from("<I", payload, 0)
+    addr, _ = unpack_string(payload, 4)
+    return parcel_id, addr
+
+
+# --- BuilderAI (Protocol.h:15000-15013) ------------------------------------
+
+def pack_builder_ai_user_message(text: str) -> bytes:
+    return pack_string(text)
+
+
+def unpack_builder_ai_user_message(payload: bytes):
+    return unpack_string(payload, 0)[0]

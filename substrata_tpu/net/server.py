@@ -117,6 +117,7 @@ class ServerWorldState:
     objects: dict = field(default_factory=dict)   # uid -> WorldObject
     avatars: dict = field(default_factory=dict)   # uid -> Avatar
     parcels: dict = field(default_factory=dict)   # id -> Parcel
+    settings: object = None                       # WorldSettings | None
     dirty_objects: set = field(default_factory=set)
     dirty_physics_objects: set = field(default_factory=set)
     dirty_avatars: set = field(default_factory=set)
@@ -197,6 +198,7 @@ class WorkerConnection(threading.Thread):
         self.udp_endpoint = None
         self.alive = True
         self.capabilities = 0
+        self._builder_session = None
 
     def send_message(self, data: bytes):
         try:
@@ -333,6 +335,9 @@ class WorkerConnection(threading.Thread):
             self.send_message(P.make_message(P.PARCEL_CREATED, p.to_bytes()))
         for av in avatars:
             self.send_message(P.make_message(P.AVATAR_IS_HERE, av.to_bytes()))
+        if w.settings is not None:
+            self.send_message(P.make_message(
+                P.WORLD_SETTINGS_INITIAL_SEND_MESSAGE, w.settings.to_bytes()))
 
     def _send_file(self, url: str):
         """GetFile response: url + found flag + payload (DownloadResources
@@ -460,8 +465,233 @@ class WorkerConnection(threading.Thread):
             (uid,) = struct.unpack("<Q", payload[:8])
             self.server.script_events.append(
                 (msg_type, self.world_name, uid, self.avatar_uid))
+        elif msg_type == P.CREATE_OBJECT:
+            # Client requests creation (Protocol.h CreateObject=3004); the
+            # server allocates the UID and broadcasts ObjectCreated to ALL
+            # clients including the sender (WorkerThread CreateObject path).
+            if self.server.read_only:
+                return
+            ob = WorldObject.from_bytes(payload)
+            with ws.lock:
+                ob.uid = ws.alloc_uid()
+                ob.creator_id = self.avatar_uid
+                w.objects[ob.uid] = ob
+                w.db_dirty_objects.add(ob.uid)
+            self.server.broadcast(self.world_name,
+                                  P.make_message(P.OBJECT_CREATED, ob.to_bytes()))
+        elif msg_type == P.DESTROY_OBJECT:
+            (uid,) = struct.unpack("<Q", payload[:8])
+            with ws.lock:
+                ob = w.objects.get(uid)
+                allowed = (ob is not None
+                           and self.server.user_has_object_write_perms(
+                               self.avatar_uid, ob, w)
+                           and not self.server.read_only)
+                if allowed:
+                    del w.objects[uid]
+                    w.destroyed_objects.add(uid)
+                    w.db_dirty_objects.add(uid)
+            if allowed:
+                self.server.broadcast(
+                    self.world_name,
+                    P.make_message(P.OBJECT_DESTROYED,
+                                   struct.pack("<Q", uid)))
+        elif msg_type in (P.OBJECT_MOVE_TO, P.OBJECT_ROTATE_TO):
+            # Scripted moveTo/rotateTo relays (Protocol.h:123-124): the
+            # authoritative endpoint transform is applied server-side, the
+            # eased animation plays out client-side.
+            uid = struct.unpack_from("<Q", payload, 0)[0]
+            with ws.lock:
+                ob = w.objects.get(uid)
+                allowed = (ob is not None
+                           and self.server.user_has_object_write_perms(
+                               self.avatar_uid, ob, w))
+                if allowed and msg_type == P.OBJECT_MOVE_TO:
+                    _uid, _t0, _dur, _ease, _start, target = \
+                        P.unpack_object_move_to(payload)
+                    ob.pos = target.astype(np.float64)
+                    w.db_dirty_objects.add(uid)
+                elif allowed:
+                    (_uid, _t0, _dur, _ease, _sax, _sang,
+                     tax, tang) = P.unpack_object_rotate_to(payload)
+                    ob.axis = tax
+                    ob.angle = tang
+                    w.db_dirty_objects.add(uid)
+            if allowed:
+                self.server.broadcast(self.world_name,
+                                      P.make_message(msg_type, payload),
+                                      exclude=self)
+        elif msg_type == P.SUMMON_OBJECT:
+            uid, pos, aa, _av = P.unpack_summon_object(payload)
+            with ws.lock:
+                ob = w.objects.get(uid)
+                allowed = (ob is not None
+                           and self.server.user_has_object_write_perms(
+                               self.avatar_uid, ob, w))
+                if allowed:
+                    ob.pos = pos.astype(np.float64)
+                    angle = float(np.linalg.norm(aa))
+                    if angle > 1e-9:
+                        ob.axis = (aa / angle).astype(np.float32)
+                        ob.angle = angle
+                    w.dirty_physics_objects.add(uid)
+                    w.db_dirty_objects.add(uid)
+            if allowed:
+                # Tag with the summoner so the sender discards its echo
+                # (SummonObjectMessageServerToClient semantics).
+                body = P.pack_summon_object(uid, pos, aa, self.avatar_uid)
+                self.server.broadcast(self.world_name,
+                                      P.make_message(P.SUMMON_OBJECT, body))
+        elif msg_type == P.QUERY_PARCELS:
+            with ws.lock:
+                parcels = list(w.parcels.values())
+            body = struct.pack("<I", len(parcels))
+            for p in parcels:
+                blob = p.to_bytes()
+                body += struct.pack("<I", len(blob)) + blob
+            self.send_message(P.make_message(P.PARCEL_LIST, body))
+        elif msg_type == P.WORLD_SETTINGS_UPDATE:
+            # Only the god user / world gardeners may change world settings
+            # (WorkerThread WorldSettingsUpdate permission gate).
+            from substrata_tpu.shared.records import WorldSettings
+            if self.server.accounts.is_god_user(self.avatar_uid):
+                with ws.lock:
+                    w.settings = WorldSettings.from_bytes(payload)
+                self.server.broadcast(self.world_name,
+                                      P.make_message(msg_type, payload),
+                                      exclude=self)
+        elif msg_type in (P.AVATAR_EXITED_VEHICLE, P.AVATAR_SAT_ON_SEAT,
+                          P.AVATAR_GOT_UP_FROM_SEAT):
+            av_uid, veh_uid, seat = P.unpack_avatar_seat_change(payload)
+            with ws.lock:
+                av = w.avatars.get(self.avatar_uid)
+                if av is not None:
+                    if msg_type == P.AVATAR_SAT_ON_SEAT:
+                        av.entered_vehicle_uid = veh_uid
+                        av.vehicle_seat_index = seat
+                    else:
+                        av.entered_vehicle_uid = 0
+                        av.vehicle_seat_index = 0
+            body = P.pack_avatar_seat_change(self.avatar_uid, veh_uid, seat)
+            self.server.broadcast(self.world_name,
+                                  P.make_message(msg_type, body),
+                                  exclude=self)
+        elif msg_type in (P.AUDIO_STREAM_TO_SERVER_STARTED,
+                          P.AUDIO_STREAM_TO_SERVER_ENDED):
+            _uid, rate, stream_id = P.unpack_audio_stream_state(payload)
+            with ws.lock:
+                av = w.avatars.get(self.avatar_uid)
+                if av is not None:
+                    av.audio_stream_id = (
+                        stream_id
+                        if msg_type == P.AUDIO_STREAM_TO_SERVER_STARTED
+                        else 0)
+            body = P.pack_audio_stream_state(self.avatar_uid, rate, stream_id)
+            self.server.broadcast(self.world_name,
+                                  P.make_message(msg_type, body),
+                                  exclude=self)
+        elif msg_type == P.QUERY_USER_GEAR:
+            gear = self.server.user_gear.get(self.avatar_uid, {})
+            body = struct.pack("<I", len(gear))
+            for g in gear.values():
+                blob = g.to_bytes()
+                body += struct.pack("<I", len(blob)) + blob
+            self.send_message(P.make_message(P.USER_GEAR_LIST, body))
+        elif msg_type == P.CREATE_GEAR_ITEM:
+            from substrata_tpu.shared.records import GearItem
+            g = GearItem.from_bytes(payload)
+            g.item_id = self.server.next_gear_id
+            self.server.next_gear_id += 1
+            g.owner_id = self.avatar_uid
+            self.server.user_gear.setdefault(self.avatar_uid, {})[g.item_id] = g
+            self.send_message(P.make_message(P.GEAR_ITEM_UPDATE, g.to_bytes()))
+        elif msg_type in (P.PICK_UP_GEAR_ITEM, P.DROP_GEAR_ITEM):
+            (item_id,) = struct.unpack("<Q", payload[:8])
+            g = self.server.user_gear.get(self.avatar_uid, {}).get(item_id)
+            if g is not None:
+                g.equipped = msg_type == P.PICK_UP_GEAR_ITEM
+                self.server.broadcast(
+                    self.world_name,
+                    P.make_message(P.GEAR_ITEM_UPDATE, g.to_bytes()))
+        elif msg_type == P.CLONE_GEAR_ITEM_IN_INVENTORY:
+            (item_id,) = struct.unpack("<Q", payload[:8])
+            g = self.server.user_gear.get(self.avatar_uid, {}).get(item_id)
+            if g is not None:
+                from substrata_tpu.shared.records import GearItem
+                clone = GearItem.from_bytes(g.to_bytes())
+                clone.item_id = self.server.next_gear_id
+                self.server.next_gear_id += 1
+                clone.equipped = False
+                self.server.user_gear[self.avatar_uid][clone.item_id] = clone
+                self.send_message(
+                    P.make_message(P.GEAR_ITEM_UPDATE, clone.to_bytes()))
+        elif msg_type == P.QUERY_MAP_TILES:
+            tiles = list(self.server.site_data.map_tiles.items())
+            body = struct.pack("<I", len(tiles))
+            for (x, y, z), sid in tiles:
+                body += struct.pack("<iiiI", x, y, z, sid)
+            self.send_message(P.make_message(P.MAP_TILES_RESULT, body))
+        elif msg_type == P.QUERY_LOD_CHUNKS_MESSAGE:
+            chunks = [c for (wn, _x, _y), c in ws.lod_chunks.items()
+                      if wn == self.world_name]
+            for c in chunks:
+                self.send_message(P.make_message(P.LOD_CHUNK_INITIAL_SEND,
+                                                 c.to_bytes()))
+        elif msg_type == P.SUBMIT_ETH_TRANSACTION_REQUEST:
+            self._handle_eth_submit(payload)
+        elif msg_type == P.BUILDER_AI_USER_MESSAGE:
+            self._builder_ai().user_message(
+                P.unpack_builder_ai_user_message(payload))
+        elif msg_type == P.BUILDER_AI_CANCEL:
+            if self._builder_session is not None:
+                self._builder_session.cancel()
         else:
             self.server.unknown_messages.append(msg_type)
+
+    # ------------------------------------------------------------------
+    def _handle_eth_submit(self, payload: bytes):
+        """Sign a parcel-NFT mint transaction with the server key and record
+        it (SubEthTransaction flow; an RPC-node post is the deployment
+        seam).  Replies 12002 on success, 12003 on failure."""
+        try:
+            parcel_id, to_addr = P.unpack_eth_transaction_request(payload)
+            from substrata_tpu.server_side import ethereum as eth
+            tx = eth.EthTransaction(
+                nonce=len(self.server.eth_submitted), gas_price=10 ** 9,
+                gas_limit=200_000, to=to_addr, value=0,
+                data=struct.pack("<I", parcel_id), chain_id=1)
+            raw = tx.sign(b"\x11" * 32)
+            self.server.eth_submitted.append((parcel_id, to_addr, raw))
+            self.send_message(P.make_message(
+                P.ETH_TRANSACTION_SUBMITTED,
+                struct.pack("<I", parcel_id) + P.pack_string(raw.hex())))
+        except Exception as e:
+            self.send_message(P.make_message(
+                P.ETH_TRANSACTION_SUBMISSION_FAILED,
+                P.pack_string(str(e))))
+
+    def _builder_ai(self):
+        """Lazy per-connection BuilderAI session (Protocol.h:15000-15013)."""
+        if self._builder_session is None:
+            from substrata_tpu.server_side.builder_ai import BuilderAISession
+            from substrata_tpu.server_side.accounts import User
+
+            kinds = {"text_delta": P.BUILDER_AI_TEXT_DELTA,
+                     "tool_activity": P.BUILDER_AI_TOOL_ACTIVITY,
+                     "turn_complete": P.BUILDER_AI_TURN_COMPLETE,
+                     "error": P.BUILDER_AI_ERROR}
+
+            def emit(kind, text):
+                try:
+                    self.send_message(
+                        P.make_message(kinds[kind], P.pack_string(text)))
+                except OSError:
+                    pass
+
+            user = User(user_id=self.avatar_uid, name=f"avatar{self.avatar_uid}")
+            self._builder_session = BuilderAISession(
+                self.server.mcp, user, emit)
+        return self._builder_session
 
 
 class Server:
@@ -496,6 +726,21 @@ class Server:
         self.script_vm = ScriptVM(clock=clock)
         self._clock = clock
         self._start_time = clock()
+        # Gear registry (server User.h gear_ids; Protocol.h:1400-1406).
+        self.user_gear: dict[int, dict[int, object]] = {}
+        self.next_gear_id = 1
+        # Site data (map tiles / screenshots) shared with the webserver.
+        from substrata_tpu.server_side.site_data import SiteDataStore
+        self.site_data = SiteDataStore()
+        # Tool layer reused by BuilderAI sessions (and optionally /mcp).
+        from substrata_tpu.server_side.accounts import AccountStore
+        from substrata_tpu.server_side.mcp import MCPEndpoint
+        self.accounts = AccountStore()
+        self.mcp = MCPEndpoint(self.worlds_state, self.accounts)
+        # Eth transaction submission seam (server SubEthTransactions flow):
+        # sign with the server key + record; a production deployment posts
+        # the raw tx to an RPC node here.
+        self.eth_submitted: list = []
 
         self.listen_sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.listen_sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
