@@ -147,3 +147,56 @@ class ChunkGenThread(threading.Thread):
                 self.process_one(*item)
             except Exception as e:
                 self.errors.append(str(e))
+
+
+def _ob_to_world(ob) -> np.ndarray:
+    """WorldObject TRS matrix on the host (obToWorldMatrix parity)."""
+    q = ob.quat
+    x, y, z, w = (float(v) for v in q)
+    r = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ], np.float64)
+    m = np.eye(4)
+    m[:3, :3] = r * np.asarray(ob.scale, np.float64)[None, :]
+    m[:3, 3] = np.asarray(ob.pos, np.float64)
+    return m
+
+
+def generate_world_lod_chunks(worlds_state, resources: ResourceManager,
+                              world_name: str = "",
+                              chunk_w: float = 128.0) -> list:
+    """Full ChunkGenThread flow (server/ChunkGenThread.cpp): bucket every
+    static mesh object by its chunk cell (floor(centroid / 128), chunk_w=128
+    per ChunkGenThread.cpp:47), combine + simplify each bucket into ONE far-
+    LOD mesh resource, and write LODChunk records into
+    ``worlds_state.lod_chunks`` keyed (world, cx, cy) so workers answer
+    QUERY_LOD_CHUNKS and broadcast LOD_CHUNK_UPDATED.
+
+    Returns the list of (re)generated LODChunk records."""
+    from substrata_tpu.shared.records import LODChunk
+
+    w = worlds_state.get_world(world_name)
+    with worlds_state.lock:
+        obs = [(ob.model_url, _ob_to_world(ob), np.asarray(ob.pos))
+               for ob in w.objects.values()
+               if ob.model_url and resources.is_file_present(ob.model_url)]
+    buckets: dict[tuple, list] = {}
+    for url, m, pos in obs:
+        key = (int(np.floor(pos[0] / chunk_w)),
+               int(np.floor(pos[1] / chunk_w)))
+        buckets.setdefault(key, []).append((url, m))
+
+    gen = ChunkGenThread(resources)      # reuse the combine+simplify core
+    out = []
+    for (cx, cy), meshes in sorted(buckets.items()):
+        gen.process_one(world_name, (cx, cy), meshes)
+        if gen.errors:
+            raise RuntimeError("; ".join(gen.errors))
+        url = gen.generated[-1]
+        chunk = LODChunk(x=cx, y=cy, mesh_url=url, needs_rebuild=False)
+        with worlds_state.lock:
+            worlds_state.lod_chunks[(world_name, cx, cy)] = chunk
+        out.append(chunk)
+    return out

@@ -114,3 +114,64 @@ def test_backup_bot_roundtrip(tmp_path):
             s2.stop()
     finally:
         s.stop()
+
+
+def test_generate_world_lod_chunks(tmp_path):
+    """Full ChunkGenThread flow: world objects -> per-chunk combined meshes
+    + LODChunk records in worlds_state.lod_chunks."""
+    from substrata_tpu.net.server import ServerAllWorldsState
+    from substrata_tpu.server_side.asset_pipeline import (
+        generate_world_lod_chunks,
+    )
+    from substrata_tpu.shared.world_object import WorldObject
+
+    rm = ResourceManager(str(tmp_path))
+    v, t, m = grid_mesh(8)
+    rm.store_resource("house.stme", pack_mesh(v, t, m))
+    ws = ServerAllWorldsState()
+    w = ws.get_world("")
+    # Two objects in chunk (0,0), one in chunk (1,0) at x=130.
+    for i, x in enumerate([5.0, 20.0, 130.0]):
+        ob = WorldObject(uid=i + 1, model_url="house.stme",
+                         pos=np.array([x, 10.0, 0.0]))
+        w.objects[ob.uid] = ob
+    chunks = generate_world_lod_chunks(ws, rm)
+    assert {(c.x, c.y) for c in chunks} == {(0, 0), (1, 0)}
+    assert ("", 0, 0) in ws.lod_chunks and ("", 1, 0) in ws.lod_chunks
+    # Combined chunk mesh exists as a resource and transforms applied:
+    cv, ct, cm = unpack_mesh(rm.load_resource(ws.lod_chunks[("", 1, 0)].mesh_url))
+    assert len(cv) > 0
+    assert cv[:, 0].min() >= 129.0   # object at x=130 stayed in world space
+
+
+def test_config_and_settings(tmp_path):
+    from substrata_tpu.runtime.config import (
+        ServerCredentials, SettingsStore, parse_server_config,
+        parse_sub_url, server_arg_parser,
+    )
+
+    cfg = parse_server_config(
+        "<config><enable_registration>false</enable_registration>"
+        "<AI_model_id>claude-x</AI_model_id>"
+        "<unknown_field>zzz</unknown_field></config>")
+    assert cfg.enable_registration is False
+    assert cfg.AI_model_id == "claude-x"
+    assert cfg.enable_LOD_chunking is True      # default survives
+
+    creds = ServerCredentials.parse(
+        "# comment\npaypal_client_id = abc\n\nbad line\nx=1")
+    assert creds.get("paypal_client_id") == "abc" and creds.get("x") == "1"
+
+    sp = str(tmp_path / "settings.json")
+    s = SettingsStore(sp)
+    s.set_bool("ui/show_minimap", True)
+    s.set_double("audio/volume", 0.7)
+    s2 = SettingsStore(sp)                       # persisted across instances
+    assert s2.get_bool("ui/show_minimap") is True
+    assert s2.get_double("audio/volume") == 0.7
+
+    args = server_arg_parser().parse_args(["--db_path", "/tmp/db", "--test"])
+    assert args.db_path == "/tmp/db" and args.test
+
+    host, port, world = parse_sub_url("sub://play.example.com:7700/moon")
+    assert (host, port, world) == ("play.example.com", 7700, "moon")
