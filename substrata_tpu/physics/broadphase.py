@@ -197,7 +197,9 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     # Dedup: emit (min, max); when both oversize, only emit from the smaller id.
     a = jnp.minimum(os_i_safe, os_j)
     b = jnp.maximum(os_i_safe, os_j)
-    both_os = oversize[os_j]
+    # os_j is just arange(n) broadcast — indexing with it is a broadcast,
+    # not a gather (oversize[os_j] compiled to a 0.66 ms pred-gather).
+    both_os = jnp.broadcast_to(oversize[None, :], (MAX_OVERSIZE, n))
     os_mask &= ~(both_os & (os_j < os_i_safe))
     os_overflow = jnp.sum(oversize) - jnp.sum(os_valid)
 

@@ -625,9 +625,12 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
         cap = (config.max_pairs if code in _SAME_TYPE_CODES
                else max(64, config.max_pairs // _MIXED_FRACTION))
         if not (present[code // 4] and present[code % 4]):
-            # Combo cannot occur in this world; keep a token bucket so a
-            # stale config still produces (overflow-counted) contacts.
-            cap = 16
+            # Combo cannot occur in this world: skip the bucket ENTIRELY at
+            # compile time (even a 16-slot token bucket costs a kernel +
+            # ~25 small gathers; 15 absent combos ≈ 400 launches/step).  A
+            # stale present_shape_types config surfaces as overflow instead.
+            overflow = overflow + (starts[code + 1] - starts[code])
+            continue
         cap = min(cap, p)
         start = jnp.minimum(starts[code], p - cap)
         run_len = starts[code + 1] - starts[code]
@@ -666,6 +669,17 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
         ))
         touch_src.append((src, jnp.any(valid, axis=1)))
 
+    if not batches:                   # degenerate config: no present combos
+        z3 = jnp.zeros((1, 3))
+        return (Contacts(a=jnp.full((1,), -1, jnp.int32),
+                         b=jnp.full((1,), -1, jnp.int32),
+                         point=z3, normal=z3.at[:, 2].set(1.0),
+                         penetration=jnp.full((1,), -1e9),
+                         valid=jnp.zeros((1,), bool),
+                         friction=jnp.zeros((1,)),
+                         restitution=jnp.zeros((1,)),
+                         key=jnp.zeros((1,), jnp.int32)),
+                jnp.zeros((p,), bool), overflow)
     contacts = concat_contacts(*batches)
     # Per-pair touching mask for contact events (scatter each bucket back).
     touching = jnp.zeros((p + 1,), bool)
@@ -858,8 +872,14 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
                 jnp.zeros((n * 8, 3)).at[:, 2].set(1.0),
                 jnp.zeros((n * 8,), bool))
 
-    tm_pen, tm_point, tm_normal, tm_ok = jax.lax.cond(
-        tm.n_tris > 0, _trimesh_contacts, _no_trimesh, operand=None)
+    # COMPILE-TIME skip when the world has no trimesh (empty_trimesh keeps
+    # a 1-triangle placeholder): the runtime lax.cond still cost ~1.7 ms of
+    # speculated branch work per step on TPU even with n_tris == 0.
+    if tm.tris.shape[0] <= 1:
+        tm_pen, tm_point, tm_normal, tm_ok = _no_trimesh(None)
+    else:
+        tm_pen, tm_point, tm_normal, tm_ok = jax.lax.cond(
+            tm.n_tris > 0, _trimesh_contacts, _no_trimesh, operand=None)
 
     use_tm = tm_ok & (~hf_ok | (tm_pen > hf_pen))
     pen = jnp.where(use_tm, tm_pen, hf_pen)
@@ -867,9 +887,11 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
     normal = jnp.where(use_tm[:, None], tm_normal, hf_n)
     ok = (use_tm | hf_ok) & slot_valid.reshape(-1)
 
-    body_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 8)
-    ok &= body.alive[body_idx] & body.collidable[body_idx] & body.dynamic[body_idx]
-    ok &= ~body.is_sensor[body_idx]
+    # Eligibility per BODY once, then repeat — `x[repeat(arange(n), 8)]`
+    # compiles to a slow pred-gather (bit-packed bool rows cost ~0.8 ms
+    # EACH at 10k bodies); repeat is a free broadcast.
+    elig = body.alive & body.collidable & body.dynamic & ~body.is_sensor
+    ok &= jnp.repeat(elig, 8)
     # Clamp runaway penetrations (deep tunnelling) for solver stability.
     pen = jnp.clip(pen, -1e9, 0.5)
 
@@ -882,16 +904,20 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
         top_pen, top_slot = jax.lax.top_k(pen_rows, k)      # [N, k]
         flat_sel = (jnp.arange(n, dtype=jnp.int32)[:, None] * 8
                     + top_slot).reshape(-1)
-        body_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
-        point = point[flat_sel]
-        normal = normal[flat_sel]
-        pen = pen[flat_sel]
-        ok = ok[flat_sel] & (top_pen.reshape(-1) > -1e8)
+        # ONE packed gather for the selected rows (point3|normal3|pen|ok).
+        sel_block = jnp.concatenate([
+            point, normal, pen[:, None], ok.astype(jnp.float32)[:, None],
+        ], axis=1)[flat_sel]                                # [n*k, 8]
+        point = sel_block[:, 0:3]
+        normal = sel_block[:, 3:6]
+        pen = sel_block[:, 6]
+        ok = (sel_block[:, 7] > 0) & (top_pen.reshape(-1) > -1e8)
         key_slot = top_slot.reshape(-1)
     else:
         k = 8
         key_slot = jnp.tile(jnp.arange(8, dtype=jnp.int32), n)
 
+    body_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     return Contacts(
         a=body_idx,
         b=jnp.full((n * k,), -1, jnp.int32),
@@ -899,8 +925,9 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
         normal=normal,
         penetration=pen,
         valid=ok,
-        friction=combine_friction(body.friction[body_idx], jnp.full((n * k,), 0.5)),
-        restitution=body.restitution[body_idx],
+        friction=combine_friction(jnp.repeat(body.friction, k),
+                                  jnp.full((n * k,), 0.5)),
+        restitution=jnp.repeat(body.restitution, k),
         key=key_slot + 1,
     )
 

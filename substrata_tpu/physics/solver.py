@@ -43,19 +43,18 @@ class SolverCache:
     sequential-impulse engines hold stacks with ~10 iterations; without it
     Jacobi forces rebuild from zero every step."""
 
-    key_a: jnp.ndarray   # [H] i32 body slot, -1 = empty
-    key_k: jnp.ndarray   # [H] i32 feature key
+    keys: jnp.ndarray    # [H, 2] i32 (body slot, feature key); slot -1 = empty
     lam: jnp.ndarray     # [H, 3] accumulated impulses (n, t1, t2)
 
     @property
     def size(self):
-        return self.key_a.shape[0]
+        return self.keys.shape[0]
 
 
 def empty_solver_cache(size: int = 1 << 17) -> SolverCache:
     return SolverCache(
-        key_a=jnp.full((size,), -1, jnp.int32),
-        key_k=jnp.zeros((size,), jnp.int32),
+        keys=jnp.concatenate([jnp.full((size, 1), -1, jnp.int32),
+                              jnp.zeros((size, 1), jnp.int32)], axis=1),
         lam=jnp.zeros((size, 3), jnp.float32),
     )
 
@@ -149,11 +148,13 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
 
     table, sign, counts = build_incidence(contacts, n_bodies, cpb)
 
-    # One packed gather row per contact side instead of 4 field gathers
-    # (pos3 | quat4 | inv_mass | inv_inertia3) — TPU gathers dominate.
+    # One packed gather row per contact side instead of 5 field gathers
+    # (pos3 | quat4 | inv_mass | inv_inertia3 | contact_count) — TPU
+    # gathers dominate, and row width is nearly free next to row count.
     bview = jnp.concatenate([
         body.pos, body.quat, body.inv_mass[:, None], body.inv_inertia,
-    ], axis=1)  # [N, 11]
+        counts[:, None],
+    ], axis=1)  # [N, 12]
     va = bview[a]
     vb = bview[bs]
     im_a = va[:, 7]
@@ -168,22 +169,22 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     nrm = contacts.normal
     t1, t2 = _tangent_basis(nrm)
 
-    c_a = jnp.maximum(counts[a], 1.0)
-    c_b = jnp.maximum(jnp.where(static_b, 1.0, counts[bs]), 1.0)
+    c_a = jnp.maximum(va[:, 11], 1.0)
+    c_b = jnp.maximum(jnp.where(static_b, 1.0, vb[:, 11]), 1.0)
 
-    def eff_mass(d):
-        ra_x_d = jnp.cross(r_a, d)
-        rb_x_d = jnp.cross(r_b, d)
-        term_a = jnp.einsum("cij,cj->ci", iw_a, ra_x_d)
-        term_b = jnp.einsum("cij,cj->ci", iw_b, rb_x_d)
-        k = (im_a * c_a + im_b * c_b
-             + jnp.sum(ra_x_d * term_a, -1) * c_a
-             + jnp.sum(rb_x_d * term_b, -1) * c_b)
-        return jnp.maximum(k, 1e-9)
-
-    kn = eff_mass(nrm)
-    kt1 = eff_mass(t1)
-    kt2 = eff_mass(t2)
+    # Effective masses + angular application vectors for all 3 basis
+    # directions in TWO batched einsums (was 12 [C,3,3]x[C,3] dot_generals;
+    # ang_app recomputed exactly eff_mass's products).
+    d_all = jnp.stack([nrm, t1, t2], axis=1)               # [C, 3dir, 3]
+    ra_x = jnp.cross(r_a[:, None, :], d_all)               # [C, 3dir, 3]
+    rb_x = jnp.cross(r_b[:, None, :], d_all)
+    term_a = jnp.einsum("cij,cdj->cdi", iw_a, ra_x)        # Iw_a (r_a x d)
+    term_b = jnp.einsum("cij,cdj->cdi", iw_b, rb_x)
+    k_all = ((im_a * c_a + im_b * c_b)[:, None]
+             + jnp.sum(ra_x * term_a, -1) * c_a[:, None]
+             + jnp.sum(rb_x * term_b, -1) * c_b[:, None])
+    k_all = jnp.maximum(k_all, 1e-9)
+    kn, kt1, kt2 = k_all[:, 0], k_all[:, 1], k_all[:, 2]
 
     pen = contacts.penetration
 
@@ -216,17 +217,11 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
                      pen / dt)
     target_vn = jnp.maximum(bias, restitution_target)
 
-    # Per-contact angular application vectors, precomputed:
-    # dω_body_from_contact = sign * Iw_side (r_side × P).  We store the world
-    # inverse-inertia-transformed cross matrices per side per basis direction.
-    # (P = dln*n + dlt1*t1 + dlt2*t2, so dω = dln*An + dlt1*At1 + dlt2*At2.)
-    def ang_app(d):
-        return (jnp.einsum("cij,cj->ci", iw_a, jnp.cross(r_a, d)),
-                jnp.einsum("cij,cj->ci", iw_b, jnp.cross(r_b, d)))
-
-    an_a, an_b = ang_app(nrm)
-    at1_a, at1_b = ang_app(t1)
-    at2_a, at2_b = ang_app(t2)
+    # Per-contact angular application vectors — the SAME products as the
+    # effective-mass terms above (dω = dln*An + dlt1*At1 + dlt2*At2 where
+    # A*_side = Iw_side (r_side × d)).
+    an_a, at1_a, at2_a = term_a[:, 0], term_a[:, 1], term_a[:, 2]
+    an_b, at1_b, at2_b = term_b[:, 0], term_b[:, 1], term_b[:, 2]
 
     # Gather helpers for the incidence table.
     tbl = jnp.maximum(table, 0)
@@ -273,7 +268,8 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     linvel0, angvel0 = body.linvel, body.angvel
     if cache is not None:
         h = _cache_hash(a, contacts.key, cache.size)
-        hit = valid & (cache.key_a[h] == a) & (cache.key_k[h] == contacts.key)
+        kk = cache.keys[h]                       # ONE [C,2] gather, not two
+        hit = valid & (kk[:, 0] == a) & (kk[:, 1] == contacts.key)
         warm = jnp.where(hit[:, None], cache.lam[h], 0.0)
         ln0 = jnp.maximum(warm[:, 0], 0.0) * validf
         max_f0 = contacts.friction * ln0
@@ -294,11 +290,13 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     if cache is not None:
         h = _cache_hash(a, contacts.key, cache.size)
         dst = jnp.where(valid, h, cache.size)
+        new_keys = jnp.stack([jnp.where(valid, a, -1),
+                              jnp.where(valid, contacts.key, 0)], axis=1)
         new_cache = SolverCache(
-            key_a=jnp.full((cache.size,), -1, jnp.int32).at[dst].set(
-                jnp.where(valid, a, -1), mode="drop"),
-            key_k=jnp.zeros((cache.size,), jnp.int32).at[dst].set(
-                jnp.where(valid, contacts.key, 0), mode="drop"),
+            keys=jnp.concatenate(
+                [jnp.full((cache.size, 1), -1, jnp.int32),
+                 jnp.zeros((cache.size, 1), jnp.int32)],
+                axis=1).at[dst].set(new_keys, mode="drop"),
             lam=jnp.zeros((cache.size, 3), jnp.float32).at[dst].set(
                 jnp.stack([ln, lt1, lt2], axis=1) * validf[:, None],
                 mode="drop"),
@@ -322,26 +320,36 @@ def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,
     static_b = contacts.b < 0
     validf = contacts.valid.astype(jnp.float32)
     nrm = contacts.normal
-    im_a = body.inv_mass[a]
-    im_b = jnp.where(static_b, 0.0, body.inv_mass[bs])
-    w_sum = jnp.maximum(im_a + im_b, 1e-9)
 
     tbl = jnp.maximum(table, 0)
     tbl_valid = (table >= 0).astype(jnp.float32)[..., None]
     im_per_body = body.inv_mass[:, None]
-    pos0_a = pos[a]
-    pos0_b = pos[bs]
+    # ONE packed per-side gather (pos3 | inv_mass) for both the initial
+    # reference positions and the inverse masses — standalone [C] scalar
+    # gathers from [N] cost as much as a full row gather.
+    view0 = jnp.concatenate([pos, im_per_body], axis=1)    # [N, 4]
+    va0 = view0[a]
+    vb0 = view0[bs]
+    pos0_a, im_a = va0[:, :3], va0[:, 3]
+    pos0_b = vb0[:, :3]
+    im_b = jnp.where(static_b, 0.0, vb0[:, 3])
+    w_sum = jnp.maximum(im_a + im_b, 1e-9)
 
-    def it(_, pos):
-        # Residual penetration after the displacement applied so far.
-        dp = (pos[a] - pos0_a) - jnp.where(static_b[:, None], 0.0, pos[bs] - pos0_b)
-        pen_res = contacts.penetration - jnp.sum(dp * nrm, -1)
+    def it(first, pos):
+        if first:
+            # No displacement has been applied yet: dp == 0 exactly, so
+            # skip the two per-side position gathers of iteration 0.
+            pen_res = contacts.penetration
+        else:
+            dp = ((pos[a] - pos0_a)
+                  - jnp.where(static_b[:, None], 0.0, pos[bs] - pos0_b))
+            pen_res = contacts.penetration - jnp.sum(dp * nrm, -1)
         push = jnp.maximum(pen_res - params.contact_slop, 0.0) * beta
         # Per-contact positional impulse along the normal, shared by inv mass.
         imp = nrm * (push / w_sum * validf)[:, None]          # [C, 3]
         g = imp[tbl] * sign[..., None] * tbl_valid            # [N, CPB, 3]
         return pos + im_per_body * jnp.sum(g, axis=1)
 
-    for _ in range(iters):
-        pos = it(0, pos)
+    for i in range(iters):
+        pos = it(i == 0, pos)
     return pos
