@@ -190,9 +190,12 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
 
     def rel_vel(linvel, angvel):
         # Packed [N, 6] velocity view -> one gather per contact side.
-        vview = jnp.concatenate([linvel, angvel], axis=1)
-        wa = vview[a]
-        wb = vview[bs]
+        # Gather payloads travel as bf16 (gather cost on TPU scales with
+        # bytes; velocities only need ~3 significant digits inside an
+        # iteration — the carried body state stays f32) and upcast after.
+        vview = jnp.concatenate([linvel, angvel], axis=1).astype(jnp.bfloat16)
+        wa = vview[a].astype(jnp.float32)
+        wb = vview[bs].astype(jnp.float32)
         v_a = wa[:, :3] + jnp.cross(wa[:, 3:], r_a)
         v_b = jnp.where(static_b[:, None], 0.0,
                         wb[:, :3] + jnp.cross(wb[:, 3:], r_b))
@@ -234,8 +237,10 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         imp = dln[:, None] * nrm + dlt1[:, None] * t1 + dlt2[:, None] * t2  # [C,3]
         ang_c_a = dln[:, None] * an_a + dlt1[:, None] * at1_a + dlt2[:, None] * at2_a
         ang_c_b = dln[:, None] * an_b + dlt1[:, None] * at1_b + dlt2[:, None] * at2_b
-        block = jnp.concatenate([imp, ang_c_a, ang_c_b], axis=1) * validf[:, None]
-        g = block[tbl] * sign[..., None] * tbl_valid                        # [N,CPB,9]
+        block = ((jnp.concatenate([imp, ang_c_a, ang_c_b], axis=1)
+                  * validf[:, None]).astype(jnp.bfloat16))
+        g = (block[tbl].astype(jnp.float32)
+             * sign[..., None] * tbl_valid)                                 # [N,CPB,9]
         # Linear: dv_i = inv_m_i * sum_slots sign * imp.
         linvel = linvel + im_per_body * jnp.sum(g[..., 0:3], axis=1)
         # Angular: dω_a = +Iw_a(r_a×P); dω_b = -Iw_b(r_b×P); sign folds the minus.
