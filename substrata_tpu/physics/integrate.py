@@ -123,6 +123,14 @@ def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
     # (Jolt handles this via island merging; we use contact reachability).
     fast = body.awake & ((lin2 > 4.0 * params.sleep_lin_vel ** 2)
                          | (ang2 > 4.0 * params.sleep_ang_vel ** 2))
+    # "Active" = awake AND above the sleep threshold.  Wake/keep-awake must
+    # propagate only from ACTIVE counterparts: if any awake counterpart
+    # sufficed, two touching resting boxes would reset each other's sleep
+    # timers through their resting-contact impulses forever and an island
+    # could never fall asleep (Jolt sleeps whole islands when every member
+    # is slow; requiring the counterpart itself to be above-threshold is
+    # the island-free approximation of that).
+    active = body.awake & ~slow
     imp_sig = contact_valid & (contact_impulse > 1e-4)
     tbl = jnp.maximum(incidence_table, 0)                 # [N, CPB]
     tbl_ok = incidence_table >= 0
@@ -137,11 +145,11 @@ def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
     other = jnp.where(iam_a, g[..., 1], g[..., 0]).astype(jnp.int32)
     other_static = other < 0
     oth = jnp.maximum(other, 0)
-    bblock = jnp.stack([body.awake, fast], axis=1).astype(jnp.float32)  # [N, 2]
+    bblock = jnp.stack([active, fast], axis=1).astype(jnp.float32)  # [N, 2]
     ob = bblock[oth]                                       # [N, CPB, 2]
-    other_awake = jnp.where(other_static, False, ob[..., 0] > 0)
+    other_active = jnp.where(other_static, False, ob[..., 0] > 0)
     other_fast = jnp.where(other_static, False, ob[..., 1] > 0)
-    slot_wake = tbl_ok & (((g[..., 2] > 0) & other_awake)
+    slot_wake = tbl_ok & (((g[..., 2] > 0) & other_active)
                           | ((g[..., 3] > 0) & other_fast))
     wake_hit = jnp.any(slot_wake, axis=1)
 

@@ -890,7 +890,12 @@ def static_contacts(body: BodyState, world: StaticWorld, hull_contact_verts,
     # Eligibility per BODY once, then repeat — `x[repeat(arange(n), 8)]`
     # compiles to a slow pred-gather (bit-packed bool rows cost ~0.8 ms
     # EACH at 10k bodies); repeat is a free broadcast.
-    elig = body.alive & body.collidable & body.dynamic & ~body.is_sensor
+    # Sleeping bodies emit no static contacts: they are immovable in the
+    # solve (Jolt removes sleeping islands from the active set), and at 10k
+    # bodies their resting ground manifolds would saturate the compacted
+    # contact buffer and evict live body-body contacts.
+    elig = (body.alive & body.collidable & body.dynamic & ~body.is_sensor
+            & body.awake)
     ok &= jnp.repeat(elig, 8)
     # Clamp runaway penetrations (deep tunnelling) for solver stability.
     pen = jnp.clip(pen, -1e9, 0.5)
@@ -949,20 +954,29 @@ def compact_contacts(contacts: Contacts, max_active: int):
     valid = contacts.valid
     out_idx = jnp.cumsum(valid) - 1
     keep = valid & (out_idx < max_active)
+    # Non-keep rows route to the sacrificial row max_active (sliced off),
+    # so the payload needs no masking.
     dst = jnp.where(keep, out_idx, max_active)
 
     fblock = jnp.concatenate([
         contacts.point, contacts.normal, contacts.penetration[:, None],
         contacts.friction[:, None], contacts.restitution[:, None],
     ], axis=1)  # [C, 9]
-    fbuf = jnp.zeros((max_active + 1, fblock.shape[1]))
-    fbuf = fbuf.at[dst].set(jnp.where(keep[:, None], fblock, 0.0), mode="drop")[:max_active]
-
-    # Int block: packed (a << 16 | b+1) + warm-start key; -1 = empty slot.
+    # Int lanes ride the SAME scatter bitcast to f32 (scatter cost on TPU is
+    # per input row; two scatters of the same rows cost double): packed
+    # (a << 16 | b+1) + warm-start key; -1 bit pattern = empty slot.
     iblock = jnp.stack([(contacts.a << 16) | (contacts.b + 1),
                         contacts.key], axis=1)
-    ibuf = jnp.full((max_active + 1, 2), -1, jnp.int32)
-    ibuf = ibuf.at[dst].set(jnp.where(keep[:, None], iblock, -1), mode="drop")[:max_active]
+    block = jnp.concatenate(
+        [fblock, jax.lax.bitcast_convert_type(iblock, jnp.float32)], axis=1)
+    base = jnp.concatenate([
+        jnp.zeros((max_active + 1, 9), jnp.float32),
+        jax.lax.bitcast_convert_type(
+            jnp.full((max_active + 1, 2), -1, jnp.int32), jnp.float32),
+    ], axis=1)
+    buf = base.at[dst].set(block, mode="drop")[:max_active]
+    fbuf = buf[:, :9]
+    ibuf = jax.lax.bitcast_convert_type(buf[:, 9:11], jnp.int32)
 
     cvalid = ibuf[:, 0] >= 0
     a = jnp.where(cvalid, ibuf[:, 0] >> 16, 0)

@@ -89,8 +89,11 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
     (+1 if the body is contact.a, -1 if contact.b), counts [N] f32).
     Built with ONE sort of a packed i32 key (body<<(cbits+1) | contact<<1 |
     is_a) — no argsort payload — followed by ONE scatter of packed entries
-    and searchsorted run boundaries for the per-body counts (a colliding
-    scatter-add serialises on TPU).
+    and a last-of-run scatter for the per-body counts (a colliding
+    scatter-add serialises on TPU, and searchsorted lowers to a slow while
+    loop; a gather-based table build was tried and measured SLOWER — the
+    [N*CPB]-row gather from a 1-D sorted-key operand takes XLA's slow
+    point-gather path while these 1-wide scatters stay cheap).
     Contacts beyond a body's CPB slots are dropped from impulse application
     for that body (their counterpart still sees them).
     """
@@ -125,8 +128,7 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
     sign = jnp.where(packed >= 0, jnp.where(packed & 1 > 0, 1.0, -1.0), 0.0)
 
     # counts[n] = number of records with body n: the LAST record of each
-    # body run writes rank+1 (unique destinations — a colliding scatter-add
-    # serialises on TPU, and searchsorted lowers to a slow while loop).
+    # body run writes rank+1 (unique destinations).
     last = jnp.concatenate([sb[:-1] != sb[1:], jnp.ones((1,), bool)])
     dst = jnp.where(last & (sb < n_bodies), sb, n_bodies)
     counts = jnp.zeros((n_bodies + 1,), jnp.float32).at[dst].set(
@@ -148,11 +150,19 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
 
     table, sign, counts = build_incidence(contacts, n_bodies, cpb)
 
+    # Sleeping bodies are immovable inside the solve (Jolt island semantics:
+    # a sleeping island is excluded from the active set and acts as static
+    # support).  The caller (physics_step) pre-wakes sleepers that are
+    # being struck this step, so body.awake is already the effective set.
+    awakef = body.awake.astype(jnp.float32)
+    inv_mass = body.inv_mass * awakef
+    inv_inertia = body.inv_inertia * awakef[:, None]
+
     # One packed gather row per contact side instead of 5 field gathers
     # (pos3 | quat4 | inv_mass | inv_inertia3 | contact_count) — TPU
     # gathers dominate, and row width is nearly free next to row count.
     bview = jnp.concatenate([
-        body.pos, body.quat, body.inv_mass[:, None], body.inv_inertia,
+        body.pos, body.quat, inv_mass[:, None], inv_inertia,
         counts[:, None],
     ], axis=1)  # [N, 12]
     va = bview[a]
@@ -188,14 +198,17 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
 
     pen = contacts.penetration
 
+    c_cap = contacts.capacity
+    ab = jnp.concatenate([a, bs])  # both sides' gather indices, hoisted
+
     def rel_vel(linvel, angvel):
-        # Packed [N, 6] velocity view -> one gather per contact side.
-        # Gather payloads travel as bf16 (gather cost on TPU scales with
-        # bytes; velocities only need ~3 significant digits inside an
-        # iteration — the carried body state stays f32) and upcast after.
+        # ONE packed [2C]-row gather for both contact sides per iteration.
+        # Payloads travel as bf16 (gather cost on TPU scales with bytes;
+        # velocities only need ~3 significant digits inside an iteration —
+        # the carried body state stays f32) and upcast after.
         vview = jnp.concatenate([linvel, angvel], axis=1).astype(jnp.bfloat16)
-        wa = vview[a].astype(jnp.float32)
-        wb = vview[bs].astype(jnp.float32)
+        w = vview[ab].astype(jnp.float32)
+        wa, wb = w[:c_cap], w[c_cap:]
         v_a = wa[:, :3] + jnp.cross(wa[:, 3:], r_a)
         v_b = jnp.where(static_b[:, None], 0.0,
                         wb[:, :3] + jnp.cross(wb[:, 3:], r_b))
@@ -210,12 +223,18 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     # ~4 cm above surfaces — caught by the golden-trajectory harness.)
     restitution_target = jnp.where(vn0 < -params.restitution_threshold,
                                    -contacts.restitution * vn0, -jnp.inf)
-    # Baumgarte bias, clamped to a max depenetration velocity (unclamped,
-    # deep penetrations launch bodies — Jolt clamps the same way); the
-    # position-correction pass recovers the rest without adding energy.
+    # Velocity-level Baumgarte only for DEEP penetration (beyond what the
+    # split-impulse position pass recovers per step): running full-strength
+    # velocity bias on top of position correction double-corrects and pumps
+    # energy into resting stacks — a breathing limit cycle (sink ~4 cm,
+    # spring back, ~12-step period) that keeps every stacked body's
+    # velocity at 0.2-0.7 m/s forever, so stacks never sleep.  Jolt gets
+    # stack stability from split impulse alone (velocity solve targets
+    # vn=0 for resting contacts).
+    deep = 0.04  # m; position solve handles anything shallower
     bias = jnp.where(pen > 0.0,
                      jnp.minimum((params.baumgarte / dt)
-                                 * jnp.maximum(pen - params.contact_slop, 0.0),
+                                 * jnp.maximum(pen - deep, 0.0),
                                  3.0),
                      pen / dt)
     target_vn = jnp.maximum(bias, restitution_target)
@@ -226,11 +245,18 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     an_a, at1_a, at2_a = term_a[:, 0], term_a[:, 1], term_a[:, 2]
     an_b, at1_b, at2_b = term_b[:, 0], term_b[:, 1], term_b[:, 2]
 
-    # Gather helpers for the incidence table.
+    # Gather helpers for the incidence table.  Per-slot reduction weights
+    # W [N, CPB, 3seg]: seg 0 (linear impulse) = ±1 by side, seg 1 (ang_a
+    # block) = +1 on a-side slots, seg 2 (ang_b block) = -1 on b-side slots
+    # — dω_a = +Iw_a(r_a×P), dω_b = -Iw_b(r_b×P).  Folding side selection
+    # and validity into one bf16 multiply-reduce (einsum, f32 accumulation)
+    # deletes the per-iteration [N,CPB,9] upcast + sign/select elementwise
+    # pass that used to follow the gather.
     tbl = jnp.maximum(table, 0)
-    tbl_valid = (table >= 0).astype(jnp.float32)[..., None]  # [N, CPB, 1]
-    side_a = (sign > 0)[..., None]                            # [N, CPB, 1]
-    im_per_body = body.inv_mass[:, None]  # [N, 1]
+    signv = sign * (table >= 0)
+    W = jnp.stack([signv, jnp.maximum(signv, 0.0), jnp.minimum(signv, 0.0)],
+                  axis=2).astype(jnp.bfloat16)              # [N, CPB, 3]
+    im_per_body = inv_mass[:, None]  # [N, 1]
 
     def apply_impulses(linvel, angvel, dln, dlt1, dlt2):
         # ONE packed gather per iteration: [imp | ang_a | ang_b] -> [C, 9].
@@ -239,33 +265,42 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         ang_c_b = dln[:, None] * an_b + dlt1[:, None] * at1_b + dlt2[:, None] * at2_b
         block = ((jnp.concatenate([imp, ang_c_a, ang_c_b], axis=1)
                   * validf[:, None]).astype(jnp.bfloat16))
-        g = (block[tbl].astype(jnp.float32)
-             * sign[..., None] * tbl_valid)                                 # [N,CPB,9]
-        # Linear: dv_i = inv_m_i * sum_slots sign * imp.
-        linvel = linvel + im_per_body * jnp.sum(g[..., 0:3], axis=1)
-        # Angular: dω_a = +Iw_a(r_a×P); dω_b = -Iw_b(r_b×P); sign folds the minus.
-        ga = jnp.where(side_a, g[..., 3:6], g[..., 6:9])
-        angvel = angvel + jnp.sum(ga, axis=1)
+        g = block[tbl].reshape(n_bodies, cpb, 3, 3)         # [N,CPB,3seg,3]
+        out = jnp.einsum("ncsw,ncs->nsw", g, W,
+                         preferred_element_type=jnp.float32)  # [N,3seg,3]
+        linvel = linvel + im_per_body * out[:, 0]
+        angvel = angvel + out[:, 1] + out[:, 2]
         return linvel, angvel
 
-    def iteration(_, carry):
-        linvel, angvel, ln, lt1, lt2 = carry
+    def iteration(beta, carry):
+        # Accelerated projected Jacobi (FISTA momentum on the impulses).
+        # Plain mass-splitting Jacobi propagates force one contact-hop per
+        # iteration, so a 10-deep stack (> iteration count) can never
+        # converge in-step; the un-damped residual shows up as an artificial
+        # acoustic breathing mode (the whole stack bouncing at ~0.1 s
+        # period, velocities 0.5-1.5 m/s forever — which also blocks
+        # sleeping).  The normal-impulse subproblem is a convex QP, so
+        # momentum extrapolation is principled (O(1/k^2) vs O(1/k)) and
+        # costs zero extra gathers: velocities always correspond to the
+        # EXTRAPOLATED impulses y; l is the last projected (feasible) point.
+        linvel, angvel, yn, yt1, yt2, ln, lt1, lt2 = carry
         v = rel_vel(linvel, angvel)
         vn = jnp.sum(v * nrm, -1)
-        dln = (target_vn - vn) / kn
-        ln_new = jnp.maximum(ln + dln, 0.0)
-        dln = ln_new - ln
+        ln_new = jnp.maximum(yn + (target_vn - vn) / kn, 0.0)
 
         vt1 = jnp.sum(v * t1, -1)
         vt2 = jnp.sum(v * t2, -1)
         max_f = contacts.friction * ln_new
-        lt1_new = jnp.clip(lt1 - vt1 / kt1, -max_f, max_f)
-        lt2_new = jnp.clip(lt2 - vt2 / kt2, -max_f, max_f)
-        dlt1 = lt1_new - lt1
-        dlt2 = lt2_new - lt2
+        lt1_new = jnp.clip(yt1 - vt1 / kt1, -max_f, max_f)
+        lt2_new = jnp.clip(yt2 - vt2 / kt2, -max_f, max_f)
 
-        linvel, angvel = apply_impulses(linvel, angvel, dln, dlt1, dlt2)
-        return linvel, angvel, ln_new, lt1_new, lt2_new
+        yn_new = ln_new + beta * (ln_new - ln)
+        yt1_new = lt1_new + beta * (lt1_new - lt1)
+        yt2_new = lt2_new + beta * (lt2_new - lt2)
+
+        linvel, angvel = apply_impulses(linvel, angvel, yn_new - yn,
+                                        yt1_new - yt1, yt2_new - yt2)
+        return linvel, angvel, yn_new, yt1_new, yt2_new, ln_new, lt1_new, lt2_new
 
     # --- Warm start: look up last step's accumulated impulses by contact
     # identity and pre-apply them before iterating. ---
@@ -286,23 +321,33 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
 
     # Unrolled: an XLA while loop costs ~0.5 ms/iteration of fixed overhead
     # on TPU (carry copies + sync), comparable to the iteration body itself.
-    carry = (linvel0, angvel0, ln0, lt10, lt20)
-    for _ in range(config.solver_iters):
-        carry = iteration(0, carry)
-    linvel, angvel, ln, lt1, lt2 = carry
+    # FISTA momentum schedule beta_k = k/(k+3): starts at 0 (plain projected
+    # step) and grows; restarting every step keeps it stable under the
+    # warm-start-shifted initial point.
+    carry = (linvel0, angvel0, ln0, lt10, lt20, ln0, lt10, lt20)
+    for k in range(config.solver_iters):
+        carry = iteration(k / (k + 3.0), carry)
+    linvel, angvel, yn, yt1, yt2, ln, lt1, lt2 = carry
+    # Velocities correspond to the extrapolated impulses y; snap them back
+    # to the final feasible point l with one last impulse application.
+    linvel, angvel = apply_impulses(linvel, angvel, ln - yn, lt1 - yt1,
+                                    lt2 - yt2)
 
-    # --- Refresh the cache with this step's accumulated impulses. ---
+    # --- Refresh the cache with this step's accumulated impulses, IN PLACE
+    # (donated buffers): stale entries for vanished contacts persist, which
+    # is harmless — a stale identity only matches when the same (body slot,
+    # feature key) contact reappears, and warm-starting a reappearing
+    # contact from its last impulse is exactly the cache's purpose.  The
+    # host resets the cache when body slots are reused (PhysicsWorld).
+    # Rebuilding from zeros cost two full-table materialisations + copies.
     if cache is not None:
         h = _cache_hash(a, contacts.key, cache.size)
         dst = jnp.where(valid, h, cache.size)
         new_keys = jnp.stack([jnp.where(valid, a, -1),
                               jnp.where(valid, contacts.key, 0)], axis=1)
         new_cache = SolverCache(
-            keys=jnp.concatenate(
-                [jnp.full((cache.size, 1), -1, jnp.int32),
-                 jnp.zeros((cache.size, 1), jnp.int32)],
-                axis=1).at[dst].set(new_keys, mode="drop"),
-            lam=jnp.zeros((cache.size, 3), jnp.float32).at[dst].set(
+            keys=cache.keys.at[dst].set(new_keys, mode="drop"),
+            lam=cache.lam.at[dst].set(
                 jnp.stack([ln, lt1, lt2], axis=1) * validf[:, None],
                 mode="drop"),
         )
@@ -328,7 +373,8 @@ def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,
 
     tbl = jnp.maximum(table, 0)
     tbl_valid = (table >= 0).astype(jnp.float32)[..., None]
-    im_per_body = body.inv_mass[:, None]
+    # Sleeping bodies are immovable (mirrors the velocity solve).
+    im_per_body = (body.inv_mass * body.awake)[:, None]
     # ONE packed per-side gather (pos3 | inv_mass) for both the initial
     # reference positions and the inverse masses — standalone [C] scalar
     # gathers from [N] cost as much as a full row gather.

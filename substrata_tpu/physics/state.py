@@ -219,7 +219,11 @@ class Heightfield:
             jnp.roll(hh, -1, axis=1),
             jnp.roll(jnp.roll(hh, -1, axis=0), -1, axis=1),
         ], axis=-1)                       # [HX, HY, (h00,h10,h01,h11)]
-        q = hquad[i0, j0]                 # [..., 4] — the one gather
+        # Flat row index into a [HX*HY, 4] view: a multi-axis (i0, j0)
+        # gather takes XLA's slow point-gather path on TPU; a flat 1-D row
+        # index hits the fast row-gather path.
+        q = hquad.reshape(hx * hy, 4)[(i0 * hy + j0).reshape(-1)].reshape(
+            i0.shape + (4,))              # [..., 4] — the one gather
         h00, h10, h01, h11 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
         h = (h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
              + h01 * (1 - fu) * fv + h11 * fu * fv)

@@ -79,6 +79,32 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
         pair_a, pair_b, pair_valid, num_pairs, overflow = broadphase.find_pairs(body, config)
         new_pair_cache = None
 
+    # 2b. Pre-solve strike wake (Jolt activates bodies before solving their
+    # new contacts): a sleeping body with a broadphase pair against a fast
+    # awake body joins the solve THIS step — an immovable sleeper would
+    # reflect the incoming body instead of absorbing momentum (caught by
+    # the two-sphere golden-trajectory test).  Done at the pair level
+    # because static contacts never wake anything and pair rows are ~4x
+    # cheaper than contact rows; the 0.5 m/s bar keeps resting-jitter
+    # neighbours from re-waking sleeping clusters through mere proximity
+    # (slower strikes are woken post-solve by update_sleeping, one step
+    # late, with negligible momentum error).
+    n = body.capacity
+    spd2 = jnp.sum(body.linvel * body.linvel, -1)
+    striker = body.awake & (spd2 > 0.25)
+    pa_s = jnp.maximum(pair_a, 0)
+    pb_s = jnp.maximum(pair_b, 0)
+    sview = striker[:, None]
+    fa = sview[pa_s, 0]
+    fb = sview[pb_s, 0]
+    dst_a = jnp.where(pair_valid & fb, pa_s, n)
+    dst_b = jnp.where(pair_valid & fa, pb_s, n)
+    struck = (jnp.zeros((n + 1,), bool)
+              .at[dst_a].set(True, mode="drop")
+              .at[dst_b].set(True, mode="drop"))[:n]
+    body = body.replace(awake=body.awake
+                        | (struck & body.alive & body.dynamic))
+
     # 3. Narrowphase.
     pair_cts, pair_touching, bucket_overflow = narrowphase.pair_contacts(
         body, pair_a, pair_b, pair_valid, config, world.hulls)

@@ -115,6 +115,20 @@ def _scatter_updates(state: BodyState, idx, pos, quat, linvel, angvel, inv_mass,
 
 
 @partial(jax.jit, donate_argnums=(0,))
+def _wake_in_regions(state: BodyState, centers, radii):
+    """Wake every dynamic body whose bound sphere overlaps any of the K
+    (center, radius) regions (+0.3 m slack for host-mirror staleness) —
+    Jolt's activate-bodies-in-AABB on removeObject."""
+    d2 = jnp.sum((state.pos[:, None, :] - centers[None]) ** 2, -1)   # [N, K]
+    r = radii[None] + state.bound_radius[:, None] + 0.3
+    hit = jnp.any(d2 <= r * r, axis=1) & state.alive & state.dynamic
+    return state.replace(
+        awake=state.awake | hit,
+        sleep_timer=jnp.where(hit, 0.0, state.sleep_timer),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
 def _scatter_velocities(state: BodyState, idx, linvel, angvel, awake):
     return state.replace(
         linvel=state.linvel.at[idx].set(linvel, mode="drop"),
@@ -143,6 +157,8 @@ class PhysicsWorld:
         self.solver_cache = solver_mod.empty_solver_cache(
             solver_mod.cache_size_for(self.config))
         self.pair_cache = broadphase_mod.empty_pair_cache(self.config)
+        self._cache_stale = False
+        self._wake_regions: list[tuple[np.ndarray, float]] = []
         self.static_world = default_static_world(ground_z=-1e10)
         self.water_buoyancy_enabled = False
         self._water_z = -1e10
@@ -243,6 +259,13 @@ class PhysicsWorld:
         self._dirty[slot] = (dead, False)
         ob.slot = -1
         self._free.append(slot)
+        # The solver's warm-start cache is keyed by (body slot, feature key)
+        # and is updated in place on device — entries for this slot would
+        # otherwise warm-start whatever body reuses it.
+        self._cache_stale = True
+        # Wake anything that was resting on the removed body.
+        self._wake_regions.append((np.asarray(ob.pos, np.float32),
+                                   float(ob.shape.bound_radius)))
 
     def _intern_hull(self, shape) -> int:
         if self._num_hulls >= self._hulls.capacity:
@@ -276,8 +299,14 @@ class PhysicsWorld:
     # ------------------------------------------------------------------
     def set_new_ob_to_world_transform(self, ob: PhysicsObject, pos, rot,
                                       linvel=None, angvel=None, scale=None):
+        old_pos = ob.pos
         ob.pos = np.asarray(pos, np.float32)
         ob.rot = np.asarray(rot, np.float32)
+        # Teleports must wake sleeping bodies resting on the OLD location
+        # (Jolt activates bodies in a removed/moved body's AABB); small
+        # continuous moves are covered by ordinary contact wake propagation.
+        if np.linalg.norm(ob.pos - old_pos) > 0.5 * ob.shape.bound_radius + 0.1:
+            self._wake_regions.append((old_pos, ob.shape.bound_radius))
         if linvel is not None:
             ob.linvel = np.asarray(linvel, np.float32)
         if angvel is not None:
@@ -316,6 +345,24 @@ class PhysicsWorld:
     # Flush / think
     # ------------------------------------------------------------------
     def _flush(self):
+        if self._cache_stale:
+            from substrata_tpu.physics import solver as solver_mod
+            self.solver_cache = solver_mod.empty_solver_cache(
+                solver_mod.cache_size_for(self.config))
+            self._cache_stale = False
+        if self._wake_regions:
+            K = 16  # fixed pad so the jit cache stays warm
+            regs = self._wake_regions
+            self._wake_regions = []
+            for i in range(0, len(regs), K):
+                chunk = regs[i:i + K]
+                centers = np.zeros((K, 3), np.float32)
+                radii = np.full((K,), -1e9, np.float32)  # pad never matches
+                for j, (c, r) in enumerate(chunk):
+                    centers[j] = c
+                    radii[j] = r
+                self.state = _wake_in_regions(
+                    self.state, jnp.asarray(centers), jnp.asarray(radii))
         if self._hulls_dirty:
             self.static_world = self.static_world.replace(hulls=self._hulls)
             self._hulls_dirty = False
