@@ -139,13 +139,18 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     mask &= small[:, None] & j_small       # grid pass: both fit in a cell
     pj = posr[jj_safe]                     # [N, k, 4] — the one gather
     d = body.pos[:, None, :] - pj[..., :3]
+    d2 = jnp.sum(d * d, axis=-1)
     r = infl_radius[:, None] + pj[..., 3]
-    mask &= jnp.sum(d * d, axis=-1) <= r * r
+    mask &= d2 <= r * r
 
     # Per-row top-K selection (lax.top_k is fast on TPU) shrinks the global
-    # compaction from N*27*cap candidates to N*K.
+    # compaction from N*27*cap candidates to N*K.  Score by PROXIMITY
+    # (inflated-sphere overlap), not candidate order: under overflow the
+    # dropped pairs must be the far speculative ones — an arbitrary-order
+    # drop can shed a deeply-touching neighbour while keeping a margin
+    # graze, and a dropped touching pair is an invisible interpenetration.
     ppb = config.pairs_per_body
-    score = jnp.where(mask, -jnp.arange(k, dtype=jnp.float32)[None, :], -1e9)
+    score = jnp.where(mask, r * r - d2, -1e9)
     _, sel = jax.lax.top_k(score, ppb)                     # [N, ppb]
     sel_mask = jnp.take_along_axis(mask, sel, axis=1)
     sel_j = jnp.take_along_axis(jj_safe, sel, axis=1)
@@ -159,9 +164,15 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
         sel_mask = sel_mask.at[:, j].set(sel_mask[:, j] & ~dup_j)
     row_overflow = jnp.sum(mask.astype(jnp.int32), axis=1) - jnp.sum(sel_mask, axis=1)
 
-    flat_i = jnp.broadcast_to(i_idx[:, None], (n, ppb)).reshape(-1)
-    flat_j = sel_j.reshape(-1)
-    flat_mask = sel_mask.reshape(-1)
+    # SLOT-MAJOR emission (slot 0 of every body, then slot 1, ...): the
+    # global pair-buffer compaction keeps the FIRST max_pairs rows, so under
+    # overflow a body-major layout drops every pair of the highest-indexed
+    # bodies while low-indexed bodies keep all ppb of theirs; slot-major
+    # sheds each body's shallowest candidates instead (slot 0 = closest,
+    # thanks to the proximity top-K above).
+    flat_i = jnp.broadcast_to(i_idx[:, None], (n, ppb)).T.reshape(-1)
+    flat_j = sel_j.T.reshape(-1)
+    flat_mask = sel_mask.T.reshape(-1)
     overflow = overflow + jnp.sum(row_overflow)
 
     def can_pair_v(vi, vj, jj_ok):

@@ -102,7 +102,8 @@ def integrate_positions(body: BodyState, linvel, angvel, dt):
 
 def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
                     contact_impulse, contact_valid, incidence_table,
-                    incidence_sign, dt, params: SimParams):
+                    incidence_sign, dt, params: SimParams,
+                    contact_pen=None):
     """Velocity-threshold sleeping with contact-driven waking.
 
     Mirrors the activation behaviour backing the reference's
@@ -137,11 +138,15 @@ def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
     iam_a = incidence_sign > 0
     # One packed gather per indirection level (separate field gathers are
     # the cost on TPU): contact row -> (a, b, imp_sig, valid).
+    deep = (contact_valid & (contact_pen > 0.1)
+            if contact_pen is not None
+            else jnp.zeros_like(contact_valid))
     cblock = jnp.stack([contact_a.astype(jnp.float32),
                         contact_b.astype(jnp.float32),
                         imp_sig.astype(jnp.float32),
-                        contact_valid.astype(jnp.float32)], axis=1)  # [C, 4]
-    g = cblock[tbl]                                        # [N, CPB, 4]
+                        contact_valid.astype(jnp.float32),
+                        deep.astype(jnp.float32)], axis=1)  # [C, 5]
+    g = cblock[tbl]                                        # [N, CPB, 5]
     other = jnp.where(iam_a, g[..., 1], g[..., 0]).astype(jnp.int32)
     other_static = other < 0
     oth = jnp.maximum(other, 0)
@@ -152,9 +157,16 @@ def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
     slot_wake = tbl_ok & (((g[..., 2] > 0) & other_active)
                           | ((g[..., 3] > 0) & other_fast))
     wake_hit = jnp.any(slot_wake, axis=1)
+    # A deeply-penetrating body must NOT sleep: it can come to rest inside
+    # another body while the contact buffer is saturated (its separating
+    # contacts dropped), and a sleeping body is immovable + emits no static
+    # contacts — the bad position would be locked in forever.  Staying
+    # awake keeps depenetration (bias + position solve) working on it.
+    body_deep = jnp.any(tbl_ok & (g[..., 4] > 0), axis=1)
 
     dyn = body.dynamic & body.alive
-    timer = jnp.where(slow & ~wake_hit, body.sleep_timer + dt, 0.0)
+    timer = jnp.where(slow & ~wake_hit & ~body_deep,
+                      body.sleep_timer + dt, 0.0)
     asleep = dyn & (timer > params.sleep_time)
     woken = dyn & ~body.awake & wake_hit
     awake = jnp.where(dyn, (~asleep) & (body.awake | woken), body.awake)

@@ -650,6 +650,19 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
             kernel = _make_convex_kernel(code // 4, code % 4, hulls)
         pts, pens, normal, valid = kernel(bva, bvb)
         valid = valid & bvalid[:, None]
+        # Clearly-separated (speculative-only) pairs keep ONLY their deepest
+        # point: one point suffices to brake the approach speed, and the
+        # extra manifold points of thousands of near-miss pairs would evict
+        # REAL touching contacts in the fixed compaction buffer (bodies
+        # then sink 0.5+ m into each other during pile settling).  Pairs
+        # within 1 cm keep the full manifold — a bouncing stacked box
+        # micro-separates every step, and collapsing its manifold to one
+        # corner point makes the landing torque asymmetric (the stack
+        # slowly walks sideways; caught by the 5-box fidelity test).
+        near_pts = jnp.any(valid & (pens > -0.01), axis=1)
+        deepest = jnp.argmax(jnp.where(valid, pens, -1e9), axis=1)
+        keep1 = jnp.arange(pens.shape[1])[None, :] == deepest[:, None]
+        valid = valid & (near_pts[:, None] | keep1)
         sensor_b = (bva[:, 14] > 0) | (bvb[:, 14] > 0)
         fr_b = combine_friction(bva[:, 12], bvb[:, 12])
         re_b = combine_restitution(bva[:, 13], bvb[:, 13])
@@ -952,7 +965,17 @@ def compact_contacts(contacts: Contacts, max_active: int):
     """
     c = contacts.capacity
     valid = contacts.valid
-    out_idx = jnp.cumsum(valid) - 1
+    # Two-class prioritised compaction: actually-touching contacts (pen>0)
+    # fill the buffer FIRST, speculative (separated) ones take what's left
+    # — under overflow it must be the speculative rows that drop, or
+    # resting bodies lose their support contacts and sink.  Same single
+    # scatter; one extra cumsum.
+    touching = valid & (contacts.penetration > 0.0)
+    spec = valid & ~touching
+    n_touch = jnp.sum(touching)
+    idx_t = jnp.cumsum(touching) - 1
+    idx_s = n_touch + jnp.cumsum(spec) - 1
+    out_idx = jnp.where(touching, idx_t, idx_s)
     keep = valid & (out_idx < max_active)
     # Non-keep rows route to the sacrificial row max_active (sliced off),
     # so the payload needs no masking.

@@ -41,22 +41,28 @@ class SolverCache:
     keyed by the stable contact identity (body a, feature key), stored in an
     open hash table refreshed once per step.  Warm starting is what lets
     sequential-impulse engines hold stacks with ~10 iterations; without it
-    Jacobi forces rebuild from zero every step."""
+    Jacobi forces rebuild from zero every step.
 
-    keys: jnp.ndarray    # [H, 2] i32 (body slot, feature key); slot -1 = empty
-    lam: jnp.ndarray     # [H, 3] accumulated impulses (n, t1, t2)
+    One packed [H, 5] f32 row per entry — lanes 0-1 are the (body slot,
+    feature key) identity bitcast from i32, lanes 2-4 the impulses — so the
+    per-step lookup is ONE row gather and the refresh ONE row scatter
+    (gather/scatter cost on TPU is per row, not per byte)."""
+
+    data: jnp.ndarray    # [H, 5] f32; lanes 0-1 s32-bitcast (slot, key)
 
     @property
     def size(self):
-        return self.keys.shape[0]
+        return self.data.shape[0]
 
 
 def empty_solver_cache(size: int = 1 << 17) -> SolverCache:
+    empty_keys = jax.lax.bitcast_convert_type(
+        jnp.concatenate([jnp.full((size, 1), -1, jnp.int32),
+                         jnp.zeros((size, 1), jnp.int32)], axis=1),
+        jnp.float32)
     return SolverCache(
-        keys=jnp.concatenate([jnp.full((size, 1), -1, jnp.int32),
-                              jnp.zeros((size, 1), jnp.int32)], axis=1),
-        lam=jnp.zeros((size, 3), jnp.float32),
-    )
+        data=jnp.concatenate([empty_keys, jnp.zeros((size, 3), jnp.float32)],
+                             axis=1))
 
 
 def cache_size_for(config: "SimConfig") -> int:
@@ -127,12 +133,12 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
     table = jnp.where(packed >= 0, packed >> 1, -1)
     sign = jnp.where(packed >= 0, jnp.where(packed & 1 > 0, 1.0, -1.0), 0.0)
 
-    # counts[n] = number of records with body n: the LAST record of each
-    # body run writes rank+1 (unique destinations).
-    last = jnp.concatenate([sb[:-1] != sb[1:], jnp.ones((1,), bool)])
-    dst = jnp.where(last & (sb < n_bodies), sb, n_bodies)
-    counts = jnp.zeros((n_bodies + 1,), jnp.float32).at[dst].set(
-        (rank + 1).astype(jnp.float32), mode="drop")[:n_bodies]
+    # counts[n] = contacts that APPLY to body n = min(degree, CPB), derived
+    # from the table itself (free elementwise reduce; the old full-degree
+    # last-of-run scatter cost ~0.34 ms/step at 10k).  Using the applied
+    # count in the mass splitting is the consistent choice: a body only
+    # ever receives impulses from its CPB tabled slots.
+    counts = jnp.sum((table >= 0).astype(jnp.float32), axis=1)
     return table, sign, counts
 
 
@@ -308,9 +314,10 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     linvel0, angvel0 = body.linvel, body.angvel
     if cache is not None:
         h = _cache_hash(a, contacts.key, cache.size)
-        kk = cache.keys[h]                       # ONE [C,2] gather, not two
+        row = cache.data[h]                      # ONE [C,5] gather
+        kk = jax.lax.bitcast_convert_type(row[:, 0:2], jnp.int32)
         hit = valid & (kk[:, 0] == a) & (kk[:, 1] == contacts.key)
-        warm = jnp.where(hit[:, None], cache.lam[h], 0.0)
+        warm = jnp.where(hit[:, None], row[:, 2:5], 0.0)
         ln0 = jnp.maximum(warm[:, 0], 0.0) * validf
         max_f0 = contacts.friction * ln0
         lt10 = jnp.clip(warm[:, 1], -max_f0, max_f0) * validf
@@ -326,12 +333,12 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     # warm-start-shifted initial point.
     carry = (linvel0, angvel0, ln0, lt10, lt20, ln0, lt10, lt20)
     for k in range(config.solver_iters):
-        carry = iteration(k / (k + 3.0), carry)
+        # beta=0 on the LAST iteration leaves y == l, so the final
+        # velocities already correspond to the feasible impulses and no
+        # snap-back apply is needed (saves one gather+reduce pass).
+        beta = k / (k + 3.0) if k < config.solver_iters - 1 else 0.0
+        carry = iteration(beta, carry)
     linvel, angvel, yn, yt1, yt2, ln, lt1, lt2 = carry
-    # Velocities correspond to the extrapolated impulses y; snap them back
-    # to the final feasible point l with one last impulse application.
-    linvel, angvel = apply_impulses(linvel, angvel, ln - yn, lt1 - yt1,
-                                    lt2 - yt2)
 
     # --- Refresh the cache with this step's accumulated impulses, IN PLACE
     # (donated buffers): stale entries for vanished contacts persist, which
@@ -345,12 +352,12 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         dst = jnp.where(valid, h, cache.size)
         new_keys = jnp.stack([jnp.where(valid, a, -1),
                               jnp.where(valid, contacts.key, 0)], axis=1)
+        new_row = jnp.concatenate([
+            jax.lax.bitcast_convert_type(new_keys, jnp.float32),
+            jnp.stack([ln, lt1, lt2], axis=1) * validf[:, None],
+        ], axis=1)
         new_cache = SolverCache(
-            keys=cache.keys.at[dst].set(new_keys, mode="drop"),
-            lam=cache.lam.at[dst].set(
-                jnp.stack([ln, lt1, lt2], axis=1) * validf[:, None],
-                mode="drop"),
-        )
+            data=cache.data.at[dst].set(new_row, mode="drop"))
     else:
         new_cache = None
     return linvel, angvel, ln, table, sign, new_cache
@@ -386,14 +393,18 @@ def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,
     im_b = jnp.where(static_b, 0.0, vb0[:, 3])
     w_sum = jnp.maximum(im_a + im_b, 1e-9)
 
+    c_cap = a.shape[0]
+    ab = jnp.concatenate([a, bs])
+
     def it(first, pos):
         if first:
             # No displacement has been applied yet: dp == 0 exactly, so
             # skip the two per-side position gathers of iteration 0.
             pen_res = contacts.penetration
         else:
-            dp = ((pos[a] - pos0_a)
-                  - jnp.where(static_b[:, None], 0.0, pos[bs] - pos0_b))
+            pab = pos[ab]                 # ONE [2C]-row gather for both sides
+            dp = ((pab[:c_cap] - pos0_a)
+                  - jnp.where(static_b[:, None], 0.0, pab[c_cap:] - pos0_b))
             pen_res = contacts.penetration - jnp.sum(dp * nrm, -1)
         push = jnp.maximum(pen_res - params.contact_slop, 0.0) * beta
         # Per-contact positional impulse along the normal, shared by inv mass.

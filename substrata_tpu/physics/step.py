@@ -129,7 +129,7 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     # 6. Sleeping.
     awake, sleep_timer, linvel, angvel = integrate.update_sleeping(
         body, linvel, angvel, contacts.a, contacts.b, lambda_n, contacts.valid,
-        inc_table, inc_sign, dt, params)
+        inc_table, inc_sign, dt, params, contact_pen=contacts.penetration)
 
     new_body = body.replace(
         pos=pos, quat=quat, linvel=linvel, angvel=angvel,
