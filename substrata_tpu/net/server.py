@@ -723,7 +723,7 @@ class Server:
         # messages from workers fire handlers on this VM in the main tick
         # (Server.cpp:672-870), gated by the script-exec feature flag.
         from substrata_tpu.scripting.events import ScriptVM
-        self.script_vm = ScriptVM(clock=clock)
+        self.script_vm = ScriptVM(clock=clock, is_server=True)
         self._clock = clock
         self._start_time = clock()
         # Gear registry (server User.h gear_ids; Protocol.h:1400-1406).

@@ -414,9 +414,22 @@ class SimConfig:
         self.contacts_per_body = contacts_per_body
         # Broadphase per-body pair emission cap (emitting body = lower slot).
         self.pairs_per_body = pairs_per_body
-        # Compacted contact buffer for the solver; 0 = auto heuristic.
-        self.max_active_contacts = max_active_contacts or (
-            2 * max_pairs + 4 * capacity)
+        # Compacted contact buffer for the solver; 0 = auto heuristic.  The
+        # solver's incidence sort packs (body << (contact_bits+1) | contact
+        # << 1 | side) into an int32, so capacity_bits + contact_bits + 1
+        # must fit in 31 bits — the auto heuristic clamps to that budget and
+        # explicit values are validated here (better a config-time error
+        # than a jit-time assert).
+        contact_budget = 1 << (30 - 1 - max(capacity.bit_length(), 1))
+        auto = min(2 * max_pairs + 4 * capacity, contact_budget)
+        self.max_active_contacts = max_active_contacts or auto
+        if (max(self.max_active_contacts.bit_length(), 1)
+                + max(capacity.bit_length(), 1) + 1 > 31):
+            raise ValueError(
+                f"max_active_contacts={self.max_active_contacts} too large "
+                f"for capacity={capacity}: the solver packs body and contact "
+                f"ids into one int32 sort key (<= {contact_budget} contacts "
+                f"at this capacity)")
         # Broadphase temporal reuse: rebuild the pair list at most every this
         # many steps (1 = every step); the cached rebuild enlarges the pair
         # margin to cover worst-case motion over the window and PhysicsWorld

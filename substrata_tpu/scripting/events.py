@@ -136,12 +136,16 @@ class ScriptVM:
         "enumerate": enumerate, "zip": zip, "print": print, "sum": sum,
     }
 
-    def __init__(self, world_interface=None, clock=time.monotonic):
+    def __init__(self, world_interface=None, clock=time.monotonic,
+                 is_server: bool = False):
         self.world = world_interface
         self.timers = ScriptTimerQueue()
         self.handlers_by_ob: dict[int, ObjectEventHandlers] = {}
         self._clock = clock
+        self.is_server = is_server
         self.messages_to_user: list[str] = []
+        self.object_storage: dict[str, object] = {}   # objectstorage KV
+        self.lua_evaluators: list[object] = []
 
     def handlers_for(self, ob_uid: int) -> ObjectEventHandlers:
         if ob_uid not in self.handlers_by_ob:
@@ -183,7 +187,24 @@ class ScriptVM:
 
     def run_script(self, src: str, this_object=None):
         """Execute a user script (its top level registers handlers/timers —
-        LuaScriptEvaluator construction parity)."""
+        LuaScriptEvaluator construction parity).
+
+        Scripts beginning with ``--lua`` run in the from-scratch Lua
+        interpreter with the Substrata API (the reference's Luau path,
+        detected the same way — server/Server.cpp:551); anything else uses
+        the legacy restricted-Python dialect.
+        """
+        from substrata_tpu.scripting import lua_api
+        if lua_api.is_lua_script(src):
+            from substrata_tpu.scripting.lua import LuaError
+            try:
+                ev = lua_api.LuaScriptEvaluator(
+                    self, src, this_object=this_object,
+                    is_server=self.is_server)
+            except LuaError as e:
+                raise ScriptExecutionError(str(e)) from e
+            self.lua_evaluators.append(ev)
+            return ev
         env = self._make_env(this_object)
         try:
             code = compile(src, "<user-script>", "exec")
