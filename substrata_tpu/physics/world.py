@@ -114,6 +114,27 @@ def _scatter_updates(state: BodyState, idx, pos, quat, linvel, angvel, inv_mass,
     )
 
 
+@partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 6, 7))
+def _think_step(body, static_world, hull_cv, dt, params, config,
+                solver_cache, pair_cache):
+    """Donated wrapper over physics_step for the serving path: the carried
+    state + caches update in place instead of being copied every step.
+    Callers must not hold references to the PREVIOUS step's state arrays."""
+    from substrata_tpu.physics.step import physics_step as _ps
+    return _ps(body, static_world, hull_cv, dt, params, config,
+               solver_cache, pair_cache)
+
+
+@jax.jit
+def _transform_block(state: BodyState):
+    """Pack the per-tick transform readback into one [N, 14] f32 array
+    (pos3 | quat4 | linvel3 | angvel3 | underwater)."""
+    return jnp.concatenate([
+        state.pos.astype(jnp.float32), state.quat, state.linvel, state.angvel,
+        state.underwater.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _wake_in_regions(state: BodyState, centers, radii):
     """Wake every dynamic body whose bound sphere overlaps any of the K
@@ -126,6 +147,44 @@ def _wake_in_regions(state: BodyState, centers, radii):
         awake=state.awake | hit,
         sleep_timer=jnp.where(hit, 0.0, state.sleep_timer),
     )
+
+
+_EVK = 64      # event-digest slots per class (wakes/sleeps/water)
+_EVT = 128     # touching-pair slots in the digest
+
+
+@jax.jit
+def _event_digest(events, num_contacts, num_awake):
+    """Pack everything the host reads per tick into ONE small i32 array.
+
+    Remote TPU runtimes (the axon tunnel) charge ~10 ms latency per
+    transfer, so N separate np.asarray() calls on event fields cost N round
+    trips; this digest makes it exactly one.  Layout:
+      [0:64]    newly-awake slots (-1 pad)
+      [64:128]  newly-asleep slots
+      [128:192] entered-water slots
+      [192:196] counts: n_awake_events, n_asleep_events, n_water_events,
+                n_touching_pairs  (if a count exceeds its slot budget the
+                host falls back to a full readback for that step)
+      [196:200] num_pairs, broadphase_overflow, num_contacts, num_awake
+      [200:200+2*128] touching pair (a, b) interleaved (-1 pad)
+    """
+    up, = jnp.nonzero(events.newly_awake, size=_EVK, fill_value=-1)
+    down, = jnp.nonzero(events.newly_asleep, size=_EVK, fill_value=-1)
+    wet, = jnp.nonzero(events.entered_water, size=_EVK, fill_value=-1)
+    touch, = jnp.nonzero(events.contact_touching, size=_EVT, fill_value=-1)
+    tsafe = jnp.maximum(touch, 0)
+    ta = jnp.where(touch >= 0, events.contact_pair_a[tsafe], -1)
+    tb = jnp.where(touch >= 0, events.contact_pair_b[tsafe], -1)
+    counts = jnp.stack([
+        jnp.sum(events.newly_awake), jnp.sum(events.newly_asleep),
+        jnp.sum(events.entered_water), jnp.sum(events.contact_touching),
+        events.num_pairs, events.broadphase_overflow, num_contacts,
+        num_awake,
+    ]).astype(jnp.int32)
+    pairs = jnp.stack([ta, tb], axis=1).reshape(-1)
+    return jnp.concatenate([up.astype(jnp.int32), down.astype(jnp.int32),
+                            wet.astype(jnp.int32), counts, pairs])
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -143,10 +202,25 @@ class PhysicsWorld:
 
     UPDATE_CHUNK = 256  # records per flush kernel call (padded)
 
+    # Capacity-tier ladder: each tier quarters the pair/contact buffers.
+    # A calm (mostly-sleeping) world steps on small buffers — gather/scatter
+    # cost on TPU scales with buffer CAPACITY, not live count — and climbs
+    # back instantly when an overflow counter fires (the prioritised
+    # pair/contact dropping keeps the one climb step safe: only far
+    # speculative rows are shed).  This is the host-side analogue of Jolt
+    # removing sleeping islands from its active set.
+    TIER_DIVS = (1, 4, 16)
+    TIER_CALM_STEPS = 30          # consecutive calm steps before descending
+    TIER_HEADROOM = 2             # live count must fit in half the next tier
+
     def __init__(self, config: SimConfig | None = None,
-                 params: SimParams | None = None):
+                 params: SimParams | None = None, auto_tier: bool = True):
         import copy
         self.config = copy.copy(config) if config is not None else SimConfig()
+        self._base_config = copy.copy(self.config)
+        self.auto_tier = auto_tier
+        self._tier = 0
+        self._calm_steps = 0
         # Start with no shape types present; add_object grows this, so the
         # narrowphase only pays for shape combos that can actually occur.
         self.config.present_shape_types = (False, False, False, False)
@@ -159,6 +233,7 @@ class PhysicsWorld:
         self.pair_cache = broadphase_mod.empty_pair_cache(self.config)
         self._cache_stale = False
         self._wake_regions: list[tuple[np.ndarray, float]] = []
+        self._world_asleep = False
         self.static_world = default_static_world(ground_z=-1e10)
         self.water_buoyancy_enabled = False
         self._water_z = -1e10
@@ -434,52 +509,140 @@ class PhysicsWorld:
         state mutations; _flush does this automatically)."""
         self.pair_cache = self.pair_cache.replace(steps_left=jnp.int32(0))
 
+    def _tier_config(self, tier: int) -> SimConfig:
+        import copy
+        cfg = copy.copy(self._base_config)
+        cfg.present_shape_types = self.config.present_shape_types
+        div = self.TIER_DIVS[tier]
+        if div > 1:
+            cfg.max_pairs = max(512, self._base_config.max_pairs // div)
+            cfg.max_active_contacts = max(
+                1024, self._base_config.max_active_contacts // div)
+        return cfg
+
+    def _switch_tier(self, tier: int):
+        from substrata_tpu.physics import broadphase as broadphase_mod
+        from substrata_tpu.physics import solver as solver_mod
+        self._tier = tier
+        self._calm_steps = 0
+        self.config = self._tier_config(tier)
+        # Buffer shapes changed: rebuild the caches (one warm-start-less
+        # step; the pair cache rebuilds next step anyway).
+        self.solver_cache = solver_mod.empty_solver_cache(
+            solver_mod.cache_size_for(self.config))
+        self.pair_cache = broadphase_mod.empty_pair_cache(self.config)
+
     def think(self, dt: float):
-        """One substep: PhysicsWorld::think parity (PhysicsWorld.cpp:1356-1442)."""
-        had_mutations = bool(self._dirty or self._vel_dirty)
+        """One substep: PhysicsWorld::think parity (PhysicsWorld.cpp:1356-1442).
+
+        The entire per-step host side costs ONE device->host transfer (the
+        packed event digest): remote runtimes charge ~10 ms latency per
+        transfer, so per-field event reads dominated the serving path at
+        10k bodies (56 ms/step of round trips)."""
+        had_mutations = bool(self._dirty or self._vel_dirty
+                             or self._wake_regions)
+        # Fully-asleep worlds SKIP the device step outright: with zero awake
+        # bodies nothing can change on device (sleeping bodies receive no
+        # forces; any wake source — adds, moves, velocity writes, removals,
+        # kinematic motion — goes through the host mutation paths checked
+        # here).  An idle world costs its server nothing, like Jolt with an
+        # empty active set.
+        if self._world_asleep and not had_mutations and self._steps > 0:
+            self.newly_activated_obs = set()
+            self._steps += 1
+            return self.last_events
         self._flush()
         if had_mutations:
             # Host moved/added/removed bodies: the cached pair list is stale.
             self.invalidate_pairs()
+            self._world_asleep = False
         (self.state, self.solver_cache, self.pair_cache, events,
-         diags) = physics_step(
+         diags) = _think_step(
             self.state, self.static_world, self._hull_contact_verts,
             jnp.float32(dt), self.params, self.config, self.solver_cache,
             self.pair_cache)
         self.last_events = events
         self.last_diags = diags
         self._steps += 1
-        self._refresh_activation_sets(events)
+        digest = np.asarray(_event_digest(events, diags.num_contacts,
+                                          diags.num_awake))
+        self._world_asleep = int(digest[199]) == 0
+        self._refresh_activation_sets(events, digest)
+        if self.auto_tier:
+            self._update_tier_from_digest(digest)
         return events
 
-    def _refresh_activation_sets(self, events):
-        newly = np.asarray(events.newly_awake)
-        asleep = np.asarray(events.newly_asleep)
+    def _refresh_activation_sets(self, events, digest=None):
+        if digest is None:
+            digest = np.asarray(_event_digest(events, jnp.int32(0),
+                                              jnp.int32(1)))
+        n_up, n_down, n_wet, n_touch = (int(digest[192]), int(digest[193]),
+                                        int(digest[194]), int(digest[195]))
+        # Fallback to full reads only when a digest class overflowed (rare:
+        # >64 wakes in one step).
+        if n_up > _EVK or n_down > _EVK:
+            up = np.nonzero(np.asarray(events.newly_awake))[0]
+            down = np.nonzero(np.asarray(events.newly_asleep))[0]
+        else:
+            up = digest[0:_EVK][:n_up]
+            down = digest[_EVK:2 * _EVK][:n_down]
         self.newly_activated_obs = set()
-        for slot in np.nonzero(newly)[0]:
+        for slot in up:
             ob = self.objects.get(int(slot))
             if ob is not None:
                 self.activated_obs.add(ob)
                 self.newly_activated_obs.add(ob)
-        for slot in np.nonzero(asleep)[0]:
+        for slot in down:
             ob = self.objects.get(int(slot))
             if ob is not None:
                 self.activated_obs.discard(ob)
         if self.event_listener is not None:
-            ent = np.asarray(events.entered_water)
-            for slot in np.nonzero(ent)[0]:
+            if n_wet > _EVK:
+                wet = np.nonzero(np.asarray(events.entered_water))[0]
+            else:
+                wet = digest[2 * _EVK:3 * _EVK][:n_wet]
+            for slot in wet:
                 ob = self.objects.get(int(slot))
-                if ob is not None and hasattr(self.event_listener, "physics_object_entered_water"):
+                if ob is not None and hasattr(self.event_listener,
+                                              "physics_object_entered_water"):
                     self.event_listener.physics_object_entered_water(ob)
-            touching = np.asarray(events.contact_touching)
-            if touching.any() and hasattr(self.event_listener, "contact_added"):
-                pa = np.asarray(events.contact_pair_a)
-                pb = np.asarray(events.contact_pair_b)
-                for i in np.nonzero(touching)[0]:
-                    oa = self.objects.get(int(pa[i]))
-                    obj_b = self.objects.get(int(pb[i]))
+            if n_touch > 0 and hasattr(self.event_listener, "contact_added"):
+                if n_touch > _EVT:
+                    touching = np.asarray(events.contact_touching)
+                    pa = np.asarray(events.contact_pair_a)
+                    pb = np.asarray(events.contact_pair_b)
+                    pairs = [(int(pa[i]), int(pb[i]))
+                             for i in np.nonzero(touching)[0]]
+                else:
+                    tp = digest[200:200 + 2 * _EVT].reshape(_EVT, 2)[:n_touch]
+                    pairs = [(int(a), int(b)) for a, b in tp]
+                for sa, sb in pairs:
+                    oa = self.objects.get(sa)
+                    obj_b = self.objects.get(sb)
                     if oa is not None and obj_b is not None:
                         self.event_listener.contact_added(oa, obj_b)
+
+    def _update_tier_from_digest(self, digest):
+        over = int(digest[197])
+        num_pairs = int(digest[196])
+        num_contacts = int(digest[198])
+        if over > 0:
+            if self._tier > 0:
+                self._switch_tier(0)   # climb straight to full capacity
+            self._calm_steps = 0
+            return
+        nxt = self._tier + 1
+        if nxt >= len(self.TIER_DIVS):
+            return
+        ncfg = self._tier_config(nxt)
+        if (num_pairs * self.TIER_HEADROOM < ncfg.max_pairs
+                and num_contacts * self.TIER_HEADROOM
+                < ncfg.max_active_contacts):
+            self._calm_steps += 1
+            if self._calm_steps >= self.TIER_CALM_STEPS:
+                self._switch_tier(nxt)
+        else:
+            self._calm_steps = 0
 
     # ------------------------------------------------------------------
     # Readback
@@ -487,19 +650,21 @@ class PhysicsWorld:
     def sync_transforms(self):
         """Pull pos/rot/vel of all alive bodies into the host mirrors — the
         activated-objects readback of the client tick (GUIClient.cpp:6576-6692),
-        batched into one DMA."""
-        pos = np.asarray(self.state.pos)
-        rot = np.asarray(self.state.quat)
-        lv = np.asarray(self.state.linvel)
-        av = np.asarray(self.state.angvel)
-        uw = np.asarray(self.state.underwater)
+        batched into ONE packed DMA (five per-field reads cost five remote
+        round trips)."""
+        block = np.asarray(_transform_block(self.state))     # [N, 14]
+        pos = block[:, 0:3]
+        rot = block[:, 3:7]
+        lv = block[:, 7:10]
+        av = block[:, 10:13]
+        uw = block[:, 13]
         for slot, ob in self.objects.items():
             if ob.motion_type != int(MotionType.STATIC):
                 ob.pos = pos[slot]
                 ob.rot = rot[slot]
                 ob.linvel = lv[slot]
                 ob.angvel = av[slot]
-                ob.underwater = bool(uw[slot])
+                ob.underwater = bool(uw[slot] > 0)
 
     # ------------------------------------------------------------------
     # Queries (PhysicsWorld.cpp:1668-1725)
@@ -538,7 +703,9 @@ class PhysicsWorld:
         if d is not None:
             lines.append(
                 f"  pairs={int(d.num_pairs)} contacts={int(d.num_contacts)} "
-                f"awake={int(d.num_awake)} max_pen={float(d.max_penetration):.4f}")
+                f"awake={int(d.num_awake)} max_pen={float(d.max_penetration):.4f} "
+                f"tier={self._tier} (pairs cap {self.config.max_pairs}, "
+                f"contacts cap {self.config.max_active_contacts})")
         return "\n".join(lines)
 
     def total_memory_bytes(self) -> int:
