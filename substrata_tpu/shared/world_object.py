@@ -33,15 +33,20 @@ class ObjectType(enum.IntEnum):
     SPLAT = 10
 
 
-# Flags (WorldObject.h:346-359)
+# Flags — value-for-value parity with WorldObject.h:346-358.
 COLLIDABLE_FLAG = 1
-DYNAMIC_FLAG = 2
-AUDIO_AUTOPLAY = 4
-AUDIO_LOOP = 8
-VIDEO_AUTOPLAY = 16
-VIDEO_LOOP = 32
-VIDEO_MUTED = 64
-SUMMONED_FLAG = 128
+LIGHTMAP_NEEDS_COMPUTING_FLAG = 2
+HIGH_QUAL_LIGHTMAP_NEEDS_COMPUTING_FLAG = 4
+DYNAMIC_FLAG = 8
+SUMMONED_FLAG = 16
+VIDEO_AUTOPLAY = 32
+VIDEO_LOOP = 64
+VIDEO_MUTED = 128
+IS_SENSOR_FLAG = 256
+EXCLUDE_FROM_LOD_CHUNK_MESH = 512
+AUDIO_AUTOPLAY = 1024
+AUDIO_LOOP = 2048
+CREATED_VIA_MCP = 4096
 
 
 @dataclass
