@@ -615,6 +615,10 @@ class VehicleManager:
             self.veh, inputs, w.state, w.static_world, jnp.float32(dt),
             w.params, w.config)
         w.state = _apply_vehicle_deltas(w.state, slots, dv, dw)
+        # Direct state write bypasses the host mutation paths — clear the
+        # fully-asleep latch so think() resumes stepping (a driven vehicle
+        # in an otherwise-sleeping world must move).
+        w._world_asleep = False
 
 
 class VehiclePhysicsBase:

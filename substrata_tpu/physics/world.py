@@ -214,10 +214,16 @@ class PhysicsWorld:
     TIER_HEADROOM = 2             # live count must fit in half the next tier
 
     def __init__(self, config: SimConfig | None = None,
-                 params: SimParams | None = None, auto_tier: bool = True):
+                 params: SimParams | None = None,
+                 auto_tier: bool | None = None):
         import copy
         self.config = copy.copy(config) if config is not None else SimConfig()
         self._base_config = copy.copy(self.config)
+        # Default: tier only LARGE worlds.  Small worlds step in well under
+        # a millisecond anyway, and each tier is a separate XLA program —
+        # auto-tiering everywhere tripled the test suite's compile count.
+        if auto_tier is None:
+            auto_tier = self.config.capacity >= 2048
         self.auto_tier = auto_tier
         self._tier = 0
         self._calm_steps = 0

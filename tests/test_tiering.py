@@ -10,8 +10,10 @@ from substrata_tpu.physics.state import SimConfig
 
 
 def make_world():
+    # auto_tier defaults off below 2048 bodies (compile-count control);
+    # opt in explicitly to exercise the ladder at test scale.
     w = PhysicsWorld(SimConfig(capacity=256, max_pairs=4096, grid_dim=32,
-                               cell_size=2.0))
+                               cell_size=2.0), auto_tier=True)
     w.set_ground_plane(0.0)
     return w
 

@@ -1,0 +1,128 @@
+"""Networked-tick benchmark — BASELINE.md benchmark config (5): the full
+client tick over a 12k-object replicated world with snapshot send +
+interpolation (the reference's whole-world workload, README.md:42).
+
+Topology: loopback server + two full clients.  Client A owns a slice of
+dynamic objects and streams physics snapshots at 10 Hz; client B replicates
+the full world and runs the complete ClientApp tick (physics substeps,
+remote playback/interpolation, scripts, occlusion, send pass).  The metric
+is client B's sustained tick rate.
+
+Prints ONE JSON line like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+N_OBJECTS = 12_000
+N_DYNAMIC = 512          # client-A-owned moving objects streaming snapshots
+TICK_HZ = 30.0           # reference clients tick at display rate; 30 is the
+                         # conservative interactive floor
+BASELINE_TICK_HZ = 30.0
+
+
+def build():
+    from substrata_tpu.client_app import ClientApp
+    from substrata_tpu.net.client import Client
+    from substrata_tpu.net.server import Server
+    from substrata_tpu.physics.state import SimConfig
+    from substrata_tpu.shared.world_object import (COLLIDABLE_FLAG,
+                                                   DYNAMIC_FLAG, WorldObject)
+
+    server = Server(port=0, udp_port=0)
+    server.start()
+
+    sender = Client("127.0.0.1", server.port)
+    sender.start()
+
+    rng = np.random.default_rng(0)
+    for i in range(N_OBJECTS):
+        dyn = i < N_DYNAMIC
+        ob = WorldObject(
+            model_url="cube.bmesh",
+            flags=COLLIDABLE_FLAG | (DYNAMIC_FLAG if dyn else 0),
+            pos=np.array([rng.uniform(-180, 180), rng.uniform(-180, 180),
+                          0.4 if not dyn else rng.uniform(2, 6)]))
+        sender.send_create_object(ob)
+
+    viewer = Client("127.0.0.1", server.port)
+    viewer.start()
+    cfg = SimConfig(capacity=12_288, max_pairs=16_384, grid_dim=96,
+                    cell_size=4.0, solver_iters=7, pair_rebuild_interval=6)
+    app = ClientApp(client=viewer, config=cfg, enable_audio=False)
+
+    # Replicate WITHOUT stepping physics (each tick is a full 12k-body
+    # device step; waiting on the wire needs none of that).
+    deadline = time.time() + 120
+    while time.time() < deadline and len(viewer.world_state.objects) < N_OBJECTS:
+        time.sleep(0.1)
+    if len(viewer.world_state.objects) < N_OBJECTS:
+        raise RuntimeError(
+            f"replication stalled at {len(viewer.world_state.objects)}")
+    # Now load the replicated objects into the physics world in one pass.
+    t0 = time.time()
+    for _ in range(10):
+        app.timer_event(1 / TICK_HZ)
+    print(f"# loaded {len(app.objects)} objects in {time.time()-t0:.1f} s",
+          file=sys.stderr)
+    return server, sender, viewer, app
+
+
+def main():
+    server, sender, viewer, app = build()
+    # Warm: let object loading + first compiles happen outside the window.
+    for _ in range(60):
+        app.timer_event(1 / TICK_HZ)
+
+    # Sender streams snapshots for its dynamic objects (10 Hz per object, in
+    # slices like the reference's send pass).
+    dyn_uids = [uid for uid, ob in list(viewer.world_state.objects.items())
+                if ob.is_dynamic()][:N_DYNAMIC]
+    rng = np.random.default_rng(1)
+
+    n_ticks = 150
+    t0 = time.perf_counter()
+    for tick in range(n_ticks):
+        # ~10 Hz snapshot stream: every tick, 1/3 of dynamic objects update.
+        sl = dyn_uids[tick % 3::3]
+        gt = (viewer.world_state.global_time()
+              if viewer.world_state is not None else 0.0)
+        for uid in sl[:64]:
+            pos = np.array([rng.uniform(-180, 180), rng.uniform(-180, 180),
+                            rng.uniform(1, 4)], np.float32)
+            sender.send_physics_snapshot(
+                uid, pos, np.array([0, 0, 0, 1], np.float32),
+                np.zeros(3, np.float32), np.zeros(3, np.float32))
+        app.timer_event(1 / TICK_HZ)
+    wall = time.perf_counter() - t0
+    ticks_per_sec = n_ticks / wall
+
+    print(json.dumps({
+        "metric": f"networked client ticks/sec, {N_OBJECTS}-object world",
+        "value": round(ticks_per_sec, 2),
+        "unit": "ticks/s",
+        "vs_baseline": round(ticks_per_sec / BASELINE_TICK_HZ, 3),
+        "replicated_objects": len(viewer.world_state.objects),
+    }))
+
+    viewer.stop()
+    sender.stop()
+    server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -178,7 +178,7 @@ def main():
     client = None
     if not args.dry_run:
         from substrata_tpu.net.client import Client
-        client = Client(args.host, args.port, name="cv-bot")
+        client = Client(args.host, args.port)
     import_parcels(paths, client)
     if client is not None:
         import time

@@ -157,7 +157,7 @@ def main():
     from substrata_tpu.net.client import Client
     from substrata_tpu.physics.state import SimConfig
 
-    client = Client(args.host, args.port, name="lightmapper-bot")
+    client = Client(args.host, args.port)
     client.start()
     app = ClientApp(client=client, config=SimConfig(
         capacity=2048, max_pairs=8192, grid_dim=64, cell_size=4.0),

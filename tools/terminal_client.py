@@ -38,7 +38,7 @@ def _build_app(connect=None):
     if connect is not None:
         from substrata_tpu.net.client import Client
         host, port = connect
-        client = Client(host, int(port), name="terminal-client")
+        client = Client(host, int(port))
     cfg = SimConfig(capacity=2048, max_pairs=8192, grid_dim=64, cell_size=4.0)
     app = ClientApp(client=client, config=cfg, enable_audio=False)
     return app
