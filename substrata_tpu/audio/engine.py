@@ -71,9 +71,14 @@ def _upload_sound(pool, offset, data):
 @partial(jax.jit, donate_argnums=(0,))
 def _stream_write(pool, offset, ring_pos, data):
     # Scatter into the ring with wraparound (voice frames are small: ~480-960
-    # samples, so a scatter is fine here).
-    idx = offset + (ring_pos + jnp.arange(data.shape[0])) % STREAM_RING
-    return pool.at[idx].set(data)
+    # samples, so a scatter is fine here).  Writes into the first FETCH_PAD
+    # ring samples are mirrored past the ring's end so the mix kernel's
+    # windowed fetch (mix._fetch_all) never needs per-sample wrap.
+    p = (ring_pos + jnp.arange(data.shape[0])) % STREAM_RING
+    pool = pool.at[offset + p].set(data)
+    mirror = jnp.where(p < mixmod.FETCH_PAD, offset + STREAM_RING + p,
+                       offset + p)
+    return pool.at[mirror].set(data)
 
 
 class AudioEngine:
@@ -103,14 +108,20 @@ class AudioEngine:
     # Sound pool
     # ------------------------------------------------------------------
     def load_sound(self, data: np.ndarray) -> tuple[int, int]:
-        """Upload a mono f32 buffer into the device pool; returns (off, len)."""
+        """Upload a mono f32 buffer into the device pool; returns (off, len).
+
+        Every buffer is stored with FETCH_PAD trailing samples mirroring its
+        head, so the mix kernel's windowed fetch can read past the end of a
+        looping buffer without per-sample wraparound (mix._fetch_all)."""
         data = np.asarray(data, np.float32).reshape(-1)
         n = len(data)
-        if self._pool_cursor + n > self._pool_size:
+        pad = mixmod.FETCH_PAD
+        if self._pool_cursor + n + pad > self._pool_size:
             raise RuntimeError("audio sample pool full")
         off = self._pool_cursor
-        self._pool_cursor += n
-        self.pool = _upload_sound(self.pool, off, jnp.asarray(data))
+        self._pool_cursor += n + pad
+        padded = np.concatenate([data, data[np.arange(pad) % max(n, 1)]])
+        self.pool = _upload_sound(self.pool, off, jnp.asarray(padded))
         return off, n
 
     def get_or_load_sound_file(self, path) -> tuple[int, int]:

@@ -33,6 +33,16 @@ ENGINE_RATE = 48_000   # Hz stereo f32 output (AudioEngine.cpp:576-612)
 NUM_MIX_LAYERS = 3     # engine-sound layers (BikePhysics.cpp:261-270)
 SPEED_OF_SOUND = 343.0  # Doppler (AudioEngine.cpp:131-146)
 
+# Windowed-fetch contract: every buffer in the sample pool carries
+# FETCH_PAD extra samples after its end, holding a copy of the buffer's
+# head (so looping reads never wrap inside a block) — see
+# AudioEngine.load_sound.  DELTA_MAX bounds the effective playback rate
+# (pitch * doppler) so the per-block read span is statically known.
+# Sized for blocks up to MAX_SUPERBLOCK frames.
+MAX_SUPERBLOCK = 1024
+DELTA_MAX = 2.5
+FETCH_PAD = int(MAX_SUPERBLOCK * DELTA_MAX) + 512  # 3072, row-aligned slack
+
 from substrata_tpu.audio.hrtf import TAPS as HRIR_TAPS, hrir_bank, quantize_direction
 
 # Reverb feedback-delay network (room effects, AudioEngine.cpp:738-767).
@@ -73,11 +83,12 @@ def room_from_aabb(aabb_min, aabb_max, reflectivity: float) -> RoomState:
     # de-tuned by small co-prime factors so modes don't stack.
     base = np.array([dims[0], dims[1], dims[2],
                      float(np.linalg.norm(dims)) * 0.5])
-    # Min delay = one block so the FDN processes whole blocks in parallel
-    # (reads never depend on writes within the same block).
+    # Min delay = MAX_SUPERBLOCK so the FDN processes whole blocks in
+    # parallel (reads never depend on writes within the same block) for any
+    # supported block size, incl. the 800-frame combined-tick superblock.
     delays = np.clip((base / 343.0 * ENGINE_RATE
                       * np.array([1.0, 1.13, 1.31, 1.53])).astype(np.int64),
-                     BLOCK, FDN_MAX_DELAY - 1)
+                     MAX_SUPERBLOCK, FDN_MAX_DELAY - 1)
     refl = float(np.clip(reflectivity, 0.0, 0.98))
     room = default_room()
     return room.replace(delays=jnp.asarray(delays, jnp.int32),
@@ -185,46 +196,98 @@ def default_listener() -> Listener:
                     master_volume=jnp.float32(1.0))
 
 
-def _fetch_layer(pool, offset, length, playhead, delta, looping, stream_mode,
-                 write_head):
-    """Fetch BLOCK frames of one source layer with linear interpolation.
+def _fetch_all(pool, src: "SourceState", eff_delta, block: int):
+    """Fetch `block` frames for every (source, layer) with linear interp.
 
-    offset/length: scalars; playhead: f32; returns (samples [B], new_playhead).
-    Streaming mode: playhead is an absolute sample counter, the buffer is a
-    ring, and reads past write_head produce zeros (underflow zero-pad,
-    AudioEngine.cpp:461-474).
+    TPU layout (the whole point — see CLAUDE.md design rules): a naive
+    pool[idx] with a [S,L,B] index tensor takes XLA's point-gather path
+    (~2.8 ms/block measured, 97% of the kernel).  Instead:
+
+      1. gather NW contiguous 128-wide ROWS of the pool per (s,l) with one
+         FLAT row-id vector (the fast gather layout; ~0.01 ms), then
+      2. interpolate inside the gathered window WITHOUT a gather: factorise
+         the local fractional index into a one-hot over 16-sample chunks
+         and a 17-wide triangular (linear-interp) kernel, contracted on the
+         MXU at Precision.HIGHEST (bf16 passes would cost ~-40 dB SNR).
+
+    Looping/streaming never wrap inside a block: buffers carry FETCH_PAD
+    trailing samples mirroring their head (AudioEngine.load_sound), and the
+    playhead is re-wrapped between blocks.  Reads past the end of
+    non-looping buffers / past a stream's write head are masked to zero
+    (underflow zero-pad parity, AudioEngine.cpp:461-474).
+
+    Returns (samples [S, L, B], new_playheads [S, L]).
     """
-    t = playhead + delta * jnp.arange(BLOCK, dtype=jnp.float32)
-    lenf = jnp.maximum(length.astype(jnp.float32), 1.0)
-    wrap = looping | stream_mode
-    t_wrapped = jnp.where(wrap, jnp.mod(t, lenf), t)
-    idx0 = jnp.floor(t_wrapped).astype(jnp.int32)
-    frac = t_wrapped - idx0
-    in_range = jnp.where(stream_mode, t < write_head - 1.0,
-                         wrap | (t_wrapped < lenf - 1.0))
-    i0 = jnp.clip(idx0, 0, length - 1)
-    i1 = jnp.where(wrap, jnp.mod(idx0 + 1, jnp.maximum(length, 1)),
-                   jnp.clip(idx0 + 1, 0, length - 1))
-    s0 = pool[offset + i0]
-    s1 = pool[offset + i1]
-    out = (s0 * (1.0 - frac) + s1 * frac) * in_range
-    new_playhead = playhead + delta * BLOCK
-    new_playhead = jnp.where(looping & ~stream_mode, jnp.mod(new_playhead, lenf),
-                             new_playhead)
+    s, l = src.playhead.shape
+    nw = (127 + int(block * DELTA_MAX) + 1) // 128 + 2  # window rows
+    q = nw * 8                                          # 16-wide chunks
+    pool128 = pool.reshape(-1, 128)
+    n_rows = pool128.shape[0]
+
+    lenf = jnp.maximum(src.buf_len.astype(jnp.float32), 1.0)     # [S, L]
+    wrap = (src.looping | src.stream_mode)[:, None]              # [S, 1]
+    ph = jnp.where(wrap, jnp.mod(src.playhead, lenf), src.playhead)
+    ph = jnp.maximum(ph, 0.0)
+    ph_int = jnp.floor(ph).astype(jnp.int32)                     # [S, L]
+    ph_frac = ph - ph_int.astype(jnp.float32)
+
+    # 1. Window row gather (flat 1-D row ids -> rows of 128).
+    start_i = src.buf_offset + jnp.minimum(ph_int, jnp.maximum(src.buf_len - 1, 0))
+    row0 = jnp.clip(start_i >> 7, 0, n_rows - nw)                # [S, L]
+    rows = row0[..., None] + jnp.arange(nw, dtype=jnp.int32)     # [S, L, NW]
+    w = pool128[rows.reshape(-1)].reshape(s, l, nw * 128)
+
+    # 2. Factorised in-window linear interpolation.
+    bf = jnp.arange(block, dtype=jnp.float32)
+    t_rel = ph_frac[..., None] + eff_delta[..., None] * bf       # [S, L, B]
+    li = t_rel + (start_i - (row0 << 7)).astype(jnp.float32)[..., None]
+    li = jnp.clip(li, 0.0, nw * 128 - 1.001)
+    qi = jnp.floor(li * (1.0 / 16.0)).astype(jnp.int32)          # [S, L, B]
+    u = li - 16.0 * qi.astype(jnp.float32)                       # [0, 16)
+    blk = w.reshape(s, l, q, 16)
+    # 17th column = next chunk's first sample (interp across chunk edges).
+    blk = jnp.concatenate([blk, jnp.roll(blk[..., :1], -1, axis=-2)], -1)
+    tri = jnp.maximum(0.0, 1.0 - jnp.abs(
+        u[..., None] - jnp.arange(17, dtype=jnp.float32)))       # [S, L, B, 17]
+    t1 = jnp.einsum("slqu,slbu->slqb", blk, tri,
+                    precision=jax.lax.Precision.HIGHEST)
+    oh = (qi[..., None] == jnp.arange(q, dtype=jnp.int32)).astype(jnp.float32)
+    out = jnp.einsum("slbq,slqb->slb", oh, t1,
+                     precision=jax.lax.Precision.HIGHEST)        # [S, L, B]
+
+    # 3. Range masks.
+    sidx = ph[..., None] + eff_delta[..., None] * bf             # rel. buffer
+    t_abs = src.playhead[..., None] + eff_delta[..., None] * bf  # absolute
+    in_range = jnp.where(
+        src.stream_mode[:, None, None],
+        t_abs < src.stream_write_head[:, None, None] - 1.0,
+        src.looping[:, None, None] | (sidx < lenf[..., None] - 1.0))
+    out = out * in_range
+
+    new_playhead = src.playhead + eff_delta * block
+    new_playhead = jnp.where(src.looping[:, None] & ~src.stream_mode[:, None],
+                             jnp.mod(new_playhead, lenf), new_playhead)
     return out, new_playhead
 
 
-@partial(jax.jit, static_argnames=("use_hrtf",))
+@partial(jax.jit, static_argnames=("use_hrtf", "block"))
 def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener,
-              dt_block=BLOCK / ENGINE_RATE, room: RoomState | None = None,
-              use_hrtf: bool = True):
-    """Mix one 256-frame stereo block.
+              dt_block=None, room: RoomState | None = None,
+              use_hrtf: bool = True, block: int = BLOCK):
+    """Mix one stereo block of `block` frames (default 256).
 
     Returns (new_src, out [B, 2]) — or (new_src, out, new_room) when a
     RoomState is passed (room-effects reverb, AudioEngine.cpp:738-767).
     use_hrtf=True spatialises through the HRIR FIR bank (measured-style
     interaural time + level differences, audio/hrtf.py); False falls back
-    to constant-power pan + head-shadow low-pass (the round-1 path)."""
+    to constant-power pan + head-shadow low-pass (the round-1 path).
+
+    block may be any multiple of 16 up to MAX_SUPERBLOCK; larger blocks
+    amortise per-dispatch cost (the combined physics+audio tick mixes one
+    60 Hz tick of audio, 800 frames, in a single call)."""
+    assert block % 16 == 0 and block <= MAX_SUPERBLOCK
+    if dt_block is None:
+        dt_block = block / ENGINE_RATE
     s = src.capacity
     active = src.alive & ~src.paused & ~src.finished
 
@@ -238,21 +301,16 @@ def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener,
     doppler = jnp.clip((SPEED_OF_SOUND - v_lis) / jnp.maximum(SPEED_OF_SOUND - (-v_src), 1.0),
                        0.5, 2.0)
     doppler = jnp.where(src.spatial, doppler, 1.0)
-    dop_smooth = src.doppler_factor + (doppler - src.doppler_factor) * 0.2
+    # Per-256-frame smoothing factor 0.2, scaled to the block length.
+    dop_alpha = 1.0 - (1.0 - 0.2) ** (block / 256.0)
+    dop_smooth = src.doppler_factor + (doppler - src.doppler_factor) * dop_alpha
 
-    # --- Per-layer fetch (vmapped over sources and layers). ---
-    def fetch_source(offs, lens, heads, deltas, mixes, looping, stream, whead):
-        def fetch_one(o, ln, h, d, m):
-            smp, nh = _fetch_layer(pool, o, ln, h, d, looping, stream, whead)
-            return smp * m * (ln > 0), nh
-        smps, nhs = jax.vmap(fetch_one)(offs, lens, heads, deltas, mixes)
-        return jnp.sum(smps, axis=0), nhs
-
-    eff_delta = src.delta * dop_smooth[:, None]
-    samples, new_heads = jax.vmap(fetch_source)(
-        src.buf_offset, src.buf_len, src.playhead, eff_delta,
-        src.mix_factor, src.looping, src.stream_mode,
-        src.stream_write_head)                           # [S, B], [S, L]
+    # --- Windowed fetch of all (source, layer) streams (see _fetch_all).
+    eff_delta = jnp.clip(src.delta * dop_smooth[:, None], 0.0, DELTA_MAX)
+    raw, new_heads = _fetch_all(pool, src, eff_delta, block)     # [S, L, B]
+    layer_gain = src.mix_factor * (src.buf_len > 0)              # [S, L]
+    samples = jnp.einsum("slb,sl->sb", raw, layer_gain,
+                         precision=jax.lax.Precision.HIGHEST)
     samples = samples * active[:, None]
 
     # End-of-buffer bookkeeping (non-looping): finished when layer 0 passes
@@ -298,12 +356,19 @@ def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener,
         use_lp = (src.num_occlusions > 0) | (behind & src.spatial)
     alpha = jnp.clip(2.0 * jnp.pi * fc / ENGINE_RATE, 0.0, 1.0)
 
-    def lp_scan(state, frame):
-        new = state + alpha * (frame - state)
-        return new, new
+    # One-pole low-pass as an associative scan over frames (log2(B) fully
+    # vectorised passes instead of a B-step sequential lax.scan):
+    # y[n] = a*y[n-1] + b[n], composed as affine maps (a, b).
+    a_el = jnp.broadcast_to((1.0 - alpha)[:, None], samples.shape)
+    b_el = alpha[:, None] * samples
 
-    lp_out, filtered = jax.lax.scan(lp_scan, src.lp_state, samples.T)
-    filtered = filtered.T                                  # [S, B]
+    def compose(lhs, rhs):
+        return lhs[0] * rhs[0], rhs[1] + rhs[0] * lhs[1]
+
+    cum_a, cum_b = jax.lax.associative_scan((
+        lambda l, r: compose(l, r)), (a_el, b_el), axis=1)
+    filtered = cum_a * src.lp_state[:, None] + cum_b       # [S, B]
+    lp_out = filtered[:, -1]
     samples = jnp.where(use_lp[:, None], filtered, samples)
 
     if use_hrtf:
@@ -315,7 +380,7 @@ def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener,
         h = bank[ai, ei]                                   # [S, 2, T]
         x_ext = jnp.concatenate([src.hrir_hist, samples], axis=1)  # [S, B+T-1]
         t = HRIR_TAPS
-        windows = jnp.stack([x_ext[:, t - 1 - k: t - 1 - k + BLOCK]
+        windows = jnp.stack([x_ext[:, t - 1 - k: t - 1 - k + block]
                              for k in range(t)], axis=2)   # [S, B, T]
         conv_l = jnp.einsum("sbt,st->sb", windows, h[:, 0])
         conv_r = jnp.einsum("sbt,st->sb", windows, h[:, 1])
@@ -324,14 +389,14 @@ def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener,
         # Direction is in the HRIRs; both channels carry the full gain.
         gl = gain * jnp.where(src.spatial, 1.0, 0.70710678) * active
         gr = gl
-        new_hist = x_ext[:, BLOCK:]
+        new_hist = x_ext[:, block:]
     else:
         sig_l = sig_r = samples
         new_hist = src.hrir_hist
 
     # --- Gain ramp over the block (zipper-noise suppression) then the
     # stereo downmix as one [2, S] @ [S, B] matmul on the MXU. ---
-    ramp = jnp.linspace(0.0, 1.0, BLOCK, dtype=jnp.float32)[None, :]
+    ramp = jnp.linspace(0.0, 1.0, block, dtype=jnp.float32)[None, :]
     gl_t = src.prev_gain_l[:, None] + (gl[:, None] - src.prev_gain_l[:, None]) * ramp
     gr_t = src.prev_gain_r[:, None] + (gr[:, None] - src.prev_gain_r[:, None]) * ramp
     left = jnp.sum(gl_t * sig_l, axis=0)
@@ -345,7 +410,7 @@ def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener,
         send = jnp.sum(samples * (gain * active
                                   * src.spatial.astype(jnp.float32))[:, None],
                        axis=0)                             # [B]
-        b = jnp.arange(BLOCK, dtype=jnp.int32)
+        b = jnp.arange(block, dtype=jnp.int32)
         rpos = jnp.mod(room.write_idx - room.delays[:, None] + b[None, :],
                        FDN_MAX_DELAY)                      # [L, B]
         taps = jnp.take_along_axis(room.delay_lines, rpos, axis=1)
@@ -359,7 +424,7 @@ def mix_block(src: SourceState, pool: jnp.ndarray, listener: Listener,
         out = out + jnp.stack([wet_l, wet_r], axis=1) * listener.master_volume
         new_room = room.replace(
             delay_lines=lines,
-            write_idx=jnp.mod(room.write_idx + BLOCK, FDN_MAX_DELAY))
+            write_idx=jnp.mod(room.write_idx + block, FDN_MAX_DELAY))
 
     out = jnp.clip(out, -1.0, 1.0)  # device-callback clamp (AudioEngine.cpp:191-226)
 
