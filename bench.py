@@ -5,9 +5,18 @@ North-star metric (BASELINE.json): physics steps/sec at 10k bodies (target:
 >= 60 Hz real time on one TPU v5e chip; Jolt-backed reference designs for
 60 Hz substeps, gui_client/GUIClient.cpp:6365-6368).
 
-The step runs fully on device: K substeps are chained inside one jitted
-lax.scan so host dispatch is off the critical path (the reference's
-equivalent: Jolt's Update called once per substep from the client tick).
+Honesty guards (round-3):
+- sustained churn: every CHURN_PERIOD steps ALL dynamic bodies get a random
+  velocity kick, so island sleep cannot flatter the number — the JSON
+  reports awake_frac_mean over the timed window (target >= 0.9).
+- overflow counters from the step are surfaced.
+- timing ends with a host readback (axon under-reports otherwise).
+
+Broadphase rebuild/reuse is host-scheduled between two compiled variants
+(physics_step(rebuild_pairs=...)): the host reads pair_cache.steps_left one
+step behind the device (never stalling the dispatch queue) and reconciles
+its prediction; an on-device lax.cond costs ~2.5 ms/step of branch
+machinery + copies even on pure-reuse steps.
 """
 
 import json
@@ -30,9 +39,9 @@ from substrata_tpu.physics.step import physics_step
 from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
 
 N_BODIES = 10_000
-STEPS_PER_CALL = 10
 DT = 1.0 / 60.0
 BASELINE_STEPS_PER_SEC = 60.0  # real-time 60 Hz = reference design rate
+CHURN_PERIOD = 30              # steps between velocity kicks (0.5 s)
 
 
 def build_world():
@@ -79,6 +88,57 @@ def build_world():
     return w
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _kick(state, key):
+    """Churn: random velocity kick to every dynamic body + full wake."""
+    kick = jax.random.uniform(key, state.linvel.shape, jnp.float32,
+                              -1.5, 1.5).at[:, 2].mul(0.5)
+    dyn = state.alive & state.dynamic
+    return state.replace(
+        linvel=jnp.where(dyn[:, None], state.linvel + kick, state.linvel),
+        awake=state.awake | dyn,
+        sleep_timer=jnp.where(dyn, 0.0, state.sleep_timer),
+    )
+
+
+class RebuildScheduler:
+    """Host-side broadphase cadence with periodic device reconciliation.
+
+    The device computes the safe reuse window at each rebuild
+    (broadphase._pairs_rebuild: margins cover vmax over `window` steps).
+    Reading it back EVERY step would cost a ~10 ms round trip per step on
+    the remote TPU runtime (the same reason PhysicsWorld uses a packed
+    event digest), so the host runs a fixed cadence from the last learned
+    window and reconciles only at force() points (the churn kicks, which
+    invalidate pairs anyway).  Kick speeds (~2.6 m/s) keep the true window
+    at the interval clamp, so the cadence matches the device's own
+    schedule; scenes above ~25 m/s would need per-step reconciliation
+    (PhysicsWorld.think does exactly that via the digest)."""
+
+    def __init__(self, interval):
+        self.interval = interval
+        self.window_est = 1       # conservative until first reconcile
+        self.phase = 0            # steps since last rebuild; 0 -> rebuild
+        self._last_rebuild_sl = None   # device scalar from last rebuild step
+
+    def decide(self) -> bool:
+        return self.phase == 0
+
+    def after_dispatch(self, rebuilt: bool, steps_left_dev):
+        if rebuilt:
+            self._last_rebuild_sl = steps_left_dev
+        self.phase += 1
+        if self.phase >= self.window_est:
+            self.phase = 0
+
+    def force(self):
+        """Rebuild next step + reconcile window_est from the device."""
+        self.phase = 0
+        if self._last_rebuild_sl is not None:
+            self.window_est = max(1, int(np.asarray(self._last_rebuild_sl)) + 1)
+            self._last_rebuild_sl = None
+
+
 def main():
     w = build_world()
     cfg = w.config
@@ -89,37 +149,56 @@ def main():
     # NOTE: a lax.scan over the step makes XLA compile time pathological at
     # this size; per-step dispatch (~2 ms) is negligible against the step
     # itself, so we drive steps from the host loop.
-    # Donate the carried state so XLA updates buffers in place instead of
-    # copying ~5 ms/step of pytree leaves.
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def run_step(body, cache, pcache):
-        nb, nc, npc, _, _ = physics_step(body, sw, hull_cv, jnp.float32(DT),
-                                         params, cfg, cache, pcache)
-        return nb, nc, npc
+    @partial(jax.jit, static_argnames=("rebuild",), donate_argnums=(0, 1, 2))
+    def run_step(body, cache, pcache, rebuild):
+        nb, nc, npc, _, diags = physics_step(
+            body, sw, hull_cv, jnp.float32(DT), params, cfg, cache, pcache,
+            rebuild_pairs=rebuild)
+        # steps_left returned as its own buffer: the scheduler holds it
+        # across the next call, which donates (and so deletes) npc itself.
+        return nb, nc, npc, diags, npc.steps_left + 0
 
     state, cache, pcache = w.state, w.solver_cache, w.pair_cache
-    # Warm up / compile, then saturate the dispatch queue: the axon remote
-    # runtime can under-report with block_until_ready alone, so every timing
-    # block ends with a host readback that forces a true device sync.
-    state, cache, pcache = run_step(state, cache, pcache)
-    _ = float(np.asarray(state.pos)[0, 0])
-    for _ in range(30):
-        state, cache, pcache = run_step(state, cache, pcache)
+    sched = RebuildScheduler(cfg.pair_rebuild_interval)
+    key = jax.random.PRNGKey(7)
+
+    def drive(n_steps, collect=None):
+        nonlocal state, cache, pcache, key
+        for k in range(n_steps):
+            if k % CHURN_PERIOD == 0:
+                key, sub = jax.random.split(key)
+                state = _kick(state, sub)
+                sched.force()           # kicked bodies invalidate pairs
+            rb = sched.decide()
+            state, cache, pcache, diags, sl = run_step(state, cache, pcache, rb)
+            sched.after_dispatch(rb, sl)
+            if collect is not None:
+                collect.append(diags)
+
+    # Warm-up: compile both variants + settle the dispatch queue.
+    drive(40)
     _ = float(np.asarray(state.pos)[0, 0])
 
+    steps = 120  # two churn cycles in the timed window
+    diags_log = []
     t0 = time.perf_counter()
-    steps = 60
-    for _ in range(steps):
-        state, cache, pcache = run_step(state, cache, pcache)
+    drive(steps, collect=diags_log)
     _ = float(np.asarray(state.pos)[0, 0])  # real sync
     dt_wall = time.perf_counter() - t0
     steps_per_sec = steps / dt_wall
 
+    awake = np.array([int(np.asarray(d.num_awake)) for d in diags_log[::10]])
+    contacts = np.array([int(np.asarray(d.num_contacts)) for d in diags_log[::10]])
+    n_dyn = N_BODIES
+
     print(json.dumps({
-        "metric": f"physics steps/sec at {N_BODIES} bodies",
+        "metric": f"physics steps/sec at {N_BODIES} bodies (sustained churn)",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "awake_frac_mean": round(float(awake.mean()) / n_dyn, 3),
+        "awake_frac_min": round(float(awake.min()) / n_dyn, 3),
+        "contacts_mean": int(contacts.mean()),
     }))
 
 

@@ -268,8 +268,26 @@ def empty_pair_cache(config: SimConfig) -> PairCache:
     )
 
 
+def _pairs_rebuild(body: BodyState, dt, config: SimConfig):
+    """The rebuild branch: find_pairs with speed-scaled per-body margins and
+    an adaptive reuse window.  Returns (pa, pb, pv, num, ov, steps_left)."""
+    interval = config.pair_rebuild_interval
+    speed = jnp.linalg.norm(body.linvel, axis=-1)
+    speed = jnp.where(body.alive & body.awake, speed, 0.0)
+    vmax = jnp.max(speed)
+    margin_cap = 0.6 * config.cell_size
+    window = jnp.clip(
+        jnp.floor(margin_cap / jnp.maximum(vmax * dt, 1e-6)),
+        1, interval).astype(jnp.int32)
+    wf = window.astype(jnp.float32)
+    # Per-side margin: base speculative margin + personal travel bound.
+    margin = 0.08 + 2.0 * speed * wf * dt
+    pa, pb, pv, num, ov = find_pairs(body, config, margin=margin)
+    return pa, pb, pv, num, ov, window - 1
+
+
 def find_pairs_cached(body: BodyState, cache: PairCache, dt,
-                      config: SimConfig):
+                      config: SimConfig, rebuild: bool | None = None):
     """find_pairs with temporal reuse.
 
     Returns (pair_a, pair_b, pair_valid, num_pairs, overflow, new_cache).
@@ -280,30 +298,26 @@ def find_pairs_cached(body: BodyState, cache: PairCache, dt,
     something moves so fast its personal margin would exceed ~a grid cell.
     The caller must force steps_left=0 whenever bodies are moved externally
     (PhysicsWorld does this on every host flush) and when bodies wake.
+
+    ``rebuild`` selects the branch STATICALLY (host-driven scheduling; the
+    host reads cache.steps_left one step behind, see PhysicsWorld.think):
+    the device lax.cond costs ~2.5 ms/step of branch machinery + buffer
+    copies at 10k bodies even on pure-reuse steps.  None keeps the on-device
+    cond (always correct, used where the host has no pipeline).
     """
-    interval = config.pair_rebuild_interval
-
-    speed = jnp.linalg.norm(body.linvel, axis=-1)
-    speed = jnp.where(body.alive & body.awake, speed, 0.0)
-    vmax = jnp.max(speed)
-    margin_cap = 0.6 * config.cell_size
-
-    def rebuild(_):
-        window = jnp.clip(
-            jnp.floor(margin_cap / jnp.maximum(vmax * dt, 1e-6)),
-            1, interval).astype(jnp.int32)
-        wf = window.astype(jnp.float32)
-        # Per-side margin: base speculative margin + personal travel bound.
-        margin = 0.08 + 2.0 * speed * wf * dt
-        pa, pb, pv, num, ov = find_pairs(body, config, margin=margin)
-        return pa, pb, pv, num, ov, window - 1
-
-    def reuse(_):
-        return (cache.pair_a, cache.pair_b, cache.pair_valid,
-                cache.num_pairs, jnp.int32(0), cache.steps_left - 1)
-
-    pa, pb, pv, num, ov, left = jax.lax.cond(
-        cache.steps_left <= 0, rebuild, reuse, operand=None)
+    if rebuild is True:
+        pa, pb, pv, num, ov, left = _pairs_rebuild(body, dt, config)
+    elif rebuild is False:
+        pa, pb, pv, num, ov, left = (
+            cache.pair_a, cache.pair_b, cache.pair_valid,
+            cache.num_pairs, jnp.int32(0), cache.steps_left - 1)
+    else:
+        pa, pb, pv, num, ov, left = jax.lax.cond(
+            cache.steps_left <= 0,
+            lambda _: _pairs_rebuild(body, dt, config),
+            lambda _: (cache.pair_a, cache.pair_b, cache.pair_valid,
+                       cache.num_pairs, jnp.int32(0), cache.steps_left - 1),
+            operand=None)
     new_cache = PairCache(pair_a=pa, pair_b=pb, pair_valid=pv,
                           num_pairs=num, steps_left=left)
     return pa, pb, pv, num, ov, new_cache

@@ -50,17 +50,22 @@ class StepDiagnostics:
     max_penetration: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "rebuild_pairs"))
 def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
                  dt, params: SimParams, config: SimConfig,
-                 solver_cache=None, pair_cache=None):
+                 solver_cache=None, pair_cache=None,
+                 rebuild_pairs: bool | None = None):
     """Advance the world one fixed substep (60 Hz in the reference tick,
     GUIClient.cpp:6365-6368).
 
     Returns (new_body, events, diagnostics); when a solver.SolverCache is
     passed for warm starting, (new_body, new_cache, events, diagnostics);
     when a broadphase.PairCache is also passed (temporal pair reuse),
-    (new_body, new_solver_cache, new_pair_cache, events, diagnostics)."""
+    (new_body, new_solver_cache, new_pair_cache, events, diagnostics).
+
+    ``rebuild_pairs``: statically pick the broadphase rebuild/reuse branch
+    (two compiled variants, host-scheduled from the previous step's
+    cache.steps_left); None = on-device lax.cond."""
     if pair_cache is not None and solver_cache is None:
         raise ValueError("pair_cache requires a solver_cache")
     dt = jnp.asarray(dt, jnp.float32)
@@ -74,7 +79,7 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     if pair_cache is not None:
         (pair_a, pair_b, pair_valid, num_pairs, overflow,
          new_pair_cache) = broadphase.find_pairs_cached(
-            body, pair_cache, dt, config)
+            body, pair_cache, dt, config, rebuild=rebuild_pairs)
     else:
         pair_a, pair_b, pair_valid, num_pairs, overflow = broadphase.find_pairs(body, config)
         new_pair_cache = None

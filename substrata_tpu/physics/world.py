@@ -114,15 +114,17 @@ def _scatter_updates(state: BodyState, idx, pos, quat, linvel, angvel, inv_mass,
     )
 
 
-@partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 6, 7))
+@partial(jax.jit, static_argnums=(5, 8), donate_argnums=(0, 6, 7))
 def _think_step(body, static_world, hull_cv, dt, params, config,
-                solver_cache, pair_cache):
+                solver_cache, pair_cache, rebuild_pairs=None):
     """Donated wrapper over physics_step for the serving path: the carried
     state + caches update in place instead of being copied every step.
-    Callers must not hold references to the PREVIOUS step's state arrays."""
+    Callers must not hold references to the PREVIOUS step's state arrays.
+    rebuild_pairs statically selects the broadphase rebuild/reuse variant
+    (host-scheduled; see PhysicsWorld.think)."""
     from substrata_tpu.physics.step import physics_step as _ps
     return _ps(body, static_world, hull_cv, dt, params, config,
-               solver_cache, pair_cache)
+               solver_cache, pair_cache, rebuild_pairs=rebuild_pairs)
 
 
 @jax.jit
@@ -154,7 +156,7 @@ _EVT = 128     # touching-pair slots in the digest
 
 
 @jax.jit
-def _event_digest(events, num_contacts, num_awake):
+def _event_digest(events, num_contacts, num_awake, steps_left=jnp.int32(0)):
     """Pack everything the host reads per tick into ONE small i32 array.
 
     Remote TPU runtimes (the axon tunnel) charge ~10 ms latency per
@@ -168,6 +170,10 @@ def _event_digest(events, num_contacts, num_awake):
                 host falls back to a full readback for that step)
       [196:200] num_pairs, broadphase_overflow, num_contacts, num_awake
       [200:200+2*128] touching pair (a, b) interleaved (-1 pad)
+      [-1]      pair_cache.steps_left after this step (the host schedules
+                the next step's broadphase rebuild/reuse variant from it —
+                identical timing to the old on-device lax.cond, which also
+                read the value the previous step produced)
     """
     up, = jnp.nonzero(events.newly_awake, size=_EVK, fill_value=-1)
     down, = jnp.nonzero(events.newly_asleep, size=_EVK, fill_value=-1)
@@ -184,7 +190,8 @@ def _event_digest(events, num_contacts, num_awake):
     ]).astype(jnp.int32)
     pairs = jnp.stack([ta, tb], axis=1).reshape(-1)
     return jnp.concatenate([up.astype(jnp.int32), down.astype(jnp.int32),
-                            wet.astype(jnp.int32), counts, pairs])
+                            wet.astype(jnp.int32), counts, pairs,
+                            jnp.asarray(steps_left, jnp.int32)[None]])
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -238,6 +245,8 @@ class PhysicsWorld:
             solver_mod.cache_size_for(self.config))
         self.pair_cache = broadphase_mod.empty_pair_cache(self.config)
         self._cache_stale = False
+        self._force_pair_rebuild = True   # host-side rebuild scheduling
+        self._host_steps_left = 0
         self._wake_regions: list[tuple[np.ndarray, float]] = []
         self._world_asleep = False
         self.static_world = default_static_world(ground_z=-1e10)
@@ -513,6 +522,7 @@ class PhysicsWorld:
     def invalidate_pairs(self):
         """Force a broadphase rebuild at the next step (call after external
         state mutations; _flush does this automatically)."""
+        self._force_pair_rebuild = True
         self.pair_cache = self.pair_cache.replace(steps_left=jnp.int32(0))
 
     def _tier_config(self, tier: int) -> SimConfig:
@@ -537,6 +547,7 @@ class PhysicsWorld:
         self.solver_cache = solver_mod.empty_solver_cache(
             solver_mod.cache_size_for(self.config))
         self.pair_cache = broadphase_mod.empty_pair_cache(self.config)
+        self._force_pair_rebuild = True
 
     def think(self, dt: float):
         """One substep: PhysicsWorld::think parity (PhysicsWorld.cpp:1356-1442).
@@ -562,16 +573,25 @@ class PhysicsWorld:
             # Host moved/added/removed bodies: the cached pair list is stale.
             self.invalidate_pairs()
             self._world_asleep = False
+        # Host-driven broadphase scheduling: pick the rebuild or reuse
+        # compiled variant from the steps_left the previous step's digest
+        # reported (the old on-device lax.cond read exactly the same value,
+        # but cost ~2.5 ms/step of branch machinery + copies at 10k bodies
+        # even on pure-reuse steps).
+        rebuild = self._force_pair_rebuild or self._host_steps_left <= 0
+        self._force_pair_rebuild = False
         (self.state, self.solver_cache, self.pair_cache, events,
          diags) = _think_step(
             self.state, self.static_world, self._hull_contact_verts,
             jnp.float32(dt), self.params, self.config, self.solver_cache,
-            self.pair_cache)
+            self.pair_cache, rebuild)
         self.last_events = events
         self.last_diags = diags
         self._steps += 1
         digest = np.asarray(_event_digest(events, diags.num_contacts,
-                                          diags.num_awake))
+                                          diags.num_awake,
+                                          self.pair_cache.steps_left))
+        self._host_steps_left = int(digest[-1])
         self._world_asleep = int(digest[199]) == 0
         self._refresh_activation_sets(events, digest)
         if self.auto_tier:
