@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-North-star metric (BASELINE.json): physics steps/sec at 10k bodies (target:
->= 60 Hz real time on one TPU v5e chip; Jolt-backed reference designs for
-60 Hz substeps, gui_client/GUIClient.cpp:6365-6368).
+North-star metric (BASELINE.json): the CONJUNCTION — 10k interacting rigid
+bodies AND 256 spatial audio sources at >= 60 Hz real time on one TPU chip.
+The reference tick runs both every frame (gui_client/GUIClient.cpp:6432
+physics think + audio/AudioEngine.cpp:345-555 ResonanceThread), so the
+headline here is the combined tick rate: each tick dispatches one 10k-body
+physics step AND one 800-frame (1/60 s at 48 kHz) 256-source audio mix,
+with source positions/velocities gathered on-device from the body state
+(no host round trip in the coupling).  Sub-metrics report the physics-only
+rate for continuity with rounds 1-2.
 
 Honesty guards (round-3):
 - sustained churn: every CHURN_PERIOD steps ALL dynamic bodies get a random
@@ -39,9 +45,40 @@ from substrata_tpu.physics.step import physics_step
 from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
 
 N_BODIES = 10_000
+N_SOURCES = 256
+TICK_FRAMES = 800              # 48 kHz / 60 Hz: one tick of audio per step
 DT = 1.0 / 60.0
 BASELINE_STEPS_PER_SEC = 60.0  # real-time 60 Hz = reference design rate
 CHURN_PERIOD = 30              # steps between velocity kicks (0.5 s)
+CHUNK = 3                      # ticks fused into one dispatch: the axon
+                               # remote runtime costs ~2 ms of launch bubble
+                               # per program, so chunking 3 ticks (+ folding
+                               # the churn kick into the program) amortises
+                               # it to <0.7 ms/tick.  3 divides the churn
+                               # period and matches pair_rebuild_interval=6,
+                               # so only chunk patterns RFF/FFF occur.
+
+
+def build_audio():
+    """256 looping spatial sources on the full-quality path (HRIR binaural +
+    FDN room reverb — Resonance kBinauralHighQuality budget)."""
+    from substrata_tpu.audio.mix import room_from_aabb, zero_sources
+    rng = np.random.default_rng(1)
+    src = zero_sources(N_SOURCES)
+    pool = jnp.asarray(np.sin(np.arange(1 << 20) * 0.03).astype(np.float32))
+    offsets = rng.integers(0, (1 << 20) - 48000, N_SOURCES)
+    src = src.replace(
+        alive=src.alive.at[:].set(True),
+        looping=src.looping.at[:].set(True),
+        buf_offset=src.buf_offset.at[:, 0].set(jnp.asarray(offsets, jnp.int32)),
+        buf_len=src.buf_len.at[:, 0].set(48000),
+        delta=src.delta.at[:, 0].set(jnp.asarray(
+            rng.uniform(0.8, 1.25, N_SOURCES).astype(np.float32))),
+        num_occlusions=jnp.asarray(
+            (rng.random(N_SOURCES) < 0.2).astype(np.float32)),
+    )
+    room = room_from_aabb([-60, -60, 0], [60, 60, 10], reflectivity=0.6)
+    return src, pool, room
 
 
 def build_world():
@@ -88,8 +125,7 @@ def build_world():
     return w
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _kick(state, key):
+def _kick_body(state, key):
     """Churn: random velocity kick to every dynamic body + full wake."""
     kick = jax.random.uniform(key, state.linvel.shape, jnp.float32,
                               -1.5, 1.5).at[:, 2].mul(0.5)
@@ -99,6 +135,9 @@ def _kick(state, key):
         awake=state.awake | dyn,
         sleep_timer=jnp.where(dyn, 0.0, state.sleep_timer),
     )
+
+
+_kick = jax.jit(_kick_body, donate_argnums=(0,))
 
 
 class RebuildScheduler:
@@ -140,65 +179,111 @@ class RebuildScheduler:
 
 
 def main():
+    from substrata_tpu.audio.mix import default_listener, mix_block
+
     w = build_world()
     cfg = w.config
     params = w.params
     sw = w.static_world
     hull_cv = w._hull_contact_verts
+    src, pool, room = build_audio()
+    listener = default_listener()
+    # Audio sources track the first 256 dynamic bodies; their pos/vel are
+    # gathered ON DEVICE from the stepped body state (row gather of 2-D
+    # operands with a flat index — the fast TPU layout) and fed straight to
+    # the mix, so the physics->audio coupling never touches the host.
+    src_idx = jnp.arange(N_SOURCES, dtype=jnp.int32)
 
     # NOTE: a lax.scan over the step makes XLA compile time pathological at
-    # this size; per-step dispatch (~2 ms) is negligible against the step
-    # itself, so we drive steps from the host loop.
-    @partial(jax.jit, static_argnames=("rebuild",), donate_argnums=(0, 1, 2))
-    def run_step(body, cache, pcache, rebuild):
-        nb, nc, npc, _, diags = physics_step(
-            body, sw, hull_cv, jnp.float32(DT), params, cfg, cache, pcache,
-            rebuild_pairs=rebuild)
-        # steps_left returned as its own buffer: the scheduler holds it
-        # across the next call, which donates (and so deletes) npc itself.
-        return nb, nc, npc, diags, npc.steps_left + 0
+    # this size, so CHUNK ticks are unrolled per program and driven from a
+    # host loop.  Everything in a tick — churn kick, physics step, on-device
+    # transform gather, full-quality audio mix — is inside the one program.
+    @partial(jax.jit, static_argnames=("pattern", "kick", "audio"),
+             donate_argnums=(0, 1, 2, 3, 4))
+    def run_chunk(body, cache, pcache, s, r, key, pattern, kick, audio):
+        overflow = jnp.int32(0)
+        outs = []
+        for i, rb in enumerate(pattern):
+            if kick and i == 0:
+                body = _kick_body(body, key)
+            body, cache, pcache, ev, diags = physics_step(
+                body, sw, hull_cv, jnp.float32(DT), params, cfg, cache,
+                pcache, rebuild_pairs=rb,
+                has_oversize=bool(w._oversize_slots))
+            overflow = overflow + ev.broadphase_overflow
+            if audio:
+                s = s.replace(pos=body.pos[src_idx], vel=body.linvel[src_idx])
+                s, out, r = mix_block(s, pool, listener, room=r,
+                                      use_hrtf=True, block=TICK_FRAMES)
+                outs.append(out)
+        out = jnp.concatenate(outs, 0) if audio else jnp.zeros((1, 2))
+        return body, cache, pcache, s, r, diags, overflow, out
 
     state, cache, pcache = w.state, w.solver_cache, w.pair_cache
-    sched = RebuildScheduler(cfg.pair_rebuild_interval)
     key = jax.random.PRNGKey(7)
+    assert CHURN_PERIOD % CHUNK == 0 and cfg.pair_rebuild_interval % CHUNK == 0
+    churn_chunks = CHURN_PERIOD // CHUNK
 
-    def drive(n_steps, collect=None):
-        nonlocal state, cache, pcache, key
-        for k in range(n_steps):
-            if k % CHURN_PERIOD == 0:
+    def drive(n_chunks, collect=None, audio=False):
+        nonlocal state, cache, pcache, key, src, room
+        out = None
+        g = 0   # steps since last rebuild-forcing kick
+        for c in range(n_chunks):
+            kick = c % churn_chunks == 0
+            if kick:
                 key, sub = jax.random.split(key)
-                state = _kick(state, sub)
-                sched.force()           # kicked bodies invalidate pairs
-            rb = sched.decide()
-            state, cache, pcache, diags, sl = run_step(state, cache, pcache, rb)
-            sched.after_dispatch(rb, sl)
+                g = 0   # kicked bodies invalidate pairs: rebuild at step 0
+            else:
+                sub = key
+            pattern = tuple((g + i) % cfg.pair_rebuild_interval == 0
+                            for i in range(CHUNK))
+            g += CHUNK
+            state, cache, pcache, src, room, diags, ov, out = run_chunk(
+                state, cache, pcache, src, room, sub, pattern, kick, audio)
             if collect is not None:
-                collect.append(diags)
+                collect.append((diags, ov))
+        return out
 
-    # Warm-up: compile both variants + settle the dispatch queue.
-    drive(40)
+    # Warm-up: compile all chunk variants + settle the dispatch queue.
+    drive(12)
+    drive(12, audio=True)
     _ = float(np.asarray(state.pos)[0, 0])
 
-    steps = 120  # two churn cycles in the timed window
-    diags_log = []
+    # Window 1: physics only (continuity with rounds 1-2).
+    chunks = 40  # 120 ticks = two churn cycles in the timed window
     t0 = time.perf_counter()
-    drive(steps, collect=diags_log)
+    drive(chunks)
     _ = float(np.asarray(state.pos)[0, 0])  # real sync
-    dt_wall = time.perf_counter() - t0
-    steps_per_sec = steps / dt_wall
+    phys_steps_per_sec = chunks * CHUNK / (time.perf_counter() - t0)
 
-    awake = np.array([int(np.asarray(d.num_awake)) for d in diags_log[::10]])
-    contacts = np.array([int(np.asarray(d.num_contacts)) for d in diags_log[::10]])
+    # Window 2: the conjunction — physics + a full tick of audio, per tick.
+    log = []
+    t0 = time.perf_counter()
+    out = drive(chunks, collect=log, audio=True)
+    _ = float(np.asarray(state.pos)[0, 0])
+    _ = float(np.asarray(out)[0, 0])
+    dt_wall = time.perf_counter() - t0
+    ticks = chunks * CHUNK
+    ticks_per_sec = ticks / dt_wall
+
+    awake = np.array([int(np.asarray(d.num_awake)) for d, _ in log[::4]])
+    contacts = np.array([int(np.asarray(d.num_contacts)) for d, _ in log[::4]])
+    overflow = np.array([int(np.asarray(ov)) for _, ov in log[::4]])
     n_dyn = N_BODIES
 
     print(json.dumps({
-        "metric": f"physics steps/sec at {N_BODIES} bodies (sustained churn)",
-        "value": round(steps_per_sec, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "metric": (f"combined tick rate: {N_BODIES}-body physics + "
+                   f"{N_SOURCES}-source audio (sustained churn)"),
+        "value": round(ticks_per_sec, 2),
+        "unit": "ticks/s",
+        "vs_baseline": round(ticks_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "physics_only_steps_per_sec": round(phys_steps_per_sec, 2),
+        "audio_ms_per_tick": round(
+            (1000.0 / ticks_per_sec) - (1000.0 / phys_steps_per_sec), 2),
         "awake_frac_mean": round(float(awake.mean()) / n_dyn, 3),
         "awake_frac_min": round(float(awake.min()) / n_dyn, 3),
         "contacts_mean": int(contacts.mean()),
+        "overflow_per_step_mean": round(float(overflow.mean()) / CHUNK, 1),
     }))
 
 

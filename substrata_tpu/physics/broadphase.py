@@ -26,7 +26,21 @@ import jax.numpy as jnp
 from substrata_tpu.physics.state import BodyState, SimConfig, MotionType
 
 MAX_OVERSIZE = 64
-_NEIGHBOR_OFFSETS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+# Full 27-cell stencil: used by one-sided queries (character controller
+# candidate search) where the querying body needs neighbours in EVERY
+# direction.
+_NEIGHBOR_OFFSETS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                     for dz in (-1, 0, 1)]
+# HALF stencil: own cell + the 13 lexicographically-positive neighbours.
+# Each true cell pair (A, B) is scanned exactly once (from the lesser cell),
+# halving the dominant candidate gather vs the full 27-cell stencil.  Bucket
+# hash collisions can emit a pair from BOTH sides (a backward cell aliasing
+# onto a forward bucket); the post-compaction sort-dedup below removes those.
+_HALF_OFFSETS = [(0, 0, 0)] + [
+    (dx, dy, dz)
+    for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    if (dz, dy, dx) > (0, 0, 0)
+]
 
 # Large primes for 3D cell hashing (standard spatial-hash constants).
 _P1, _P2, _P3 = 73856093, 19349663, 83492791
@@ -90,7 +104,8 @@ def build_cell_table(body: BodyState, config: SimConfig, with_flags: bool = Fals
     return table, cells, overflow
 
 
-def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
+def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
+               has_oversize: bool = True):
     """Produce a padded candidate pair list.
 
     Returns (pair_a [P] i32, pair_b [P] i32, pair_valid [P] bool,
@@ -100,6 +115,13 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     ~0.02-0.1).  It may be a scalar or a per-body [N] array (the temporal
     pair cache passes per-body margins scaled by each body's speed, so one
     fast body does not inflate the whole world's pair count).
+
+    ``has_oversize`` (static) compiles the oversize pass away when the host
+    knows no body's diameter exceeds cell_size (PhysicsWorld tracks this at
+    flush time): the pass's [MAX_OVERSIZE, N] emission otherwise dominates
+    the global compaction scatter's input rows (scatter cost on TPU is per
+    INPUT row).  If the flag is stale, the dropped bodies are counted in
+    ``overflow`` instead of failing silently.
     """
     n = body.capacity
     cap = config.cell_capacity
@@ -117,14 +139,15 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     infl_radius = body.bound_radius + half_margin
     posr = jnp.concatenate([body.pos, infl_radius[:, None]], axis=1)  # [N,4]
 
-    # --- Regular pass: 27-neighbourhood search. ---
+    # --- Regular pass: half-stencil (14-bucket) neighbourhood search. ---
     i_idx = jnp.arange(n, dtype=jnp.int32)
     hbs = []
-    for off in _NEIGHBOR_OFFSETS:
+    for off in _HALF_OFFSETS:
         nb = cells + jnp.array(off, jnp.int32)
         hbs.append(_hash_cells(nb, num_buckets))
-    hb = jnp.stack(hbs, axis=1)                 # [N, 27]
-    cand = table[hb.reshape(-1)].reshape(n, 27 * cap)  # [N, 27*cap] flagged
+    noff = len(_HALF_OFFSETS)
+    hb = jnp.stack(hbs, axis=1)                 # [N, 14]
+    cand = table[hb.reshape(-1)].reshape(n, noff * cap)  # [N, 14*cap] flagged
     k = cand.shape[1]
     jj = jnp.where(cand >= 0, cand & _TBL_IDX_MASK, -1)
     j_moving = (cand & _TBL_MOVING) > 0
@@ -132,7 +155,10 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     j_small = (cand & _TBL_SMALL) > 0
     ii = jnp.broadcast_to(i_idx[:, None], (n, k))
     jj_safe = jnp.maximum(jj, 0)
-    mask = (jj > ii)                       # emit once, from the lower slot
+    # Own-cell bucket (first cap columns): emit once from the lower slot.
+    # Forward buckets: emit every valid j (the pair is scanned only here).
+    own_col = jnp.arange(k, dtype=jnp.int32) < cap
+    mask = jnp.where(own_col[None, :], jj > ii, (jj >= 0) & (jj != ii))
     mask &= collidable[:, None]            # i eligibility (no gather: own row)
     mask &= moving[:, None] | j_moving
     mask &= ~(is_static[:, None] & j_static)
@@ -169,9 +195,11 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     # overflow a body-major layout drops every pair of the highest-indexed
     # bodies while low-indexed bodies keep all ppb of theirs; slot-major
     # sheds each body's shallowest candidates instead (slot 0 = closest,
-    # thanks to the proximity top-K above).
-    flat_i = jnp.broadcast_to(i_idx[:, None], (n, ppb)).T.reshape(-1)
-    flat_j = sel_j.T.reshape(-1)
+    # thanks to the proximity top-K above).  Half-stencil emission can run
+    # either direction, so order each pair as (min, max) here.
+    sel_i = jnp.broadcast_to(i_idx[:, None], (n, ppb))
+    flat_i = jnp.minimum(sel_i, sel_j).T.reshape(-1)
+    flat_j = jnp.maximum(sel_i, sel_j).T.reshape(-1)
     flat_mask = sel_mask.T.reshape(-1)
     overflow = overflow + jnp.sum(row_overflow)
 
@@ -195,28 +223,34 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     ], axis=1)  # [N, 8] — used only by the (small) oversize pass
 
     # --- Oversize pass: big bodies vs everyone (no gathers: one row of the
-    # view per oversize body broadcast against the full view). ---
+    # view per oversize body broadcast against the full view).  Compiled
+    # away entirely when the host guarantees no oversize bodies exist —
+    # its [MAX_OVERSIZE, N] rows otherwise dominate the compaction
+    # scatter's input (stale flag surfaces as overflow, not silence). ---
     oversize = body.alive & (2.0 * body.bound_radius > config.cell_size)
-    (os_idx,) = jnp.nonzero(oversize, size=MAX_OVERSIZE, fill_value=-1)
-    os_valid = os_idx >= 0
-    os_i = jnp.broadcast_to(os_idx[:, None], (MAX_OVERSIZE, n))
-    os_j = jnp.broadcast_to(i_idx[None, :], (MAX_OVERSIZE, n))
-    os_i_safe = jnp.maximum(os_i, 0)
-    v_os = view[jnp.maximum(os_idx, 0)][:, None, :]   # [O, 1, 8]
-    v_all = view[None, :, :]                           # [1, N, 8]
-    os_mask = os_valid[:, None] & can_pair_v(v_os, v_all, os_j != os_i_safe)
-    # Dedup: emit (min, max); when both oversize, only emit from the smaller id.
-    a = jnp.minimum(os_i_safe, os_j)
-    b = jnp.maximum(os_i_safe, os_j)
-    # os_j is just arange(n) broadcast — indexing with it is a broadcast,
-    # not a gather (oversize[os_j] compiled to a 0.66 ms pred-gather).
-    both_os = jnp.broadcast_to(oversize[None, :], (MAX_OVERSIZE, n))
-    os_mask &= ~(both_os & (os_j < os_i_safe))
-    os_overflow = jnp.sum(oversize) - jnp.sum(os_valid)
-
-    all_a = jnp.concatenate([flat_i, a.reshape(-1)])
-    all_b = jnp.concatenate([flat_j, b.reshape(-1)])
-    all_mask = jnp.concatenate([flat_mask, os_mask.reshape(-1)])
+    if has_oversize:
+        (os_idx,) = jnp.nonzero(oversize, size=MAX_OVERSIZE, fill_value=-1)
+        os_valid = os_idx >= 0
+        os_i = jnp.broadcast_to(os_idx[:, None], (MAX_OVERSIZE, n))
+        os_j = jnp.broadcast_to(i_idx[None, :], (MAX_OVERSIZE, n))
+        os_i_safe = jnp.maximum(os_i, 0)
+        v_os = view[jnp.maximum(os_idx, 0)][:, None, :]   # [O, 1, 8]
+        v_all = view[None, :, :]                           # [1, N, 8]
+        os_mask = os_valid[:, None] & can_pair_v(v_os, v_all, os_j != os_i_safe)
+        # Dedup: emit (min, max); when both oversize, only emit from the smaller id.
+        a = jnp.minimum(os_i_safe, os_j)
+        b = jnp.maximum(os_i_safe, os_j)
+        # os_j is just arange(n) broadcast — indexing with it is a broadcast,
+        # not a gather (oversize[os_j] compiled to a 0.66 ms pred-gather).
+        both_os = jnp.broadcast_to(oversize[None, :], (MAX_OVERSIZE, n))
+        os_mask &= ~(both_os & (os_j < os_i_safe))
+        os_overflow = jnp.sum(oversize) - jnp.sum(os_valid)
+        all_a = jnp.concatenate([flat_i, a.reshape(-1)])
+        all_b = jnp.concatenate([flat_j, b.reshape(-1)])
+        all_mask = jnp.concatenate([flat_mask, os_mask.reshape(-1)])
+    else:
+        os_overflow = jnp.sum(oversize)
+        all_a, all_b, all_mask = flat_i, flat_j, flat_mask
 
     # --- Stream compaction into the fixed pair buffer (ONE scatter of a
     # packed (a << 15 | b) int32 key — scatters are expensive on TPU; body
@@ -228,7 +262,14 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08):
     packed = (all_a << 15) | all_b
     buf = jnp.full((config.max_pairs + 1,), -1, jnp.int32).at[dst].set(
         jnp.where(keep, packed, -1), mode="drop")[: config.max_pairs]
-    pair_valid = buf >= 0
+    # Half-stencil + bucket hash collisions can emit a pair twice (once per
+    # side).  A duplicate pair means DOUBLE contact impulses, so dedup the
+    # compacted buffer: sort the packed keys (cheap at max_pairs scale) and
+    # mask equal-adjacent rows.  Downstream order doesn't matter — the
+    # narrowphase re-sorts pairs by shape-combo code anyway.
+    buf = jnp.sort(buf)
+    dup = jnp.concatenate([jnp.zeros((1,), bool), buf[1:] == buf[:-1]])
+    pair_valid = (buf >= 0) & ~dup
     pair_a = jnp.where(pair_valid, buf >> 15, -1)
     pair_b = jnp.where(pair_valid, buf & 0x7FFF, -1)
     pair_overflow = jnp.maximum(num_pairs - config.max_pairs, 0)
@@ -268,7 +309,8 @@ def empty_pair_cache(config: SimConfig) -> PairCache:
     )
 
 
-def _pairs_rebuild(body: BodyState, dt, config: SimConfig):
+def _pairs_rebuild(body: BodyState, dt, config: SimConfig,
+                   has_oversize: bool = True):
     """The rebuild branch: find_pairs with speed-scaled per-body margins and
     an adaptive reuse window.  Returns (pa, pb, pv, num, ov, steps_left)."""
     interval = config.pair_rebuild_interval
@@ -281,13 +323,20 @@ def _pairs_rebuild(body: BodyState, dt, config: SimConfig):
         1, interval).astype(jnp.int32)
     wf = window.astype(jnp.float32)
     # Per-side margin: base speculative margin + personal travel bound.
-    margin = 0.08 + 2.0 * speed * wf * dt
-    pa, pb, pv, num, ov = find_pairs(body, config, margin=margin)
+    # Each side covers its OWN worst-case travel over the window; the pair
+    # test sums both sides, which bounds the relative approach (a 2x factor
+    # here doubled the post-impulse pair count for no correctness gain —
+    # gravity's mid-window acceleration, ~5 cm over 6 steps at 60 Hz, is
+    # covered by the 8 cm base margin).
+    margin = 0.08 + speed * wf * dt
+    pa, pb, pv, num, ov = find_pairs(body, config, margin=margin,
+                                     has_oversize=has_oversize)
     return pa, pb, pv, num, ov, window - 1
 
 
 def find_pairs_cached(body: BodyState, cache: PairCache, dt,
-                      config: SimConfig, rebuild: bool | None = None):
+                      config: SimConfig, rebuild: bool | None = None,
+                      has_oversize: bool = True):
     """find_pairs with temporal reuse.
 
     Returns (pair_a, pair_b, pair_valid, num_pairs, overflow, new_cache).
@@ -306,7 +355,8 @@ def find_pairs_cached(body: BodyState, cache: PairCache, dt,
     cond (always correct, used where the host has no pipeline).
     """
     if rebuild is True:
-        pa, pb, pv, num, ov, left = _pairs_rebuild(body, dt, config)
+        pa, pb, pv, num, ov, left = _pairs_rebuild(body, dt, config,
+                                                   has_oversize)
     elif rebuild is False:
         pa, pb, pv, num, ov, left = (
             cache.pair_a, cache.pair_b, cache.pair_valid,
@@ -314,7 +364,7 @@ def find_pairs_cached(body: BodyState, cache: PairCache, dt,
     else:
         pa, pb, pv, num, ov, left = jax.lax.cond(
             cache.steps_left <= 0,
-            lambda _: _pairs_rebuild(body, dt, config),
+            lambda _: _pairs_rebuild(body, dt, config, has_oversize),
             lambda _: (cache.pair_a, cache.pair_b, cache.pair_valid,
                        cache.num_pairs, jnp.int32(0), cache.steps_left - 1),
             operand=None)

@@ -50,11 +50,12 @@ class StepDiagnostics:
     max_penetration: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("config", "rebuild_pairs"))
+@partial(jax.jit, static_argnames=("config", "rebuild_pairs", "has_oversize"))
 def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
                  dt, params: SimParams, config: SimConfig,
                  solver_cache=None, pair_cache=None,
-                 rebuild_pairs: bool | None = None):
+                 rebuild_pairs: bool | None = None,
+                 has_oversize: bool = True):
     """Advance the world one fixed substep (60 Hz in the reference tick,
     GUIClient.cpp:6365-6368).
 
@@ -65,7 +66,10 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
 
     ``rebuild_pairs``: statically pick the broadphase rebuild/reuse branch
     (two compiled variants, host-scheduled from the previous step's
-    cache.steps_left); None = on-device lax.cond."""
+    cache.steps_left); None = on-device lax.cond.
+    ``has_oversize``: static host guarantee that no body's diameter exceeds
+    the broadphase cell size (PhysicsWorld tracks it at flush); False
+    compiles the oversize broadphase pass away (see broadphase.find_pairs)."""
     if pair_cache is not None and solver_cache is None:
         raise ValueError("pair_cache requires a solver_cache")
     dt = jnp.asarray(dt, jnp.float32)
@@ -79,9 +83,11 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     if pair_cache is not None:
         (pair_a, pair_b, pair_valid, num_pairs, overflow,
          new_pair_cache) = broadphase.find_pairs_cached(
-            body, pair_cache, dt, config, rebuild=rebuild_pairs)
+            body, pair_cache, dt, config, rebuild=rebuild_pairs,
+            has_oversize=has_oversize)
     else:
-        pair_a, pair_b, pair_valid, num_pairs, overflow = broadphase.find_pairs(body, config)
+        pair_a, pair_b, pair_valid, num_pairs, overflow = broadphase.find_pairs(
+            body, config, has_oversize=has_oversize)
         new_pair_cache = None
 
     # 2b. Pre-solve strike wake (Jolt activates bodies before solving their

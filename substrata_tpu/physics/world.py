@@ -114,17 +114,21 @@ def _scatter_updates(state: BodyState, idx, pos, quat, linvel, angvel, inv_mass,
     )
 
 
-@partial(jax.jit, static_argnums=(5, 8), donate_argnums=(0, 6, 7))
+@partial(jax.jit, static_argnums=(5, 8, 9), donate_argnums=(0, 6, 7))
 def _think_step(body, static_world, hull_cv, dt, params, config,
-                solver_cache, pair_cache, rebuild_pairs=None):
+                solver_cache, pair_cache, rebuild_pairs=None,
+                has_oversize=True):
     """Donated wrapper over physics_step for the serving path: the carried
     state + caches update in place instead of being copied every step.
     Callers must not hold references to the PREVIOUS step's state arrays.
     rebuild_pairs statically selects the broadphase rebuild/reuse variant
-    (host-scheduled; see PhysicsWorld.think)."""
+    (host-scheduled; see PhysicsWorld.think); has_oversize statically
+    compiles the broadphase oversize pass away when the host mirror shows
+    no body wider than a grid cell."""
     from substrata_tpu.physics.step import physics_step as _ps
     return _ps(body, static_world, hull_cv, dt, params, config,
-               solver_cache, pair_cache, rebuild_pairs=rebuild_pairs)
+               solver_cache, pair_cache, rebuild_pairs=rebuild_pairs,
+               has_oversize=has_oversize)
 
 
 @jax.jit
@@ -249,6 +253,9 @@ class PhysicsWorld:
         self._host_steps_left = 0
         self._wake_regions: list[tuple[np.ndarray, float]] = []
         self._world_asleep = False
+        # Slots whose body diameter exceeds cell_size: while empty, the
+        # broadphase oversize pass is compiled away (static has_oversize).
+        self._oversize_slots: set[int] = set()
         self.static_world = default_static_world(ground_z=-1e10)
         self.water_buoyancy_enabled = False
         self._water_z = -1e10
@@ -459,6 +466,11 @@ class PhysicsWorld:
         if self._dirty:
             items = list(self._dirty.items())
             self._dirty.clear()
+            for s, (o, a) in items:
+                if a and 2.0 * float(o.shape.bound_radius) > self.config.cell_size:
+                    self._oversize_slots.add(s)
+                else:
+                    self._oversize_slots.discard(s)
             k = self.UPDATE_CHUNK
             for i in range(0, len(items), k):
                 chunk = items[i:i + k]
@@ -584,7 +596,7 @@ class PhysicsWorld:
          diags) = _think_step(
             self.state, self.static_world, self._hull_contact_verts,
             jnp.float32(dt), self.params, self.config, self.solver_cache,
-            self.pair_cache, rebuild)
+            self.pair_cache, rebuild, bool(self._oversize_slots))
         self.last_events = events
         self.last_diags = diags
         self._steps += 1
