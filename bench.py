@@ -268,6 +268,7 @@ def main():
 
     awake = np.array([int(np.asarray(d.num_awake)) for d, _ in log[::4]])
     contacts = np.array([int(np.asarray(d.num_contacts)) for d, _ in log[::4]])
+    pairs = np.array([int(np.asarray(d.num_pairs)) for d, _ in log[::4]])
     overflow = np.array([int(np.asarray(ov)) for _, ov in log[::4]])
     n_dyn = N_BODIES
 
@@ -283,7 +284,16 @@ def main():
         "awake_frac_mean": round(float(awake.mean()) / n_dyn, 3),
         "awake_frac_min": round(float(awake.min()) / n_dyn, 3),
         "contacts_mean": int(contacts.mean()),
+        # Pair DEMAND vs capacity: this scene's dense piles want ~26k pairs
+        # against a 16,384 buffer; dropped pairs are the proximity-ranked
+        # shallowest.  overflow counts only definite losses (inradius-
+        # overlapping pairs + touching contact rows dropped).  Reference
+        # parity: Jolt caps at 10,240 contact manifolds TOTAL
+        # (PhysicsWorld.cpp:506) and would shed ~2.5x more here.
+        "pairs_demand_mean": int(pairs.mean()),
+        "pairs_capacity": int(cfg.max_pairs),
         "overflow_per_step_mean": round(float(overflow.mean()) / CHUNK, 1),
+        "ref_jolt_manifold_cap": 10240,
     }))
 
 

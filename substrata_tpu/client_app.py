@@ -67,6 +67,22 @@ AUDIBLE_DIST = 100.0
 RECONNECT_PERIOD = 10.0        # GUIClient.cpp:5927-5933
 
 
+def _world_space_verts(verts: np.ndarray, pos, quat, scale) -> np.ndarray:
+    """Object-space mesh verts -> world space (scale, rotate, translate) —
+    the transform the reference bakes when creating a static MeshShape body
+    (PhysicsWorld.cpp:871-919 scale decoration + body transform)."""
+    v = np.asarray(verts, np.float32) * (np.asarray(scale, np.float32)
+                                         * np.ones(3, np.float32))
+    q = np.asarray(quat, np.float32)
+    x, y, z, w = q
+    rot = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+    return v @ rot.T + np.asarray(pos, np.float32)
+
+
 @dataclass
 class PlayerInput:
     """Keyboard state per tick (PlayerPhysicsInput parity)."""
@@ -101,6 +117,22 @@ class ClientApp:
         self.vehicle_controllers: dict[int, object] = {}  # ob uid -> controller
         self.driven_vehicle_uid: int = 0
         self.cur_seat_index: int = 0
+
+        # Asset streaming: content-addressed resource bytes + the
+        # distance-prioritised download queue (LoadItemQueue /
+        # ProximityLoader parity, GUIClient.cpp:5071 processLoading).
+        from substrata_tpu.loading import LoadItemQueue
+        self.resources: dict[str, bytes] = {}
+        self.load_queue = LoadItemQueue()
+        self.downloads_per_tick = 2
+        # Async download machinery: fetches run on daemon threads (the
+        # reference's DownloadResourcesThread), results drain on the tick
+        # thread so physics-world mutation stays single-threaded.
+        import threading
+        self._dl_lock = threading.Lock()
+        self._dl_done: list[tuple[str, bytes | None]] = []
+        self._dl_inflight: set[str] = set()
+        self._dl_failed: set[str] = set()
 
         self._time_accum = 0.0
         self._last_touch_event_time: dict[int, float] = {}
@@ -145,24 +177,52 @@ class ClientApp:
             self.client.send_create_object(ob)
         return ob
 
-    def _load_object(self, ob: WorldObject):
-        """loadModelForObject / loadAudioForObject / loadScriptForObject
-        parity (GUIClient.cpp:2211, 3767): build the physics shape + audio
-        source + scripts for a world object."""
-        # --- Physics shape ---
+    def _object_mesh(self, ob: WorldObject):
+        """Decode the object's actual geometry: voxel groups via the greedy
+        mesher, model_url content (glTF/GLB) via the glTF decoder once its
+        bytes are in the resource store.  Returns (verts, tris, tri_mats)
+        in object space, or None while content is unavailable."""
         if ob.object_type == int(ObjectType.VOXEL_GROUP) and ob.voxel_data:
-            verts, tris, tmats = make_mesh_for_voxel_group(ob.voxel_data)
+            return make_mesh_for_voxel_group(ob.voxel_data)
+        if ob.model_url:
+            data = self.resources.get(ob.model_url)
+            if data is not None:
+                try:
+                    if ob.model_url.endswith(".bmesh"):
+                        from substrata_tpu.shared.bmesh import load_bmesh
+                        return load_bmesh(data).merged_mesh()
+                    from substrata_tpu.shared.gltf import load_gltf
+                    return load_gltf(data).merged_mesh()
+                except Exception as e:
+                    self.log(f"model decode failed for {ob.model_url}: {e}")
+        return None
+
+    def _load_physics_for_object(self, ob: WorldObject):
+        """Build the physics representation from the object's real content
+        (PhysicsWorld.cpp:871-1083 factory semantics): dynamic objects get a
+        convex hull of the decoded mesh, static mesh/voxel objects feed
+        their world-space triangles into the merged static trimesh (each
+        triangle tagged with the owner slot, like the reference's
+        one-Jolt-body-per-static-mesh).  While the model is still
+        streaming in, a placeholder 0.5 m cube stands in (ModelLoading's
+        placeholder-cube behaviour) and the object is queued for reload."""
+        mesh = self._object_mesh(ob)
+        placeholder = False
+        static_mesh = None
+        if mesh is not None and len(mesh[0]) >= 3:
+            verts, tris, tmats = mesh
             if ob.is_dynamic():
                 shape = shapes.make_convex_hull(verts, mass=ob.mass)
             else:
-                # Static voxel objects: box of the AABB for now; the static
-                # trimesh path handles world geometry.
-                he = (verts.max(axis=0) - verts.min(axis=0)) / 2 + 1e-3
-                shape = shapes.make_box(he)
-        elif ob.is_dynamic():
-            shape = shapes.make_box([0.5, 0.5, 0.5], mass=ob.mass)
+                # Static: tiny non-collidable anchor body carries identity
+                # (ownership, scripts, ray-hit resolution); the triangles
+                # collide via the static trimesh.
+                shape = shapes.make_box([0.05, 0.05, 0.05])
+                static_mesh = (verts, tris, tmats)
         else:
-            shape = shapes.make_box([0.5, 0.5, 0.5])
+            shape = shapes.make_box([0.5, 0.5, 0.5], mass=ob.mass)
+            placeholder = ob.model_url != "" and \
+                ob.object_type != int(ObjectType.VOXEL_GROUP)
         # Hulls simulate in their COM/principal frame; compose the authored
         # mesh pose into the body pose (Jolt COM-offset decoration parity,
         # PhysicsWorld.cpp:1138-1152).
@@ -175,8 +235,57 @@ class ClientApp:
             motion_type=int(MotionType.DYNAMIC) if ob.is_dynamic()
             else int(MotionType.STATIC),
             friction=ob.friction, restitution=ob.restitution,
-            collidable=ob.is_collidable(), userdata=ob)
+            collidable=ob.is_collidable() and static_mesh is None,
+            userdata=ob)
         ob.physics_object = self.physics_world.add_object(phys)
+        if static_mesh is not None and ob.is_collidable():
+            wverts = _world_space_verts(static_mesh[0], ob.pos, ob.quat,
+                                        ob.scale)
+            ob.mesh_instance_id = self.physics_world.add_static_mesh_instance(
+                wverts, static_mesh[1], static_mesh[2],
+                owner_slot=phys.slot)
+        if placeholder:
+            self._queue_model_download(ob)
+
+    def _queue_model_download(self, ob: WorldObject):
+        if self.client is None or not ob.model_url:
+            return
+        self.load_queue.enqueue(ob.model_url, np.asarray(ob.pos, np.float32),
+                                ob.model_url)
+
+    def provide_resource(self, url: str, data: bytes):
+        """Insert resource bytes (downloaded or local) and rebuild the
+        physics shapes of every object waiting on them."""
+        self.resources[url] = data
+        for ob in list(self.objects.values()):
+            if ob.model_url == url:
+                self._reload_object_shape(ob)
+
+    def _reload_object_shape(self, ob: WorldObject):
+        """Replace the placeholder shape once the model arrived, preserving
+        the live dynamic state."""
+        old = ob.physics_object
+        pos, vel, angvel = ob.pos, None, None
+        if old is not None:
+            if old.motion_type == int(MotionType.DYNAMIC):
+                self.physics_world.sync_transforms()
+                mesh_pos, _ = old.shape.mesh_pose_from_body(old.pos, old.rot)
+                pos, vel, angvel = mesh_pos, old.linvel, old.angvel
+            self.physics_world.remove_object(old)
+        if getattr(ob, "mesh_instance_id", None) is not None:
+            self.physics_world.remove_static_mesh_instance(ob.mesh_instance_id)
+            ob.mesh_instance_id = None
+        ob.pos = np.asarray(pos, np.float32)
+        self._load_physics_for_object(ob)
+        if vel is not None and ob.physics_object is not None:
+            self.physics_world.set_linear_and_angular_vel(
+                ob.physics_object, vel, angvel)
+
+    def _load_object(self, ob: WorldObject):
+        """loadModelForObject / loadAudioForObject / loadScriptForObject
+        parity (GUIClient.cpp:2211, 3767): build the physics shape + audio
+        source + scripts for a world object."""
+        self._load_physics_for_object(ob)
 
         # --- Audio ---
         if ob.audio_source_url and self.audio is not None:
@@ -240,6 +349,11 @@ class ClientApp:
         self.objects.pop(ob.uid, None)
         if ob.physics_object is not None:
             self.physics_world.remove_object(ob.physics_object)
+        if ob.mesh_instance_id is not None:
+            self.physics_world.remove_static_mesh_instance(ob.mesh_instance_id)
+            ob.mesh_instance_id = None
+        if ob.model_url:
+            self.load_queue.cancel(ob.model_url)
         if ob.audio_source is not None and self.audio is not None:
             self.audio.remove_source(ob.audio_source)
         self.scripts.remove(ob)
@@ -427,9 +541,45 @@ class ClientApp:
                 vehicle_uid=self.driven_vehicle_uid,
                 seat=self.cur_seat_index, input_bitflags=bitflags)
 
-        # 14. Terrain/scatter streaming around the camera.
+        # 14. Terrain/scatter/asset streaming around the camera
+        #     (processLoading parity: closest-first downloads, a bounded
+        #     number per tick).
         self.terrain.update_campos(self.cam_pos)
         self.scattering.update_campos(self.cam_pos)
+        self.load_queue.update_campos(self.cam_pos[:3])
+        # Drain finished downloads (tick thread owns world mutation).
+        with self._dl_lock:
+            done, self._dl_done = self._dl_done, []
+        for url, data in done:
+            self._dl_inflight.discard(url)
+            if data is not None:
+                self.provide_resource(url, data)
+            else:
+                self._dl_failed.add(url)
+                self.log(f"download failed for {url}")
+        # Launch new fetches, closest-first, without blocking the tick.
+        import threading
+        while (len(self._dl_inflight) < self.downloads_per_tick
+               and len(self.load_queue)):
+            popped = self.load_queue.pop_n(1)
+            if not popped:
+                break
+            url = popped[0][0]
+            if (url in self.resources or url in self._dl_inflight
+                    or url in self._dl_failed or self.client is None):
+                continue
+            self._dl_inflight.add(url)
+
+            def fetch(u=url):
+                try:
+                    files = self.client.download_files([u])
+                    data = files.get(u)
+                except OSError:
+                    data = None
+                with self._dl_lock:
+                    self._dl_done.append((u, data))
+
+            threading.Thread(target=fetch, daemon=True).start()
 
     # ------------------------------------------------------------------
     def _process_player_contacts(self, global_time, now):

@@ -88,7 +88,8 @@ class Client:
     thread; messages mutate ClientWorldState under its lock."""
 
     def __init__(self, host: str, port: int, world_name: str = "",
-                 capabilities: int = P.STREAMING_COMPRESSED_OBJECT_SUPPORT):
+                 capabilities: int = P.STREAMING_COMPRESSED_OBJECT_SUPPORT,
+                 tls_context=None, server_hostname: str | None = None):
         self.world_state = ClientWorldState()
         self.events = ClientEvents()
         self.events_lock = threading.Lock()
@@ -104,6 +105,11 @@ class Client:
 
         self.sock = socket.create_connection((host, port), timeout=5.0)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        if tls_context is not None:
+            # TLS before the protocol handshake (reference: MySocket is
+            # wrapped in TLSSocket before CyberspaceHello is sent).
+            self.sock = tls_context.wrap_socket(
+                self.sock, server_hostname=server_hostname or host)
         self.send_lock = threading.Lock()
         self._handshake(world_name, capabilities)
 
@@ -623,6 +629,32 @@ def upload_resource(host: str, port: int, url: str, data: bytes,
         if code != P.UPLOAD_ALLOWED:
             return code
         sock.sendall(data)
+        (code,) = struct.unpack("<I", sock.recv(4))
+        return code
+    finally:
+        sock.close()
+
+
+def upload_photo(host: str, port: int, username: str, password: str,
+                 image_data: bytes, caption: str = "",
+                 world_name: str = "", parcel_id: int = -1,
+                 cam_pos=(0.0, 0.0, 0.0), cam_angles=(0.0, 0.0, 0.0)) -> int:
+    """Client photo-mode upload over a ConnectionTypeUploadPhoto (506)
+    connection (server/WorkerThreadUploadPhotoHandling.cpp wire format:
+    username/password auth, world name, parcel id, camera pose, caption,
+    u64-length JPEG).  Returns the server response code
+    (PHOTO_UPLOAD_SUCCEEDED on success)."""
+    sock = _resource_handshake(host, port, P.CONNECTION_TYPE_UPLOAD_PHOTO,
+                               world_name)
+    try:
+        sock.sendall(P.pack_string(username) + P.pack_string(password)
+                     + P.pack_string(world_name)
+                     + struct.pack("<I", parcel_id & 0xFFFFFFFF)
+                     + struct.pack("<3d", *cam_pos)
+                     + struct.pack("<3d", *cam_angles)
+                     + P.pack_string(caption)
+                     + struct.pack("<Q", len(image_data)))
+        sock.sendall(image_data)
         (code,) = struct.unpack("<I", sock.recv(4))
         return code
     finally:

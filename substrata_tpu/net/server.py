@@ -187,11 +187,13 @@ class ServerAllWorldsState:
 class WorkerConnection(threading.Thread):
     """Per-connection protocol endpoint (server/WorkerThread parity)."""
 
-    def __init__(self, server: "Server", sock: socket.socket, addr):
+    def __init__(self, server: "Server", sock: socket.socket, addr,
+                 tls_context=None):
         super().__init__(daemon=True)
         self.server = server
         self.sock = sock
         self.addr = addr
+        self._tls_context = tls_context
         self.send_lock = threading.Lock()
         self.avatar_uid = 0
         self.world_name = ""
@@ -209,6 +211,17 @@ class WorkerConnection(threading.Thread):
 
     def run(self):
         try:
+            if self._tls_context is not None:
+                # TLS handshake on the worker thread, AFTER accept — the
+                # reference does exactly this (ListenerThread.cpp accepts,
+                # then hands the socket to a TLSSocket handshake), so a
+                # slow/handshake-stalling peer never blocks the accept loop.
+                import ssl as _ssl
+                try:
+                    self.sock = self._tls_context.wrap_socket(
+                        self.sock, server_side=True)
+                except (_ssl.SSLError, OSError):
+                    return
             self._handshake()
             reader = P.MessageReader()
             self.sock.settimeout(0.5)
@@ -265,6 +278,10 @@ class WorkerConnection(threading.Thread):
             self._handle_upload_connection()
             self.alive = False
             return
+        if conn_type == P.CONNECTION_TYPE_UPLOAD_PHOTO:
+            self._handle_photo_upload_connection()
+            self.alive = False
+            return
         if conn_type == P.CONNECTION_TYPE_DOWNLOAD_RESOURCES:
             # Served by the normal message loop (GetFile/GetFiles handlers);
             # no avatar, no broadcasts, no initial world push.
@@ -305,6 +322,49 @@ class WorkerConnection(threading.Thread):
                               P.make_message(P.NEW_RESOURCE_ON_SERVER,
                                              P.pack_string(url)))
         self.sock.sendall(struct.pack("<I", P.UPLOAD_ALLOWED))
+
+    def _handle_photo_upload_connection(self):
+        """ConnectionTypeUploadPhoto (506) counterpart of
+        server/WorkerThreadUploadPhotoHandling.cpp: authenticate by
+        username/password, read world name + parcel id + camera transform +
+        caption + JPEG bytes, store a Photo record browsable on the web
+        photo pages."""
+        def rstr(maxlen=10_000):
+            (n,) = struct.unpack("<I", self._recv_exact(4))
+            if n > maxlen:
+                raise ValueError("string too long")
+            return self._recv_exact(n).decode("utf-8")
+
+        username = rstr(1000)
+        password = rstr(1000)
+        acc = self.server.accounts
+        user = acc.users_by_name.get(username)
+        if user is None or not user.is_password_valid(password):
+            self.sock.sendall(struct.pack("<I", P.LOG_IN_FAILURE)
+                              + P.pack_string("Login failed."))
+            return
+        if self.server.read_only:
+            self.sock.sendall(
+                struct.pack("<I", P.SERVER_IS_IN_READ_ONLY_MODE)
+                + P.pack_string("Server is in read-only mode."))
+            return
+        world_name = rstr(1000)
+        (parcel_id,) = struct.unpack("<I", self._recv_exact(4))
+        cam_pos = struct.unpack("<3d", self._recv_exact(24))
+        cam_angles = struct.unpack("<3d", self._recv_exact(24))
+        caption = rstr(10_000)
+        (data_len,) = struct.unpack("<Q", self._recv_exact(8))
+        if data_len > 20_000_000:  # reference: 20 MB photo cap
+            self.sock.sendall(struct.pack("<I", P.PHOTO_UPLOAD_FAILED)
+                              + P.pack_string("Photo was too large"))
+            return
+        data = self._recv_exact(data_len)
+        acc.create_photo(
+            creator_id=user.user_id,
+            parcel_id=(parcel_id if parcel_id != 0xFFFFFFFF else -1),
+            cam_pos=cam_pos, cam_angles=cam_angles, caption=caption,
+            world_name=world_name, image_data=data)
+        self.sock.sendall(struct.pack("<I", P.PHOTO_UPLOAD_SUCCEEDED))
 
     def _send_initial_objects(self):
         """ObjectInitialSend for every object (cell-query streaming is
@@ -704,7 +764,12 @@ class Server:
                            ".mp3", ".wav", ".xml", ".luau", ".lua", ".sub", "")
 
     def __init__(self, port: int = 0, udp_port: int = 0, db_path: str | None = None,
-                 resource_dir: str | None = None, clock=time.monotonic):
+                 resource_dir: str | None = None, clock=time.monotonic,
+                 tls_context=None):
+        # ``tls_context``: ssl.SSLContext to wrap every accepted game
+        # connection (reference: server always TLS-wraps, ListenerThread.cpp;
+        # plaintext stays available for tools/tests).
+        self.tls_context = tls_context
         self.worlds_state = ServerAllWorldsState(db_path)
         self.connections: list[WorkerConnection] = []
         self.conn_lock = threading.Lock()
@@ -832,7 +897,8 @@ class Server:
             except OSError:
                 break
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            WorkerConnection(self, sock, addr).start()
+            WorkerConnection(self, sock, addr,
+                             tls_context=self.tls_context).start()
 
     def _drain_script_events(self):
         """Execute queued user-event messages on the server script VM

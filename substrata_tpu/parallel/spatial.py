@@ -97,25 +97,31 @@ def _pack_halo(local: BodyState, mask, halo_cap: int) -> BodyState:
 def halo_exchange(local: BodyState, halo_cap: int, halo_width: float,
                   x_min: float, x_max: float, axis_name: str, n_dev: int):
     """Inside shard_map: send boundary bodies to each neighbour, receive
-    theirs.  Returns (from_left, from_right) fixed-size BodyStates (dead
-    slots where nothing was received — edge devices receive zeros from
-    ppermute's missing links, which decode as dead since alive=0)."""
+    theirs.  Returns (from_left, from_right, overflow): fixed-size
+    BodyStates (dead slots where nothing was received — edge devices
+    receive zeros from ppermute's missing links, which decode as dead since
+    alive=0) and the per-device count of boundary bodies that did NOT fit
+    in halo_cap.  A dropped halo body means its contacts are invisible on
+    the neighbour this step (silent divergence), so the count MUST be
+    surfaced (CLAUDE.md: every buffer cap has an overflow counter)."""
     d = jax.lax.axis_index(axis_name)
     slab_w = (x_max - x_min) / n_dev
     left_edge = x_min + d.astype(jnp.float32) * slab_w
     right_edge = left_edge + slab_w
     x = local.pos[:, 0]
-    send_right = _pack_halo(
-        local, local.alive & (x > right_edge - halo_width), halo_cap)
-    send_left = _pack_halo(
-        local, local.alive & (x < left_edge + halo_width), halo_cap)
+    mask_right = local.alive & (x > right_edge - halo_width)
+    mask_left = local.alive & (x < left_edge + halo_width)
+    send_right = _pack_halo(local, mask_right, halo_cap)
+    send_left = _pack_halo(local, mask_left, halo_cap)
+    overflow = (jnp.maximum(jnp.sum(mask_right) - halo_cap, 0)
+                + jnp.maximum(jnp.sum(mask_left) - halo_cap, 0))
     fwd = [(i, i + 1) for i in range(n_dev - 1)]
     bwd = [(i + 1, i) for i in range(n_dev - 1)]
     from_left = jax.tree_util.tree_map(
         lambda a: jax.lax.ppermute(a, axis_name, fwd), send_right)
     from_right = jax.tree_util.tree_map(
         lambda a: jax.lax.ppermute(a, axis_name, bwd), send_left)
-    return from_left, from_right
+    return from_left, from_right, overflow
 
 
 def _halo_config(config: SimConfig, combined_cap: int) -> SimConfig:
@@ -160,10 +166,10 @@ def spatial_world_step(body: BodyState, world: StaticWorld, hull_cv,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(naxis), P(), P()),
-             out_specs=(P(naxis), P()),
+             out_specs=(P(naxis), P(), P()),
              check_vma=False)
     def stepper(local, world_rep, hull_rep):
-        from_left, from_right = halo_exchange(
+        from_left, from_right, halo_ov = halo_exchange(
             local, halo_cap, halo_width, x_min, x_max, naxis, n_dev)
         combined = _tree_concat([local, from_left, from_right])
         out = step_mod.physics_step(combined, world_rep, hull_rep,
@@ -172,7 +178,8 @@ def spatial_world_step(body: BodyState, world: StaticWorld, hull_cv,
         new_local = jax.tree_util.tree_map(lambda x: x[:local_cap], new_body)
         awake = jax.lax.psum(
             jnp.sum(new_local.awake & new_local.alive), naxis)
-        return new_local, awake
+        halo_overflow = jax.lax.psum(halo_ov, naxis)
+        return new_local, awake, halo_overflow
 
     return stepper(body, world, hull_cv)
 

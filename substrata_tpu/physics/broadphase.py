@@ -23,7 +23,8 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from substrata_tpu.physics.state import BodyState, SimConfig, MotionType
+from substrata_tpu.physics.state import (BodyState, MotionType, ShapeType,
+                                         SimConfig)
 
 MAX_OVERSIZE = 64
 # Full 27-cell stencil: used by one-sided queries (character controller
@@ -137,7 +138,23 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
     small = 2.0 * body.bound_radius <= config.cell_size
     half_margin = 0.5 * jnp.broadcast_to(jnp.asarray(margin, jnp.float32), (n,))
     infl_radius = body.bound_radius + half_margin
-    posr = jnp.concatenate([body.pos, infl_radius[:, None]], axis=1)  # [N,4]
+    # Shape INRADIUS (largest sphere inside the shape): sphere/capsule = r,
+    # box = min half-extent, hull ~ half the bound radius (conservative).
+    sp = body.shape_params
+    inner_radius = jnp.where(
+        body.shape_type == int(ShapeType.BOX),
+        jnp.min(sp[:, :3], axis=1),
+        jnp.where(body.shape_type == int(ShapeType.HULL),
+                  0.5 * body.bound_radius, sp[:, 0]))
+    # Row layout: pos3 | margin-inflated radius | inradius.  The inradius
+    # rides along so dropped candidates can be classified: dropping a
+    # margin-only graze is by-design shedding, while centres closer than
+    # the SUM OF INRADII mean the shapes definitely interpenetrate — losing
+    # such a pair is real capacity pressure, and only those feed the
+    # overflow counter (a circumradius test over-counts ~20x for box
+    # lattices, where bounding spheres overlap across non-touching cells).
+    posr = jnp.concatenate([body.pos, infl_radius[:, None],
+                            inner_radius[:, None]], axis=1)  # [N,5]
 
     # --- Regular pass: half-stencil (14-bucket) neighbourhood search. ---
     i_idx = jnp.arange(n, dtype=jnp.int32)
@@ -163,11 +180,13 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
     mask &= moving[:, None] | j_moving
     mask &= ~(is_static[:, None] & j_static)
     mask &= small[:, None] & j_small       # grid pass: both fit in a cell
-    pj = posr[jj_safe]                     # [N, k, 4] — the one gather
+    pj = posr[jj_safe]                     # [N, k, 5] — the one gather
     d = body.pos[:, None, :] - pj[..., :3]
     d2 = jnp.sum(d * d, axis=-1)
     r = infl_radius[:, None] + pj[..., 3]
     mask &= d2 <= r * r
+    r_tight = inner_radius[:, None] + pj[..., 4]
+    tight = mask & (d2 <= r_tight * r_tight)
 
     # Per-row top-K selection (lax.top_k is fast on TPU) shrinks the global
     # compaction from N*27*cap candidates to N*K.  Score by PROXIMITY
@@ -180,6 +199,7 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
     _, sel = jax.lax.top_k(score, ppb)                     # [N, ppb]
     sel_mask = jnp.take_along_axis(mask, sel, axis=1)
     sel_j = jnp.take_along_axis(jj_safe, sel, axis=1)
+    sel_tight = jnp.take_along_axis(tight, sel, axis=1)
     # Two different neighbour cells can hash to the same bucket, which would
     # emit DUPLICATE pairs (double contact impulses).  Dedup among the ppb
     # selected candidates (28 lane compares) instead of the 27-cell bucket
@@ -188,7 +208,13 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
         dup_j = jnp.any((sel_j[:, :j] == sel_j[:, j:j + 1])
                         & sel_mask[:, :j], axis=1)
         sel_mask = sel_mask.at[:, j].set(sel_mask[:, j] & ~dup_j)
-    row_overflow = jnp.sum(mask.astype(jnp.int32), axis=1) - jnp.sum(sel_mask, axis=1)
+    # Capacity-pressure counter: TIGHT candidates that fell off the per-body
+    # top-K (the proximity score ranks tight ones first, so any tight drop
+    # means ppb is genuinely too small for this body's neighbourhood).
+    # Margin-only grazes shed here are by-design and NOT counted.
+    row_overflow = jnp.maximum(
+        jnp.sum(tight.astype(jnp.int32), axis=1)
+        - jnp.sum((sel_mask & sel_tight).astype(jnp.int32), axis=1), 0)
 
     # SLOT-MAJOR emission (slot 0 of every body, then slot 1, ...): the
     # global pair-buffer compaction keeps the FIRST max_pairs rows, so under
@@ -201,14 +227,15 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
     flat_i = jnp.minimum(sel_i, sel_j).T.reshape(-1)
     flat_j = jnp.maximum(sel_i, sel_j).T.reshape(-1)
     flat_mask = sel_mask.T.reshape(-1)
+    flat_tight = (sel_mask & sel_tight).T.reshape(-1)
     overflow = overflow + jnp.sum(row_overflow)
 
     def can_pair_v(vi, vj, jj_ok):
-        # Oversize pass filter over packed [pos3|radius|collidable|moving|
-        # static|small] rows.
-        ok = (vi[..., 4] > 0) & (vj[..., 4] > 0) & jj_ok
-        ok &= (vi[..., 5] > 0) | (vj[..., 5] > 0)
-        ok &= ~((vi[..., 6] > 0) & (vj[..., 6] > 0))
+        # Oversize pass filter over packed [pos3|infl_radius|raw_radius|
+        # collidable|moving|static|small] rows.
+        ok = (vi[..., 5] > 0) & (vj[..., 5] > 0) & jj_ok
+        ok &= (vi[..., 6] > 0) | (vj[..., 6] > 0)
+        ok &= ~((vi[..., 7] > 0) & (vj[..., 7] > 0))
         dd = vi[..., :3] - vj[..., :3]
         rr = vi[..., 3] + vj[..., 3]      # radii already margin-inflated
         ok &= jnp.sum(dd * dd, axis=-1) <= rr * rr
@@ -220,7 +247,7 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
         moving[:, None].astype(jnp.float32),
         is_static[:, None].astype(jnp.float32),
         small[:, None].astype(jnp.float32),
-    ], axis=1)  # [N, 8] — used only by the (small) oversize pass
+    ], axis=1)  # [N, 9] — used only by the (small) oversize pass
 
     # --- Oversize pass: big bodies vs everyone (no gathers: one row of the
     # view per oversize body broadcast against the full view).  Compiled
@@ -248,9 +275,11 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
         all_a = jnp.concatenate([flat_i, a.reshape(-1)])
         all_b = jnp.concatenate([flat_j, b.reshape(-1)])
         all_mask = jnp.concatenate([flat_mask, os_mask.reshape(-1)])
+        # Oversize pairs carry no tightness info; count any drop as real.
+        all_tight = jnp.concatenate([flat_tight, os_mask.reshape(-1)])
     else:
         os_overflow = jnp.sum(oversize)
-        all_a, all_b, all_mask = flat_i, flat_j, flat_mask
+        all_a, all_b, all_mask, all_tight = flat_i, flat_j, flat_mask, flat_tight
 
     # --- Stream compaction into the fixed pair buffer (ONE scatter of a
     # packed (a << 15 | b) int32 key — scatters are expensive on TPU; body
@@ -272,7 +301,10 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
     pair_valid = (buf >= 0) & ~dup
     pair_a = jnp.where(pair_valid, buf >> 15, -1)
     pair_b = jnp.where(pair_valid, buf & 0x7FFF, -1)
-    pair_overflow = jnp.maximum(num_pairs - config.max_pairs, 0)
+    # Buffer-cap pressure: only dropped TIGHT rows count (the slot-major +
+    # proximity ordering puts margin-only grazes last, so they are shed
+    # first and their loss is by design, not a correctness event).
+    pair_overflow = jnp.sum((all_tight & ~keep).astype(jnp.int32))
     return pair_a, pair_b, pair_valid, num_pairs, overflow + os_overflow + pair_overflow
 
 

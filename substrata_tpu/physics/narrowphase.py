@@ -1004,7 +1004,10 @@ def compact_contacts(contacts: Contacts, max_active: int):
     cvalid = ibuf[:, 0] >= 0
     a = jnp.where(cvalid, ibuf[:, 0] >> 16, 0)
     b = jnp.where(cvalid, (ibuf[:, 0] & 0xFFFF) - 1, -1)
-    overflow = jnp.maximum(jnp.sum(valid) - max_active, 0)
+    # Capacity-pressure counter: TOUCHING rows dropped.  Touching rows fill
+    # the buffer first, so speculative (separated-within-margin) rows are
+    # the designed shed class and their loss is not a correctness event.
+    overflow = jnp.maximum(n_touch - max_active, 0)
     return Contacts(
         a=a, b=b, point=fbuf[:, 0:3], normal=fbuf[:, 3:6],
         penetration=fbuf[:, 6], valid=cvalid, friction=fbuf[:, 7],

@@ -205,7 +205,8 @@ def _ray_trimesh_single(o, d, max_t, tm, n_steps: int, tri_cap: int):
     t = jnp.where(ok, t, BIG)
     best = jnp.argmin(t)
     mat = tm.tri_mats[jnp.maximum(cand[best], 0)]
-    return t[best], n[best], mat
+    owner = tm.tri_owner[jnp.maximum(cand[best], 0)]
+    return t[best], n[best], mat, owner
 
 
 def _ray_bodies_single(o, d, max_t, body: BodyState, table, config: SimConfig,
@@ -287,15 +288,20 @@ def trace_rays(origins, dirs, max_ts, body: BodyState, world: StaticWorld,
     )(origins, dirs, max_ts)
     th = jnp.where(world.has_heightfield, th, BIG)
 
-    tm, nm, mat = jax.vmap(
+    tm, nm, mat, owner = jax.vmap(
         lambda o, d, mt: _ray_trimesh_single(o, d, mt, world.trimesh, n_steps, 8)
     )(origins, dirs, max_ts)
 
     t = jnp.minimum(jnp.minimum(tb, th), tm)
     n = jnp.where((tb <= th)[:, None] & (tb <= tm)[:, None], nb,
                   jnp.where((th <= tm)[:, None], nh, nm))
-    bodyi = jnp.where((tb <= th) & (tb <= tm), bi, -1)
-    material = jnp.where((tm < th) & (tm < tb), mat, 0)
+    # A winning trimesh hit reports the triangle's OWNER slot as the hit
+    # body, so static mesh objects resolve to their WorldObject exactly like
+    # dynamic bodies (reference: every static mesh is its own Jolt body).
+    trimesh_wins = (tm < th) & (tm < tb)
+    bodyi = jnp.where((tb <= th) & (tb <= tm), bi,
+                      jnp.where(trimesh_wins, owner, -1))
+    material = jnp.where(trimesh_wins, mat, 0)
     hit = t <= max_ts
     return RayHits(t=jnp.where(hit, t, BIG), normal=n, body=bodyi,
                    material=material, hit=hit)

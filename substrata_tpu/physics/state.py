@@ -259,6 +259,10 @@ class TriMesh:
     verts: jnp.ndarray      # [V, 3] f32
     tris: jnp.ndarray       # [T, 3] i32
     tri_mats: jnp.ndarray   # [T] i32 per-triangle material index (traceRay parity)
+    tri_owner: jnp.ndarray  # [T] i32 owning body slot (-1 = world geometry);
+                            # maps a trimesh ray hit back to its WorldObject
+                            # (reference: each static mesh is its own Jolt
+                            # body, PhysicsWorld.cpp:871-1000)
     cell_tris: jnp.ndarray  # [GX, GY, CAP] i32 triangle ids, -1 padded
     origin: jnp.ndarray     # [2] grid origin xy
     cell_w: jnp.ndarray     # [] cell width
@@ -270,6 +274,7 @@ def empty_trimesh(grid=(4, 4), cap=4) -> TriMesh:
         verts=jnp.zeros((3, 3), jnp.float32),
         tris=jnp.zeros((1, 3), jnp.int32),
         tri_mats=jnp.zeros((1,), jnp.int32),
+        tri_owner=jnp.full((1,), -1, jnp.int32),
         cell_tris=jnp.full(grid + (cap,), -1, jnp.int32),
         origin=jnp.array([-1e3, -1e3], jnp.float32),
         cell_w=jnp.float32(1e3),
@@ -278,12 +283,18 @@ def empty_trimesh(grid=(4, 4), cap=4) -> TriMesh:
 
 
 def build_trimesh(verts: np.ndarray, tris: np.ndarray, tri_mats: np.ndarray | None = None,
-                  grid_dim: int = 64, cell_cap: int = 32) -> TriMesh:
-    """Host-side build: bucket triangles into an xy uniform grid by AABB overlap."""
+                  grid_dim: int = 64, cell_cap: int = 32,
+                  tri_owner: np.ndarray | None = None) -> TriMesh:
+    """Host-side build: bucket triangles into an xy uniform grid by AABB
+    overlap (vectorised over triangles: one masked assignment per covered
+    (di, dj) cell offset — triangles rarely span more than a cell or two)."""
     verts = np.asarray(verts, np.float32)
     tris = np.asarray(tris, np.int32)
+    nt = len(tris)
     if tri_mats is None:
-        tri_mats = np.zeros((len(tris),), np.int32)
+        tri_mats = np.zeros((nt,), np.int32)
+    if tri_owner is None:
+        tri_owner = np.full((nt,), -1, np.int32)
     tv = verts[tris]  # [T, 3, 3]
     lo = tv.min(axis=1)[:, :2]
     hi = tv.max(axis=1)[:, :2]
@@ -296,17 +307,33 @@ def build_trimesh(verts: np.ndarray, tris: np.ndarray, tri_mats: np.ndarray | No
     counts = np.zeros((gx, gy), np.int32)
     ilo = np.clip(((lo - gmin) / cell_w).astype(np.int32), 0, [gx - 1, gy - 1])
     ihi = np.clip(((hi - gmin) / cell_w).astype(np.int32), 0, [gx - 1, gy - 1])
-    for t in range(len(tris)):
-        for i in range(ilo[t, 0], ihi[t, 0] + 1):
-            for j in range(ilo[t, 1], ihi[t, 1] + 1):
-                c = counts[i, j]
-                if c < cell_cap:
-                    cell_tris[i, j, c] = t
-                    counts[i, j] = c + 1
+    span = ihi - ilo
+    tids = np.arange(nt, dtype=np.int32)
+    max_di = int(span[:, 0].max()) if nt else 0
+    max_dj = int(span[:, 1].max()) if nt else 0
+    for di in range(max_di + 1):
+        for dj in range(max_dj + 1):
+            m = (span[:, 0] >= di) & (span[:, 1] >= dj)
+            ti = tids[m]
+            ci = ilo[m, 0] + di
+            cj = ilo[m, 1] + dj
+            # Sequential fill per cell: rank each tri within its cell run.
+            flat = ci.astype(np.int64) * gy + cj
+            order = np.argsort(flat, kind="stable")
+            fs = flat[order]
+            run_start = np.concatenate([[0], np.flatnonzero(fs[1:] != fs[:-1]) + 1])
+            rank = np.arange(len(fs)) - np.repeat(run_start, np.diff(
+                np.concatenate([run_start, [len(fs)]])))
+            slot = counts[ci[order], cj[order]] + rank
+            ok = slot < cell_cap
+            cell_tris[ci[order][ok], cj[order][ok], slot[ok]] = ti[order][ok]
+            np.add.at(counts, (ci, cj), 1)
+            np.clip(counts, 0, cell_cap, out=counts)
     return TriMesh(
         verts=jnp.asarray(verts),
         tris=jnp.asarray(tris),
         tri_mats=jnp.asarray(tri_mats),
+        tri_owner=jnp.asarray(tri_owner),
         cell_tris=jnp.asarray(cell_tris),
         origin=jnp.asarray(gmin, dtype=jnp.float32),
         cell_w=jnp.float32(cell_w),

@@ -256,6 +256,12 @@ class PhysicsWorld:
         # Slots whose body diameter exceeds cell_size: while empty, the
         # broadphase oversize pass is compiled away (static has_oversize).
         self._oversize_slots: set[int] = set()
+        # Static mesh instances (per-object world-space triangles) merged
+        # into the device trimesh at flush; base mesh = world geometry.
+        self._base_trimesh = None
+        self._mesh_instances: dict[int, tuple] = {}
+        self._next_mesh_instance = 1
+        self._static_trimesh_dirty = False
         self.static_world = default_static_world(ground_z=-1e10)
         self.water_buoyancy_enabled = False
         self._water_z = -1e10
@@ -314,9 +320,74 @@ class PhysicsWorld:
             heightfield=flat_heightfield(z=z), has_heightfield=jnp.array(True))
 
     def set_static_trimesh(self, verts, tris, tri_mats=None):
-        from substrata_tpu.physics.state import build_trimesh
+        """Set the base (world) static trimesh; kept separate from per-object
+        mesh instances, which are managed by add_static_mesh_instance."""
+        self._base_trimesh = (np.asarray(verts, np.float32),
+                              np.asarray(tris, np.int32),
+                              None if tri_mats is None
+                              else np.asarray(tri_mats, np.int32))
+        self._rebuild_static_trimesh()
+
+    def add_static_mesh_instance(self, verts, tris, tri_mats=None,
+                                 owner_slot: int = -1) -> int:
+        """Register one static mesh object's world-space triangles.
+
+        Reference parity: each static mesh object becomes its own Jolt
+        MeshShape body (PhysicsWorld.cpp:871-1000).  Here all instances are
+        merged into the device trimesh (one grid, one kernel pass); each
+        triangle carries its owner body slot so ray hits resolve back to
+        the WorldObject.  The merged rebuild is deferred to the next
+        _flush (one rebuild per tick however many objects stream in).
+        Returns an instance id for remove_static_mesh_instance."""
+        inst_id = self._next_mesh_instance
+        self._next_mesh_instance += 1
+        nt = len(tris)
+        self._mesh_instances[inst_id] = (
+            np.asarray(verts, np.float32), np.asarray(tris, np.int32),
+            np.zeros((nt,), np.int32) if tri_mats is None
+            else np.asarray(tri_mats, np.int32),
+            int(owner_slot))
+        self._static_trimesh_dirty = True
+        return inst_id
+
+    def remove_static_mesh_instance(self, inst_id: int):
+        inst = self._mesh_instances.pop(inst_id, None)
+        if inst is not None:
+            self._static_trimesh_dirty = True
+            # Wake sleeping bodies resting on the removed triangles (Jolt
+            # activates bodies in a removed body's AABB).
+            v = inst[0]
+            if len(v):
+                center = 0.5 * (v.min(axis=0) + v.max(axis=0))
+                radius = float(np.linalg.norm(v.max(axis=0) - center))
+                self._wake_regions.append((center, radius))
+
+    def _rebuild_static_trimesh(self):
+        from substrata_tpu.physics.state import build_trimesh, empty_trimesh
+        self._static_trimesh_dirty = False
+        parts = []
+        if self._base_trimesh is not None:
+            bv, bt, bm = self._base_trimesh
+            parts.append((bv, bt,
+                          np.zeros((len(bt),), np.int32) if bm is None else bm,
+                          -1))
+        parts.extend(self._mesh_instances.values())
+        if not parts:
+            self.static_world = self.static_world.replace(
+                trimesh=empty_trimesh())
+            return
+        verts, tris, mats, owners = [], [], [], []
+        off = 0
+        for v, t, m, owner in parts:
+            verts.append(v)
+            tris.append(t + off)
+            mats.append(m)
+            owners.append(np.full((len(t),), owner, np.int32))
+            off += len(v)
         self.static_world = self.static_world.replace(
-            trimesh=build_trimesh(verts, tris, tri_mats))
+            trimesh=build_trimesh(
+                np.concatenate(verts), np.concatenate(tris),
+                np.concatenate(mats), tri_owner=np.concatenate(owners)))
 
     # ------------------------------------------------------------------
     # Object management (PhysicsWorld.h addObject/removeObject)
@@ -442,6 +513,11 @@ class PhysicsWorld:
     # Flush / think
     # ------------------------------------------------------------------
     def _flush(self):
+        if self._static_trimesh_dirty:
+            self._rebuild_static_trimesh()
+            # New static geometry can sit under sleeping bodies; a rebuild
+            # is rare (object stream-in / removal), so a full wake is fine.
+            self.invalidate_pairs()
         if self._cache_stale:
             from substrata_tpu.physics import solver as solver_mod
             self.solver_cache = solver_mod.empty_solver_cache(

@@ -173,6 +173,12 @@ class AccountStore:
         self.orders: dict[int, Order] = {}
         self.next_auction_id = 1
         self.next_order_id = 1
+        # Photos + chatbot configs (server/Photo.h, server/ChatBot.h; the
+        # reference keeps both in ServerAllWorldsState alongside users).
+        self.photos: dict[int, object] = {}
+        self.next_photo_id = 1
+        self.chatbots: dict[int, object] = {}
+        self.next_chatbot_id = 1
 
     def create_user(self, name: str, email: str, password: str) -> User:
         if name in self.users_by_name:
@@ -267,6 +273,20 @@ class AccountStore:
         self.next_order_id += 1
         self.orders[o.order_id] = o
         return o
+
+    def create_photo(self, **kw):
+        from substrata_tpu.server_side.commerce import Photo
+        p = Photo(id=self.next_photo_id, **kw)
+        self.next_photo_id += 1
+        self.photos[p.id] = p
+        return p
+
+    def create_chatbot(self, **kw):
+        from substrata_tpu.server_side.commerce import ChatBotConfig
+        b = ChatBotConfig(id=self.next_chatbot_id, **kw)
+        self.next_chatbot_id += 1
+        self.chatbots[b.id] = b
+        return b
 
     def reset_password(self, token: str, new_password: str) -> bool:
         pr = self.password_resets.pop(token, None)

@@ -63,7 +63,8 @@ def _e(s) -> str:
 class WebServer:
     def __init__(self, accounts, worlds_state=None, resource_manager=None,
                  port: int = 0, site_data: SiteDataStore | None = None,
-                 secure_cookies: bool = False):
+                 secure_cookies: bool = False, tls_context=None,
+                 payments=None):
         self.accounts = accounts
         self.worlds_state = worlds_state
         self.resources = resource_manager
@@ -72,6 +73,11 @@ class WebServer:
         self.mcp = (MCPEndpoint(worlds_state, accounts)
                     if worlds_state is not None else None)
         self.secure_cookies = secure_cookies
+        # Payment processor seam (PayPal / Coinbase Commerce): flow logic
+        # (locks, orders, webhook signature checks) is provider-agnostic;
+        # the dev provider fabricates the remote side for hermetic tests.
+        from substrata_tpu.server_side.commerce import DevPaymentProvider
+        self.payments = payments or DevPaymentProvider()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -227,6 +233,33 @@ class WebServer:
                     return self._order_page(path[len("/order/"):], user)
                 if path.startswith("/p/"):
                     return self._erc721_metadata(path[len("/p/"):])
+                if path == "/buy_parcel_now_paypal":
+                    return self._buy_with_provider_page(q, user, "paypal")
+                if path == "/buy_parcel_now_coinbase":
+                    return self._buy_with_provider_page(q, user, "coinbase")
+                if path == "/order_landing":
+                    return self._order_landing(q, user)
+
+                # --- photos (webserver/PhotoHandlers.cpp) ---
+                if path == "/photos":
+                    return self._photos_page()
+                if path.startswith("/photo/"):
+                    return self._photo_page(path[len("/photo/"):], user)
+                for pref, fieldn in (("/photo_image/", "image_data"),
+                                     ("/photo_midsize_image/", "midsize_data"),
+                                     ("/photo_thumb_image/", "thumbnail_data")):
+                    if path.startswith(pref):
+                        return self._photo_image(path[len(pref):], fieldn)
+                if path == "/edit_photo_parcel":
+                    return self._edit_photo_parcel_page(q, user)
+
+                # --- chatbot config (webserver/ChatBotHandlers.cpp) ---
+                if path == "/chatbots":
+                    return self._chatbots_page(user)
+                if path == "/new_chatbot":
+                    return self._new_chatbot_page(user)
+                if path == "/edit_chatbot":
+                    return self._edit_chatbot_page(q, user)
 
                 # --- news ---
                 if path == "/news":
@@ -617,7 +650,12 @@ class WebServer:
                 if path == "/mcp":
                     return self._mcp()
 
-                form = self._form()
+                # Raw body kept for webhook signature verification (the
+                # Coinbase HMAC is over the exact bytes received).
+                length = int(self.headers.get("Content-Length", 0))
+                raw_body = self.rfile.read(length)
+                form = urllib.parse.parse_qs(
+                    raw_body.decode("utf-8", "replace"))
                 user = self._session_user()
                 acc = outer.accounts
 
@@ -700,6 +738,32 @@ class WebServer:
                 # --- commerce ---
                 if path == "/buy_parcel_now":
                     return self._buy_parcel_now(form, user)
+                if path == "/buy_parcel_with_paypal_post":
+                    return self._buy_with_provider_post(form, user, "paypal")
+                if path == "/buy_parcel_with_coinbase_post":
+                    return self._buy_with_provider_post(form, user, "coinbase")
+                if path == "/paypal_ipn":
+                    return self._paypal_ipn(form)
+                if path == "/coinbase_webhook":
+                    return self._coinbase_webhook(raw_body)
+
+                # --- photos ---
+                if path == "/edit_photo_parcel_post":
+                    return self._edit_photo_parcel_post(form, user)
+                if path == "/delete_photo_post":
+                    return self._delete_photo_post(form, user)
+
+                # --- chatbot config ---
+                if path == "/create_new_chatbot_post":
+                    return self._create_chatbot_post(form, user)
+                if path == "/edit_chatbot_post":
+                    return self._edit_chatbot_post(form, user)
+                if path == "/delete_chatbot_post":
+                    return self._delete_chatbot_post(form, user)
+                if path == "/chatbot_add_tool_post":
+                    return self._chatbot_add_tool_post(form, user)
+                if path == "/chatbot_delete_tool_post":
+                    return self._chatbot_delete_tool_post(form, user)
 
                 # --- events ---
                 if path == "/create_event_post":
@@ -819,6 +883,345 @@ class WebServer:
                     f"<p>bought parcel {a.parcel_id} for {price:.2f} EUR — "
                     f"<a href=/order/{o.order_id}>order {o.order_id}</a></p>"))
 
+            # ---------------- payment-gateway purchase flows ----------------
+            # (reference: /buy_parcel_now_paypal, /buy_parcel_with_*_post,
+            #  /paypal_ipn, /coinbase_webhook dispatch in
+            #  WebServerRequestHandler.cpp:126-146)
+            def _buy_with_provider_page(self, q, user, provider):
+                if user is None:
+                    return self._redirect("/login")
+                a = outer.accounts.auctions.get(
+                    int(q.get("auction_id", ["0"])[0] or 0))
+                if a is None:
+                    return self._send(404, self._page("<p>no auction</p>"))
+                price = a.current_price(time.time())
+                label = "PayPal" if provider == "paypal" else "Coinbase"
+                return self._send(200, self._page(
+                    f"<h2>Buy parcel {a.parcel_id} with {label}</h2>"
+                    f"<p>Current price: {price:.2f} EUR</p>"
+                    f"<form method=post action="
+                    f"/buy_parcel_with_{provider}_post>"
+                    f"<input type=hidden name=auction_id "
+                    f"value={a.auction_id}>"
+                    f"<input type=submit value='Pay with {label}'></form>"))
+
+            def _buy_with_provider_post(self, form, user, provider):
+                if user is None:
+                    return self._redirect("/login")
+                acc = outer.accounts
+                a = acc.auctions.get(
+                    int(self._f1(form, "auction_id", "0") or 0))
+                if a is None:
+                    return self._send(404, self._page("<p>no auction</p>"))
+                now = time.time()
+                # AuctionLock: hold the price while the buyer pays.
+                if not a.try_lock(user.user_id, now):
+                    return self._send(409, self._page(
+                        "<p>auction is locked by another buyer</p>"))
+                o = acc.create_order(user.user_id, a.parcel_id,
+                                     a.current_price(now))
+                landing = "/order_landing"
+                if provider == "paypal":
+                    url = outer.payments.paypal_checkout_url(o, landing)
+                else:
+                    url, code = outer.payments.create_coinbase_charge(
+                        o, landing)
+                return self._redirect(url)
+
+            def _confirm_order(self, order_id: int) -> bool:
+                """Shared confirmation path for IPN + webhook: mark the
+                order paid, complete the auction sale, transfer the
+                parcel."""
+                acc = outer.accounts
+                o = acc.orders.get(order_id)
+                if o is None or o.confirmed:
+                    return False
+                now = time.time()
+                for a in acc.auctions.values():
+                    if (a.parcel_id == o.parcel_id
+                            and a.complete_sale(o.user_id, now)):
+                        break
+                o.confirmed = True
+                _w, p = self._find_parcel(o.parcel_id)
+                if p is not None:
+                    p.owner_id = o.user_id
+                return True
+
+            def _paypal_ipn(self, form):
+                # PayPalHandlers::handleIPNPost: verify the notification
+                # with the provider, then confirm the order in `custom`.
+                if not outer.payments.verify_paypal_ipn(form):
+                    return self._send(400, "IPN verification failed",
+                                      ctype="text/plain")
+                if self._f1(form, "payment_status") != "Completed":
+                    return self._send(200, "", ctype="text/plain")
+                try:
+                    oid = int(self._f1(form, "custom", "0"))
+                except ValueError:
+                    return self._send(400, "bad custom", ctype="text/plain")
+                o = outer.accounts.orders.get(oid)
+                if o is not None and self._f1(form, "mc_gross"):
+                    # Amount check: a tampered IPN paying less is rejected.
+                    if abs(float(self._f1(form, "mc_gross")) - o.price) > 0.01:
+                        return self._send(400, "amount mismatch",
+                                          ctype="text/plain")
+                self._confirm_order(oid)
+                return self._send(200, "", ctype="text/plain")
+
+            def _coinbase_webhook(self, raw_body):
+                from substrata_tpu.server_side.commerce import (
+                    verify_coinbase_signature)
+                sig = self.headers.get("X-CC-Webhook-Signature", "")
+                if not verify_coinbase_signature(
+                        raw_body, sig,
+                        outer.payments.coinbase_webhook_secret()):
+                    return self._send(400, "bad signature",
+                                      ctype="text/plain")
+                try:
+                    ev = json.loads(raw_body.decode("utf-8"))["event"]
+                except (ValueError, KeyError):
+                    return self._send(400, "bad body", ctype="text/plain")
+                if ev.get("type") == "charge:confirmed":
+                    code = ev.get("data", {}).get("code", "")
+                    oid = getattr(outer.payments, "charges", {}).get(code)
+                    if oid is not None:
+                        self._confirm_order(oid)
+                return self._send(200, "", ctype="text/plain")
+
+            def _order_landing(self, q, user):
+                o = outer.accounts.orders.get(
+                    int(q.get("order_id", ["0"])[0] or 0))
+                if o is None:
+                    return self._send(404, self._page("<p>no order</p>"))
+                status = "confirmed" if o.confirmed else "awaiting payment"
+                return self._send(200, self._page(
+                    f"<h2>Order {o.order_id}</h2>"
+                    f"<p>Parcel {o.parcel_id} — {o.price:.2f} EUR — "
+                    f"{status}</p>"))
+
+            # ---------------- photos (PhotoHandlers.cpp) ----------------
+            def _photos_page(self):
+                items = []
+                for p in sorted(outer.accounts.photos.values(),
+                                key=lambda p: -p.created_time):
+                    if p.state != p.STATE_PUBLISHED:
+                        continue
+                    items.append(
+                        f"<a href=/photo/{p.id}><img src={p.thumbnail_url()}"
+                        f" alt='{_e(p.caption)}'></a>")
+                return self._send(200, self._page(
+                    "<h2>Photos</h2>" + ("".join(items) or "<p>none yet</p>")))
+
+            def _photo_page(self, pid_str, user):
+                try:
+                    p = outer.accounts.photos.get(int(pid_str))
+                except ValueError:
+                    p = None
+                if p is None or p.state != p.STATE_PUBLISHED:
+                    return self._send(404, self._page("<p>no photo</p>"))
+                own = user is not None and (user.user_id == p.creator_id
+                                            or self._is_admin(user))
+                controls = ""
+                if own:
+                    controls = (
+                        f"<a href='/edit_photo_parcel?photo_id={p.id}'>"
+                        f"edit</a> "
+                        f"<form method=post action=/delete_photo_post>"
+                        f"<input type=hidden name=photo_id value={p.id}>"
+                        f"<input type=submit value=Delete></form>")
+                parcel = (f"<a href=/parcel/{p.parcel_id}>parcel "
+                          f"{p.parcel_id}</a>" if p.parcel_id >= 0 else "")
+                return self._send(200, self._page(
+                    f"<h2>Photo {p.id}</h2>"
+                    f"<img src={p.midsize_url()} alt=photo>"
+                    f"<p>{_e(p.caption)}</p><p>{parcel}</p>{controls}"))
+
+            def _photo_image(self, pid_str, fieldn):
+                try:
+                    p = outer.accounts.photos.get(int(pid_str))
+                except ValueError:
+                    p = None
+                if p is None or p.state != p.STATE_PUBLISHED:
+                    return self._send(404, "not found", ctype="text/plain")
+                data = getattr(p, fieldn) or p.image_data
+                return self._send(200, data, ctype="image/jpeg")
+
+            def _edit_photo_parcel_page(self, q, user):
+                p = outer.accounts.photos.get(
+                    int(q.get("photo_id", ["0"])[0] or 0))
+                if p is None:
+                    return self._send(404, self._page("<p>no photo</p>"))
+                if user is None or (user.user_id != p.creator_id
+                                    and not self._is_admin(user)):
+                    return self._redirect("/login")
+                return self._send(200, self._page(
+                    f"<h2>Edit photo {p.id}</h2>"
+                    f"<form method=post action=/edit_photo_parcel_post>"
+                    f"<input type=hidden name=photo_id value={p.id}>"
+                    f"parcel id: <input name=parcel_id "
+                    f"value={p.parcel_id}><br>"
+                    f"caption: <input name=caption value='{_e(p.caption)}'>"
+                    f"<input type=submit value=Save></form>"))
+
+            def _edit_photo_parcel_post(self, form, user):
+                p = outer.accounts.photos.get(
+                    int(self._f1(form, "photo_id", "0") or 0))
+                if p is None:
+                    return self._send(404, self._page("<p>no photo</p>"))
+                if user is None or (user.user_id != p.creator_id
+                                    and not self._is_admin(user)):
+                    return self._redirect("/login")
+                try:
+                    p.parcel_id = int(self._f1(form, "parcel_id",
+                                               str(p.parcel_id)))
+                except ValueError:
+                    pass
+                p.caption = self._f1(form, "caption",
+                                     p.caption)[:p.MAX_CAPTION_SIZE]
+                return self._redirect(f"/photo/{p.id}")
+
+            def _delete_photo_post(self, form, user):
+                p = outer.accounts.photos.get(
+                    int(self._f1(form, "photo_id", "0") or 0))
+                if p is None:
+                    return self._send(404, self._page("<p>no photo</p>"))
+                if user is None or (user.user_id != p.creator_id
+                                    and not self._is_admin(user)):
+                    return self._redirect("/login")
+                p.state = p.STATE_DELETED
+                return self._redirect("/photos")
+
+            # ---------------- chatbot config (ChatBotHandlers.cpp) --------
+            def _own_chatbot(self, form_or_q, user, key="chatbot_id"):
+                # Both parse_qs forms and query dicts hold list values.
+                raw = form_or_q.get(key, ["0"])[0]
+                try:
+                    b = outer.accounts.chatbots.get(int(raw or 0))
+                except ValueError:
+                    b = None
+                if b is None or user is None:
+                    return None
+                if b.owner_id != user.user_id and not self._is_admin(user):
+                    return None
+                return b
+
+            def _chatbots_page(self, user):
+                if user is None:
+                    return self._redirect("/login")
+                rows = [
+                    f"<li><a href='/edit_chatbot?chatbot_id={b.id}'>"
+                    f"{_e(b.name)}</a></li>"
+                    for b in outer.accounts.chatbots.values()
+                    if b.owner_id == user.user_id or self._is_admin(user)]
+                return self._send(200, self._page(
+                    "<h2>Your ChatBots</h2><ul>" + "".join(rows) + "</ul>"
+                    "<a href=/new_chatbot>New chatbot</a>"))
+
+            def _new_chatbot_page(self, user):
+                if user is None:
+                    return self._redirect("/login")
+                return self._send(200, self._page(
+                    "<h2>New ChatBot</h2>"
+                    "<form method=post action=/create_new_chatbot_post>"
+                    "name: <input name=name><br>"
+                    "world: <input name=world_name><br>"
+                    "<input type=submit value=Create></form>"))
+
+            def _edit_chatbot_page(self, q, user):
+                b = self._own_chatbot(q, user)
+                if b is None:
+                    return self._redirect("/login")
+                tools = "".join(
+                    f"<li>{_e(f.function_name)}: {_e(f.description)}"
+                    f"<form method=post action=/chatbot_delete_tool_post>"
+                    f"<input type=hidden name=chatbot_id value={b.id}>"
+                    f"<input type=hidden name=function_name "
+                    f"value='{_e(f.function_name)}'>"
+                    f"<input type=submit value=Remove></form></li>"
+                    for f in b.info_tool_functions.values())
+                return self._send(200, self._page(
+                    f"<h2>Edit ChatBot {b.id}</h2>"
+                    f"<form method=post action=/edit_chatbot_post>"
+                    f"<input type=hidden name=chatbot_id value={b.id}>"
+                    f"name: <input name=name value='{_e(b.name)}'><br>"
+                    f"x: <input name=pos_x value={b.pos[0]}> "
+                    f"y: <input name=pos_y value={b.pos[1]}> "
+                    f"z: <input name=pos_z value={b.pos[2]}><br>"
+                    f"heading: <input name=heading value={b.heading}><br>"
+                    f"base prompt:<br><textarea name=base_prompt>"
+                    f"{_e(b.custom_prompt_part)}</textarea><br>"
+                    f"<input type=submit value=Save></form>"
+                    f"<h3>Tool functions</h3><ul>{tools}</ul>"
+                    f"<form method=post action=/chatbot_add_tool_post>"
+                    f"<input type=hidden name=chatbot_id value={b.id}>"
+                    f"name: <input name=function_name> "
+                    f"description: <input name=description> "
+                    f"result: <input name=result_content>"
+                    f"<input type=submit value='Add tool'></form>"
+                    f"<form method=post action=/delete_chatbot_post>"
+                    f"<input type=hidden name=chatbot_id value={b.id}>"
+                    f"<input type=submit value='Delete chatbot'></form>"))
+
+            def _create_chatbot_post(self, form, user):
+                if user is None:
+                    return self._redirect("/login")
+                from substrata_tpu.server_side.commerce import ChatBotConfig
+                b = outer.accounts.create_chatbot(
+                    owner_id=user.user_id,
+                    name=self._f1(form, "name")[:ChatBotConfig.MAX_NAME_SIZE],
+                    world_name=self._f1(form, "world_name"))
+                return self._redirect(f"/edit_chatbot?chatbot_id={b.id}")
+
+            def _edit_chatbot_post(self, form, user):
+                b = self._own_chatbot(form, user)
+                if b is None:
+                    return self._redirect("/login")
+                b.name = self._f1(form, "name", b.name)[:b.MAX_NAME_SIZE]
+                try:
+                    b.pos = (float(self._f1(form, "pos_x", str(b.pos[0]))),
+                             float(self._f1(form, "pos_y", str(b.pos[1]))),
+                             float(self._f1(form, "pos_z", str(b.pos[2]))))
+                    b.heading = float(self._f1(form, "heading",
+                                               str(b.heading)))
+                except ValueError:
+                    pass
+                b.custom_prompt_part = self._f1(
+                    form, "base_prompt",
+                    b.custom_prompt_part)[:b.MAX_CUSTOM_PROMPT_PART_SIZE]
+                return self._redirect(f"/edit_chatbot?chatbot_id={b.id}")
+
+            def _delete_chatbot_post(self, form, user):
+                b = self._own_chatbot(form, user)
+                if b is None:
+                    return self._redirect("/login")
+                outer.accounts.chatbots.pop(b.id, None)
+                return self._redirect("/chatbots")
+
+            def _chatbot_add_tool_post(self, form, user):
+                from substrata_tpu.server_side.commerce import (
+                    ChatBotToolFunction)
+                b = self._own_chatbot(form, user)
+                if b is None:
+                    return self._redirect("/login")
+                fn = self._f1(form, "function_name")[
+                    :ChatBotToolFunction.MAX_FUNCTION_NAME_SIZE]
+                if fn:
+                    b.info_tool_functions[fn] = ChatBotToolFunction(
+                        function_name=fn,
+                        description=self._f1(form, "description")[
+                            :ChatBotToolFunction.MAX_DESCRIPTION_SIZE],
+                        result_content=self._f1(form, "result_content")[
+                            :ChatBotToolFunction.MAX_RESULT_CONTENT_SIZE])
+                return self._redirect(f"/edit_chatbot?chatbot_id={b.id}")
+
+            def _chatbot_delete_tool_post(self, form, user):
+                b = self._own_chatbot(form, user)
+                if b is None:
+                    return self._redirect("/login")
+                b.info_tool_functions.pop(self._f1(form, "function_name"),
+                                          None)
+                return self._redirect(f"/edit_chatbot?chatbot_id={b.id}")
+
             def _edit_event(self, form, user):
                 ev = outer.site_data.events.get(
                     int(self._f1(form, "event_id", "0") or 0))
@@ -929,6 +1332,12 @@ class WebServer:
                 return self._send(404, self._page("<p>not found</p>"))
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        if tls_context is not None:
+            # HTTPS (reference: Server.cpp:519-522 serves the website over
+            # TLS on 443; same handler stack, wrapped listening socket).
+            self.httpd.socket = tls_context.wrap_socket(
+                self.httpd.socket, server_side=True)
+        self.tls = tls_context is not None
         self.port = self.httpd.server_address[1]
         self._thread = None
 

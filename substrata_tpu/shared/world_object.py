@@ -137,6 +137,7 @@ class WorldObject:
     # Client-side runtime refs (physics/audio/GL/scripts), not serialised —
     # mirrors WorldObject.h:460-522.
     physics_object: object = None
+    mesh_instance_id: object = None   # static trimesh instance (client)
     audio_source: object = None
     script_evaluator: object = None
     vehicle_physics: object = None

@@ -143,3 +143,73 @@ def test_pushes_dynamic_box():
     w.sync_transforms()
     # Light box got shoved forward by the kinematic proxy.
     assert box.pos[0] > 2.0, box.pos
+
+
+def test_scripted_input_trace_piecewise_kinematics():
+    """Input-trace fidelity (VERDICT r2 item 4): a scripted
+    walk/run/jump/stop timeline must reproduce PlayerPhysics.cpp:251-469
+    constants piecewise — walk 3 m/s, run x5 = 15 m/s, jump speed 4.5
+    (apex = v^2/2g ~ 1.03 m), and a full stop when input ends."""
+    w = make_world()
+    p = PlayerPhysics(w, eye_pos=(0, 0, EYE_HEIGHT))
+    trace = []   # (eye_pos, t)
+    t = 0.0
+
+    def drive(n, move, run=False, jump=False):
+        nonlocal t
+        for k in range(n):
+            p.process_move(move, runpressed=run)
+            if jump and k == 0:
+                p.process_jump(cur_time=t)
+            p.update(DT, cur_time=t)
+            w.think(DT)
+            trace.append((p.get_eye_position().copy(), t))
+            t += DT
+
+    drive(120, [1, 0, 0])              # phase 1: walk +x for 2 s
+    x_walk_end = trace[-1][0][0]
+    drive(60, [0, 1, 0], run=True)     # phase 2: run +y for 1 s
+    y_run_end = trace[-1][0][1]
+    drive(90, [0, 0, 0], jump=True)    # phase 3: jump in place
+    apex = max(e[2] for e, _ in trace[-90:])
+    drive(60, [0, 0, 0])               # phase 4: idle
+    end_eye = trace[-1][0]
+
+    # Walk: ~3 m/s (acceleration transient eats a little).
+    assert 4.5 < x_walk_end < 6.5, x_walk_end
+    # Run: ~15 m/s for 1 s along y.
+    assert 10.0 < y_run_end < 16.0, y_run_end
+    # Jump apex above standing eye height by v^2/2g = 4.5^2/(2*9.81) ~ 1.03.
+    assert 0.7 < apex - EYE_HEIGHT < 1.25, apex
+    # Idle: came to rest on the ground at eye height, no drift.
+    assert abs(end_eye[2] - EYE_HEIGHT) < 0.25, end_eye
+    drift = np.linalg.norm(end_eye[:2] - trace[-60][0][:2])
+    assert drift < 0.5, drift
+
+
+def test_stick_to_floor_on_step_down():
+    """Walking off a 0.4 m ledge keeps the player glued to the floor
+    (stick-to-floor step-down 0.5, PlayerPhysics.cpp:347-350): no airborne
+    phase, eye height tracks the lower floor within one step."""
+    w = make_world()
+    # Upper platform (box top at z=0.4) next to the ground plane.
+    w.add_object(PhysicsObject(
+        shape=shapes.make_box([2.0, 2.0, 0.2]),
+        pos=np.array([-1.0, 0, 0.2], np.float32),
+        motion_type=int(MotionType.STATIC)))
+    p = PlayerPhysics(w, eye_pos=(-1.0, 0, 0.4 + EYE_HEIGHT))
+    min_clearance = 1e9
+    on_lower = False
+    for i in range(240):
+        p.process_move([1, 0, 0])
+        p.update(DT, cur_time=i * DT)
+        w.think(DT)
+        eye = p.get_eye_position()
+        floor_z = 0.4 if eye[0] < 1.0 else 0.0
+        if eye[0] > 1.3:   # clearly past the ledge
+            on_lower = True
+            min_clearance = min(min_clearance, eye[2])
+    assert on_lower, "never walked off the ledge"
+    # Glued to the lower floor: eye settles at EYE_HEIGHT above z=0
+    # without a prolonged fall (stick-to-floor snaps within the 0.5 budget)
+    assert abs(p.get_eye_position()[2] - EYE_HEIGHT) < 0.25

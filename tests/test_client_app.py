@@ -148,3 +148,55 @@ def test_touch_events_fire_scripts():
         if touched:
             break
     assert touched and touched[0] == ob.uid
+
+
+# ----------------------------------------------------------------------
+# Mesh-driven collision shapes (PhysicsWorld.cpp:871-1083 factory parity):
+# real glTF content must reach the collision system, not placeholder boxes.
+# ----------------------------------------------------------------------
+
+def test_static_gltf_mesh_collides_and_ray_hits():
+    from tests.test_gltf import make_cube_gltf
+    app = make_app()
+    # A 8x8 m platform 2 m above ground, from a unit-cube glb scaled [8,8,.2]
+    ob = WorldObject(flags=1, pos=np.array([-4.0, -4.0, 2.0]),
+                     scale=np.array([8.0, 8.0, 0.2]), model_url="plat.glb")
+    app.create_object(ob)
+    # Before the resource arrives: placeholder (0.5 m box), queued for load.
+    assert ob.physics_object.shape.shape_type == 1  # BOX placeholder
+    app.provide_resource("plat.glb", make_cube_gltf(as_glb=True))
+    app.timer_event(DT)
+    # Ray from above must hit the platform TOP (z = 2.2), not a 0.5 box,
+    # and resolve to the owning WorldObject.
+    # (ray offset from the origin so it misses the player capsule)
+    hit, t, n, hit_ob, mat = app.physics_world.trace_ray(
+        [1.5, 1.5, 10.0], [0.0, 0.0, -1.0], 20.0)
+    assert hit and abs((10.0 - t) - 2.2) < 0.05, (hit, t)
+    assert hit_ob is not None and hit_ob.userdata is ob
+    # A dynamic sphere dropped over the platform must REST ON ITS TRIANGLES.
+    ball = WorldObject(flags=DYNAMIC_FLAG | 1, pos=np.array([1.5, 1.5, 4.0]),
+                       mass=5.0)
+    app.create_object(ball)
+    for _ in range(240):
+        app.timer_event(DT)
+    assert ball.pos[2] > 2.2, ball.pos  # on the platform, not the ground
+    # Removing the platform removes its triangles: the ball falls through
+    # to the ground plane.
+    app.remove_object(ob)
+    for _ in range(240):
+        app.timer_event(DT)
+    assert ball.pos[2] < 1.0, ball.pos
+
+
+def test_dynamic_gltf_mesh_becomes_convex_hull():
+    from tests.test_gltf import make_cube_gltf
+    app = make_app()
+    app.provide_resource("crate.glb", make_cube_gltf(as_glb=True))
+    ob = WorldObject(flags=DYNAMIC_FLAG | 1, pos=np.array([3.0, 3.0, 3.0]),
+                     mass=10.0, model_url="crate.glb")
+    app.create_object(ob)
+    assert ob.physics_object.shape.shape_type == 3  # HULL, not placeholder
+    for _ in range(240):
+        app.timer_event(DT)
+    # Unit cube hull resting on the ground: COM height ~0.5.
+    assert abs(ob.physics_object.pos[2] - 0.5) < 0.1, ob.physics_object.pos

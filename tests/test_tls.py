@@ -1,0 +1,81 @@
+"""TLS on both planes (VERDICT r2 item 6).
+
+Reference parity: the game server TLS-wraps every accepted connection
+(server/ListenerThread.cpp accept -> TLS handshake) and the webserver
+serves HTTPS (server/Server.cpp:519-522).
+"""
+
+import ssl
+import urllib.request
+
+import numpy as np
+
+from substrata_tpu.net.client import Client
+from substrata_tpu.net.server import Server
+from substrata_tpu.net.tls import (generate_self_signed_cert,
+                                   make_client_context, make_server_context)
+from substrata_tpu.shared.world_object import WorldObject
+
+
+def test_game_protocol_over_tls_loopback():
+    cert, key = generate_self_signed_cert()
+    srv = Server(tls_context=make_server_context(cert, key))
+    srv.start()
+    try:
+        ctx = make_client_context(cafile=cert)
+        c1 = Client("127.0.0.1", srv.port, tls_context=ctx,
+                    server_hostname="localhost")
+        c2 = Client("127.0.0.1", srv.port, tls_context=ctx,
+                    server_hostname="localhost")
+        c1.start()
+        c2.start()
+        assert c1.connected and c2.connected
+        assert c1.avatar_uid != c2.avatar_uid
+        # Object created by c1 must replicate to c2 over the TLS links.
+        ob = WorldObject(uid=0, pos=np.array([1.0, 2.0, 3.0]))
+        c1.send_create_object(ob)
+        import time
+        deadline = time.time() + 5.0
+        found = False
+        while time.time() < deadline and not found:
+            with c2.world_state.lock:
+                found = any(
+                    np.allclose(o.pos, [1.0, 2.0, 3.0])
+                    for o in c2.world_state.objects.values())
+            time.sleep(0.05)
+        assert found, "object did not replicate over TLS"
+        c1.stop()
+        c2.stop()
+    finally:
+        srv.stop()
+
+
+def test_plaintext_client_rejected_by_tls_server():
+    cert, key = generate_self_signed_cert()
+    srv = Server(tls_context=make_server_context(cert, key))
+    srv.start()
+    try:
+        try:
+            Client("127.0.0.1", srv.port)  # no TLS: handshake must fail
+            connected = True
+        except (ConnectionError, OSError, TimeoutError):
+            connected = False
+        assert not connected
+    finally:
+        srv.stop()
+
+
+def test_webserver_https():
+    from substrata_tpu.server_side.accounts import AccountStore
+    from substrata_tpu.server_side.webserver import WebServer
+    cert, key = generate_self_signed_cert()
+    ws = WebServer(AccountStore(), tls_context=make_server_context(cert, key))
+    ws.start()
+    try:
+        ctx = ssl.create_default_context(cafile=cert)
+        ctx.check_hostname = False
+        body = urllib.request.urlopen(
+            f"https://127.0.0.1:{ws.port}/", context=ctx, timeout=5).read()
+        assert b"<html" in body.lower() or len(body) > 0
+    finally:
+        ws.stop()

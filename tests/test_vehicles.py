@@ -166,3 +166,44 @@ def test_doppler_factor():
     # Receding listener behind -> factor < 1.
     f2 = car.get_doppler_factor([0, -100, 0])
     assert f2 < 1.0
+
+
+def test_car_accel_brake_speed_trace():
+    """Car-on-flat acceleration/brake TRACE (VERDICT r2 item 4): record the
+    speed profile through throttle -> coast -> brake phases and check the
+    dynamics piecewise — monotone-ish spin-up, bounded top speed, brake
+    decel much stronger than coast drag, terminal full stop, no lateral
+    drift."""
+    w = make_world()
+    vm = VehicleManager(w)
+    chassis = add_chassis(w, [0, 0, 0.8])
+    car = CarPhysics(vm, chassis)
+    car.player_entered(0)
+
+    def run(inp, ticks):
+        speeds = []
+        car.update(inp)
+        for _ in range(ticks):
+            vm.update(DT)
+            w.think(DT)
+            w.sync_transforms()
+            speeds.append(float(np.linalg.norm(chassis.linvel[:2])))
+        return np.array(speeds)
+
+    s_thr = run(VehiclePhysicsInput(forward=1.0), 240)    # 4 s throttle
+    s_coast = run(VehiclePhysicsInput(), 60)              # 1 s coast
+    s_brake = run(VehiclePhysicsInput(brake=True), 180)   # 3 s brake
+
+    # Spin-up: accelerating through the phase (compare 1 s windows).
+    assert s_thr[:60].mean() < s_thr[60:120].mean() < s_thr[-60:].mean()
+    top = s_thr[-30:].mean()
+    assert 5.0 < top < 60.0, top      # plausible road-car envelope
+    # Coast: keeps most of its speed over 1 s (drag + engine braking slow
+    # it, but it must not stop dead).
+    assert s_coast[-1] > 0.6 * top, (s_coast[-1], top)
+    # Brake: full stop within 3 s from road speed, and still slowing
+    # through the first braking second.
+    assert s_brake[-1] < 0.3, s_brake[-1]
+    assert s_brake[59] < s_coast[-1], (s_brake[59], s_coast[-1])
+    # Straight line: no lateral drift while driving +y.
+    assert abs(chassis.pos[0]) < 2.0, chassis.pos

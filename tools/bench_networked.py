@@ -30,9 +30,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 N_OBJECTS = 12_000
 N_DYNAMIC = 512          # client-A-owned moving objects streaming snapshots
-TICK_HZ = 30.0           # reference clients tick at display rate; 30 is the
-                         # conservative interactive floor
-BASELINE_TICK_HZ = 30.0
+TICK_HZ = 60.0           # reference clients tick at display rate (60)
+BASELINE_TICK_HZ = 60.0
 
 
 def build():

@@ -40,10 +40,41 @@ def scene_hull_drop():
     return [h], 150
 
 
+def scene_capsule_drop():
+    # Horizontal capsule dropped: both endpoint contacts engage; rests at
+    # z = r lying flat.
+    c = G.make_capsule_body(0.25, 0.4, [0, 0, 1.5])
+    # Axis local +z -> rotate 90 deg about y to lie along world x.
+    c.quat = np.array([0.0, np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4)])
+    return [c], 150
+
+
+def scene_capsule_on_capsule():
+    # Crossed capsules: lower lies along x, upper along y falls on it.
+    lo = G.make_capsule_body(0.25, 0.4, [0, 0, 0.25])
+    lo.quat = np.array([0.0, np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4)])
+    hi = G.make_capsule_body(0.25, 0.4, [0, 0, 1.4])
+    hi.quat = np.array([np.sin(np.pi / 4), 0.0, 0.0, np.cos(np.pi / 4)])
+    return [lo, hi], 180
+
+
+def scene_rotated_box_stack():
+    # A 45-degree-yawed box dropped onto an aligned box: strongly rotated
+    # box-box manifold (the regime VERDICT r2 flagged as untested).
+    lo = G.make_box_body([0.5, 0.5, 0.3], [0, 0, 0.3])
+    hi = G.make_box_body([0.3, 0.3, 0.3], [0, 0, 1.3])
+    s, c = np.sin(np.pi / 8), np.cos(np.pi / 8)
+    hi.quat = np.array([0.0, 0.0, s, c])   # 45 deg about z
+    return [lo, hi], 200
+
+
 SCENES = {
     "sphere_bounce": scene_sphere_bounce,
     "two_spheres": scene_two_spheres,
     "hull_drop": scene_hull_drop,
+    "capsule_drop": scene_capsule_drop,
+    "capsule_on_capsule": scene_capsule_on_capsule,
+    "rotated_box_stack": scene_rotated_box_stack,
 }
 
 

@@ -103,6 +103,55 @@ def make_box_body(he, pos, density=1000.0, friction=0.5, restitution=0.0):
                 friction=friction, restitution=restitution)
 
 
+def make_capsule_body(r, hh, pos, density=1000.0, friction=0.5,
+                      restitution=0.0):
+    """Capsule with axis local +z: verts = the two segment endpoints,
+    radius = r (sphere is the degenerate 1-endpoint case, so the contact
+    routines below treat both uniformly as radius-swept point sets)."""
+    # Take the ENGINE's exact mass properties (like make_hull_body) so
+    # trajectories are comparable; the solver under test is independent.
+    from substrata_tpu.physics import shapes
+    sh = shapes.make_capsule(r, hh, density=density)
+    ends = np.array([[0.0, 0.0, hh], [0.0, 0.0, -hh]])
+    return Body(pos=np.asarray(pos, float), inv_mass=float(sh.inv_mass),
+                inv_inertia=np.asarray(sh.inv_inertia, float),
+                verts=ends, radius=r,
+                friction=friction, restitution=restitution)
+
+
+def _closest_segment_segment(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1] and [p2,q2]
+    (Ericson 5.1.9)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = d1 @ d1
+    e = d2 @ d2
+    f = d2 @ r
+    if a < 1e-12 and e < 1e-12:
+        return p1, p2
+    if a < 1e-12:
+        s = 0.0
+        t = np.clip(f / e, 0.0, 1.0)
+    else:
+        c = d1 @ r
+        if e < 1e-12:
+            t = 0.0
+            s = np.clip(-c / a, 0.0, 1.0)
+        else:
+            b = d1 @ d2
+            den = a * e - b * b
+            s = np.clip((b * f - c * e) / den, 0.0, 1.0) if den > 1e-12 else 0.0
+            t = (b * s + f) / e
+            if t < 0.0:
+                t = 0.0
+                s = np.clip(-c / a, 0.0, 1.0)
+            elif t > 1.0:
+                t = 1.0
+                s = np.clip((b - c) / a, 0.0, 1.0)
+    return p1 + d1 * s, p2 + d2 * t
+
+
 def make_hull_body(verts, pos, density=1000.0, friction=0.5, restitution=0.0):
     """Convex vert-cloud body with the SAME exact mass properties the engine
     computes (shapes.make_convex_hull) so trajectories are comparable."""
@@ -131,18 +180,27 @@ class _Contact:
         self.t2 = np.cross(normal, self.t1)
 
 
+def _world_ends(b):
+    """World-space swept-point set: sphere = [center], capsule = the two
+    segment endpoints, polyhedra = vertices."""
+    return b.pos + (quat_to_mat(b.quat) @ b.verts.T).T
+
+
 def _collect_contacts(bodies, ground_z, margin=0.04):
     contacts = []
     for i, b in enumerate(bodies):
-        # vs ground plane
+        # vs ground plane.  radius > 0: swept points (sphere center /
+        # capsule endpoints) each contact at pen = g + r - z.
         if b.radius > 0:
-            pen = ground_z + b.radius - b.pos[2]
-            if pen > -margin:
-                contacts.append(_Contact(i, -1,
-                                         np.array([b.pos[0], b.pos[1], ground_z]),
-                                         np.array([0.0, 0, 1.0]), pen, (i, -1, 0)))
+            w = _world_ends(b)
+            for k in range(len(w)):
+                pen = ground_z + b.radius - w[k, 2]
+                if pen > -margin:
+                    contacts.append(_Contact(
+                        i, -1, np.array([w[k, 0], w[k, 1], ground_z]),
+                        np.array([0.0, 0, 1.0]), pen, (i, -1, k)))
         else:
-            w = b.pos + (quat_to_mat(b.quat) @ b.verts.T).T
+            w = _world_ends(b)
             for k in np.argsort(w[:, 2])[:4]:
                 pen = ground_z - w[k, 2]
                 if pen > -margin:
@@ -154,29 +212,42 @@ def _collect_contacts(bodies, ground_z, margin=0.04):
         for j in range(i + 1, len(bodies)):
             a, b = bodies[i], bodies[j]
             if a.radius > 0 and b.radius > 0:
-                d = a.pos - b.pos
+                # Sphere/capsule vs sphere/capsule: closest points between
+                # the (possibly degenerate) core segments.
+                wa = _world_ends(a)
+                wb = _world_ends(b)
+                pa, pb = _closest_segment_segment(
+                    wa[0], wa[-1], wb[0], wb[-1])
+                d = pa - pb
                 dist = np.linalg.norm(d)
                 pen = a.radius + b.radius - dist
                 if pen > -margin:
                     n = d / max(dist, 1e-9)
-                    contacts.append(_Contact(i, j, b.pos + n * b.radius,
+                    contacts.append(_Contact(i, j, pb + n * b.radius,
                                              n, pen, (i, j, 0)))
             elif a.half_extents is not None and b.half_extents is not None:
-                # Near-aligned stacking: upper's low corners vs lower's top.
-                # lo/hi fixed by slot order (scenes are built bottom-up) so
-                # warm-start keys stay stable when boxes jostle.
-                lo, hi = i, j
-                bl, bh = bodies[lo], bodies[hi]
-                top = bl.pos[2] + bl.half_extents[2]
-                wh = bh.pos + (quat_to_mat(bh.quat) @ bh.verts.T).T
-                for k in np.argsort(wh[:, 2])[:4]:
-                    if (abs(wh[k, 0] - bl.pos[0]) < bl.half_extents[0] + 0.02
-                            and abs(wh[k, 1] - bl.pos[1]) < bl.half_extents[1] + 0.02):
-                        pen = top - wh[k, 2]
+                # Generic vertex-face manifold, both directions: corners of
+                # one box inside the other (covers aligned stacks AND
+                # rotated configurations; edge-edge regimes are outside
+                # this oracle's scope and excluded from golden scenes).
+                for (ai, bi) in ((i, j), (j, i)):
+                    ba, bb = bodies[ai], bodies[bi]
+                    ra = quat_to_mat(ba.quat)
+                    corners = _world_ends(bb)
+                    q = (corners - ba.pos) @ ra            # in A's frame
+                    he = ba.half_extents
+                    inside = np.all(np.abs(q) < he + margin, axis=1)
+                    for k in np.nonzero(inside)[0]:
+                        push = he - np.abs(q[k])           # per-axis depth
+                        ax = int(np.argmin(push))
+                        pen = float(push[ax])
                         if pen > -margin:
+                            n_local = np.zeros(3)
+                            n_local[ax] = np.sign(q[k, ax]) or 1.0
+                            n = ra @ n_local               # A -> B
                             contacts.append(_Contact(
-                                hi, lo, wh[k].copy(), np.array([0.0, 0, 1.0]),
-                                pen, (hi, lo, int(k) + 1)))
+                                bi, ai, corners[k].copy(), n, pen,
+                                (bi, ai, int(k) + 1)))
     return contacts
 
 
