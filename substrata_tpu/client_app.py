@@ -134,6 +134,17 @@ class ClientApp:
         self._dl_inflight: set[str] = set()
         self._dl_failed: set[str] = set()
 
+        # Portal traversal + sub:// navigation (GUIClient visitSubURL).
+        self._touched_portal_target_url = ""
+        self.navigation_stack: list[str] = []
+        self.server_hostname = "localhost"
+        self.server_worldname = ""
+        self.cam_heading_deg = 0.0
+        # Seam for cross-server portal travel: callable(SubURL) -> None.
+        # Same-host/world portals teleport in place; different targets
+        # need a new connection, which the embedding frontend owns.
+        self.portal_connect_hook = None
+
         self._time_accum = 0.0
         self._last_touch_event_time: dict[int, float] = {}
         self._last_snapshot_send = 0.0
@@ -476,6 +487,15 @@ class ClientApp:
             self._process_player_contacts(global_time, now)
         self.last_physics_sim_time = time.perf_counter() - t_phys0
 
+        # 3f. Portal traversal (GUIClient.cpp:6514-6516): handle the URL a
+        # portal contact recorded, outside the substep loop.
+        if self._touched_portal_target_url:
+            url, self._touched_portal_target_url = \
+                self._touched_portal_target_url, ""
+            if url.startswith("sub://"):
+                self.visit_sub_url(url, push_cur_url_on_nav_stack=True,
+                                   adjust_cur_url_pos_back=True)
+
         # 4. Terrain clamp (GUIClient.cpp:6521-6539).
         if not driving and self.terrain.heightfield is not None:
             eye = self.player.get_eye_position()
@@ -582,12 +602,70 @@ class ClientApp:
             threading.Thread(target=fetch, daemon=True).start()
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # sub:// navigation (GUIClient::visitSubURL, GUIClient.cpp:13262-13330)
+    # ------------------------------------------------------------------
+    def get_current_url(self) -> str:
+        from substrata_tpu.shared.sub_url import make_sub_url
+        eye = self.player.get_eye_position()
+        return make_sub_url(self.server_hostname, self.server_worldname,
+                            pos=eye, heading=self.cam_heading_deg)
+
+    def visit_sub_url(self, url: str, push_cur_url_on_nav_stack=False,
+                      adjust_cur_url_pos_back=False):
+        """Visit a sub:// URL.  Same host + world: teleport the player to
+        the URL position.  Different host/world: defer to
+        ``portal_connect_hook`` (the embedding frontend owns reconnects).
+        When pushing the previous URL onto the navigation stack, step it
+        back 1.5 m along the heading so back-navigation doesn't land the
+        player inside the portal again (GUIClient.cpp:13270-13283)."""
+        from substrata_tpu.shared.sub_url import make_sub_url, parse_sub_url
+        target = parse_sub_url(url)
+        if push_cur_url_on_nav_stack:
+            cur = self.get_current_url()
+            if adjust_cur_url_pos_back:
+                eye = np.asarray(self.player.get_eye_position(), np.float64)
+                # Camera convention (camera.py): heading 0 looks along +y,
+                # horizontal forward = (-sin h, cos h, 0).
+                h = math.radians(self.cam_heading_deg)
+                eye = eye - np.array([-math.sin(h), math.cos(h), 0.0]) * 1.5
+                cur = make_sub_url(self.server_hostname,
+                                   self.server_worldname, pos=eye,
+                                   heading=self.cam_heading_deg)
+            self.navigation_stack.append(cur)
+        same_place = (target.hostname in ("", self.server_hostname)
+                      and target.worldname == self.server_worldname)
+        if same_place or self.portal_connect_hook is None:
+            if target.has_position:
+                self.player.set_position(
+                    [target.x, target.y, target.z])
+            if target.heading is not None:
+                self.cam_heading_deg = target.heading
+            if not same_place:
+                self.log(f"portal target {url} needs a reconnect "
+                         f"(no portal_connect_hook installed)")
+        else:
+            self.portal_connect_hook(target)
+
+    def navigate_back(self) -> bool:
+        """Back-button navigation over the sub:// stack."""
+        if not self.navigation_stack:
+            return False
+        self.visit_sub_url(self.navigation_stack.pop())
+        return True
+
     def _process_player_contacts(self, global_time, now):
-        """Step 3e: contacted bodies -> ownership claims + touch events."""
+        """Step 3e: contacted bodies -> ownership claims + touch events +
+        portal traversal (GUIClient.cpp:6435-6516)."""
         for phys_ob in self.player.contacted_bodies:
             ob = phys_ob.userdata
             if not isinstance(ob, WorldObject):
                 continue
+            # Walking through a portal: record its target URL; handled
+            # after the contact loop (GUIClient.cpp:6478-6516).
+            if (ob.object_type == int(ObjectType.PORTAL)
+                    and ob.target_url):
+                self._touched_portal_target_url = ob.target_url
             # Physics-ownership claim on touch (GUIClient.cpp:6435-6492).
             if ob.is_dynamic() and self.client is not None:
                 ws = self.world_state

@@ -200,3 +200,42 @@ def test_dynamic_gltf_mesh_becomes_convex_hull():
         app.timer_event(DT)
     # Unit cube hull resting on the ground: COM height ~0.5.
     assert abs(ob.physics_object.pos[2] - 0.5) < 0.1, ob.physics_object.pos
+
+
+def test_portal_touch_teleports_player():
+    """Portal traversal (GUIClient.cpp:6478-6516): walking into a portal
+    object teleports the player to its sub:// target and pushes the
+    adjusted previous URL onto the navigation stack."""
+    app = make_app()
+    portal = WorldObject(
+        object_type=int(ObjectType.PORTAL), flags=1,
+        pos=np.array([0.0, 2.0, 0.9]),
+        target_url="sub://localhost?x=20.0&y=20.0&z=2.0&heading=90.0")
+    app.create_object(portal)
+    for _ in range(240):
+        app.timer_event(DT, PlayerInput(forward=1.0))
+        if app.cam_pos[0] > 10:
+            break
+    eye = app.player.get_eye_position()
+    assert np.linalg.norm(np.asarray(eye[:2]) - [20.0, 20.0]) < 2.0, eye
+    assert app.cam_heading_deg == 90.0
+    assert len(app.navigation_stack) == 1
+    assert app.navigation_stack[0].startswith("sub://localhost")
+    # Back navigation returns near the portal (stepped 1.5 m back).
+    assert app.navigate_back()
+    eye2 = app.player.get_eye_position()
+    assert np.linalg.norm(np.asarray(eye2[:2]) - [0.0, 2.0]) < 4.0, eye2
+
+
+def test_sub_url_parse_roundtrip():
+    from substrata_tpu.shared.sub_url import make_sub_url, parse_sub_url
+    u = parse_sub_url("sub://substrata.info/nick/my+cool+world?x=1&y=2&z=3"
+                      "&heading=45")
+    assert u.hostname == "substrata.info"
+    assert u.worldname == "nick/my cool world"
+    assert u.has_position and (u.x, u.y, u.z) == (1.0, 2.0, 3.0)
+    assert u.heading == 45.0
+    u2 = parse_sub_url("substrata.info/parcel/10")
+    assert u2.parcel_uid == 10
+    u3 = parse_sub_url(make_sub_url("h", "w", pos=(1, 2, 3), heading=7.0))
+    assert (u3.hostname, u3.worldname) == ("h", "w") and u3.has_position
