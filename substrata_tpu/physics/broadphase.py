@@ -52,12 +52,16 @@ def _hash_cells(cells: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
     return (h.astype(jnp.uint32) % jnp.uint32(num_buckets)).astype(jnp.int32)
 
 
-# Flag bits packed into cell-table entries above the 15-bit body index, so
-# candidate filtering needs no second gather of per-body flags.
-_TBL_IDX_MASK = 0x7FFF
-_TBL_MOVING = 1 << 15    # awake non-static
-_TBL_STATIC = 1 << 16
-_TBL_SMALL = 1 << 17     # fits in a cell (diameter <= cell_size)
+# Flag bits packed into cell-table entries above the 16-bit body index, so
+# candidate filtering needs no second gather of per-body flags (16 bits =
+# the reference's 65536 max-body parity, PhysicsWorld.cpp:492-506).
+_TBL_IDX_MASK = 0xFFFF
+_TBL_MOVING = 1 << 16    # awake non-static
+_TBL_STATIC = 1 << 17
+_TBL_SMALL = 1 << 18     # fits in a cell (diameter <= cell_size)
+# Pair compaction packs (a << 16 | b) into a uint32; all-ones = empty slot
+# (sorts last, so valid pairs stay contiguous after the dedup sort).
+_PAIR_EMPTY = jnp.uint32(0xFFFFFFFF)
 
 
 def build_cell_table(body: BodyState, config: SimConfig, with_flags: bool = False):
@@ -282,15 +286,17 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
         all_a, all_b, all_mask, all_tight = flat_i, flat_j, flat_mask, flat_tight
 
     # --- Stream compaction into the fixed pair buffer (ONE scatter of a
-    # packed (a << 15 | b) int32 key — scatters are expensive on TPU; body
-    # capacity is limited to 32768 slots to keep the pack in int32). ---
+    # packed (a << 16 | b) uint32 key — scatters are expensive on TPU; the
+    # 16-bit fields give the reference's 65536-body capacity.  The empty
+    # sentinel is all-ones, which can never collide with a real pair:
+    # a == b == 65535 would require a self-pair, which is filtered out. ---
     out_idx = jnp.cumsum(all_mask) - 1
     num_pairs = jnp.sum(all_mask).astype(jnp.int32)
     keep = all_mask & (out_idx < config.max_pairs)
     dst = jnp.where(keep, out_idx, config.max_pairs)
-    packed = (all_a << 15) | all_b
-    buf = jnp.full((config.max_pairs + 1,), -1, jnp.int32).at[dst].set(
-        jnp.where(keep, packed, -1), mode="drop")[: config.max_pairs]
+    packed = ((all_a.astype(jnp.uint32) << 16) | all_b.astype(jnp.uint32))
+    buf = jnp.full((config.max_pairs + 1,), _PAIR_EMPTY, jnp.uint32).at[dst].set(
+        jnp.where(keep, packed, _PAIR_EMPTY), mode="drop")[: config.max_pairs]
     # Half-stencil + bucket hash collisions can emit a pair twice (once per
     # side).  A duplicate pair means DOUBLE contact impulses, so dedup the
     # compacted buffer: sort the packed keys (cheap at max_pairs scale) and
@@ -298,9 +304,9 @@ def find_pairs(body: BodyState, config: SimConfig, margin=0.08,
     # narrowphase re-sorts pairs by shape-combo code anyway.
     buf = jnp.sort(buf)
     dup = jnp.concatenate([jnp.zeros((1,), bool), buf[1:] == buf[:-1]])
-    pair_valid = (buf >= 0) & ~dup
-    pair_a = jnp.where(pair_valid, buf >> 15, -1)
-    pair_b = jnp.where(pair_valid, buf & 0x7FFF, -1)
+    pair_valid = (buf != _PAIR_EMPTY) & ~dup
+    pair_a = jnp.where(pair_valid, (buf >> 16).astype(jnp.int32), -1)
+    pair_b = jnp.where(pair_valid, (buf & 0xFFFF).astype(jnp.int32), -1)
     # Buffer-cap pressure: only dropped TIGHT rows count (the slot-major +
     # proximity ordering puts margin-only grazes last, so they are shed
     # first and their loss is by design, not a correctness event).

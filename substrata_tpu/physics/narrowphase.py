@@ -986,24 +986,25 @@ def compact_contacts(contacts: Contacts, max_active: int):
         contacts.friction[:, None], contacts.restitution[:, None],
     ], axis=1)  # [C, 9]
     # Int lanes ride the SAME scatter bitcast to f32 (scatter cost on TPU is
-    # per input row; two scatters of the same rows cost double): packed
-    # (a << 16 | b+1) + warm-start key; -1 bit pattern = empty slot.
-    iblock = jnp.stack([(contacts.a << 16) | (contacts.b + 1),
-                        contacts.key], axis=1)
+    # per input row; two scatters of the same rows cost double): a, b and
+    # the warm-start key in separate lanes (16-bit packing would cap bodies
+    # at 32768; separate lanes carry the full 65536-slot range for the cost
+    # of one extra lane, and scatter cost is per ROW); a == -1 = empty slot.
+    iblock = jnp.stack([contacts.a, contacts.b, contacts.key], axis=1)
     block = jnp.concatenate(
         [fblock, jax.lax.bitcast_convert_type(iblock, jnp.float32)], axis=1)
     base = jnp.concatenate([
         jnp.zeros((max_active + 1, 9), jnp.float32),
         jax.lax.bitcast_convert_type(
-            jnp.full((max_active + 1, 2), -1, jnp.int32), jnp.float32),
+            jnp.full((max_active + 1, 3), -1, jnp.int32), jnp.float32),
     ], axis=1)
     buf = base.at[dst].set(block, mode="drop")[:max_active]
     fbuf = buf[:, :9]
-    ibuf = jax.lax.bitcast_convert_type(buf[:, 9:11], jnp.int32)
+    ibuf = jax.lax.bitcast_convert_type(buf[:, 9:12], jnp.int32)
 
     cvalid = ibuf[:, 0] >= 0
-    a = jnp.where(cvalid, ibuf[:, 0] >> 16, 0)
-    b = jnp.where(cvalid, (ibuf[:, 0] & 0xFFFF) - 1, -1)
+    a = jnp.where(cvalid, ibuf[:, 0], 0)
+    b = jnp.where(cvalid, ibuf[:, 1], -1)
     # Capacity-pressure counter: TOUCHING rows dropped.  Touching rows fill
     # the buffer first, so speculative (separated-within-margin) rows are
     # the designed shed class and their loss is not a correctness event.
@@ -1012,5 +1013,5 @@ def compact_contacts(contacts: Contacts, max_active: int):
         a=a, b=b, point=fbuf[:, 0:3], normal=fbuf[:, 3:6],
         penetration=fbuf[:, 6], valid=cvalid, friction=fbuf[:, 7],
         restitution=fbuf[:, 8],
-        key=jnp.where(cvalid, ibuf[:, 1], 0),
+        key=jnp.where(cvalid, ibuf[:, 2], 0),
     ), overflow

@@ -105,19 +105,24 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
     """
     c = contacts.capacity
     cbits = max(c.bit_length(), 1)
-    assert n_bodies < (1 << (30 - cbits)), "capacity*contacts too large for packed key"
+    # uint32 key: body field (incl. the n_bodies trash sentinel) above
+    # contact<<1|is_a — 17 bits of body at the reference's 65536-body
+    # capacity still leaves room for 16384 compacted contacts.
+    assert n_bodies.bit_length() + cbits + 1 <= 32, \
+        "capacity*contacts too large for packed key"
     static_b = contacts.b < 0
-    cidx = jnp.arange(c, dtype=jnp.int32)
+    cidx = jnp.arange(c, dtype=jnp.uint32)
     # Two records per contact: (a, is_a=1), (b, is_a=0); invalid -> n_bodies.
-    body_a = jnp.where(contacts.valid, contacts.a, n_bodies)
-    body_b = jnp.where(contacts.valid & ~static_b, contacts.b, n_bodies)
+    body_a = jnp.where(contacts.valid, contacts.a, n_bodies).astype(jnp.uint32)
+    body_b = jnp.where(contacts.valid & ~static_b, contacts.b,
+                       n_bodies).astype(jnp.uint32)
     key = jnp.concatenate([
-        (body_a << (cbits + 1)) | (cidx << 1) | 1,
+        (body_a << (cbits + 1)) | (cidx << 1) | jnp.uint32(1),
         (body_b << (cbits + 1)) | (cidx << 1),
     ])
 
     skey = jnp.sort(key)
-    sb = skey >> (cbits + 1)
+    sb = (skey >> (cbits + 1)).astype(jnp.int32)
     idx = jnp.arange(2 * c, dtype=jnp.int32)
     start = jnp.concatenate([jnp.ones((1,), bool), sb[1:] != sb[:-1]])
     run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(start, idx, 0))
@@ -126,7 +131,7 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
     in_cap = (rank < cpb) & (sb < n_bodies)
     slot = jnp.where(in_cap, sb * cpb + rank, n_bodies * cpb)
     # One scatter of the packed (contact<<1 | is_a) entry; -1 = empty.
-    entry = skey & ((1 << (cbits + 1)) - 1)
+    entry = (skey & jnp.uint32((1 << (cbits + 1)) - 1)).astype(jnp.int32)
     packed = jnp.full((n_bodies * cpb + 1,), -1, jnp.int32)
     packed = packed.at[slot].set(jnp.where(in_cap, entry, -1), mode="drop")
     packed = packed[:-1].reshape(n_bodies, cpb)

@@ -416,19 +416,19 @@ class SimConfig:
         pair_rebuild_interval: int = 4,
         present_shape_types: tuple = (True, True, True, True),
     ):
-        if capacity > 32768:
-            # DOCUMENTED CEILING (vs the reference's 65536,
-            # PhysicsWorld.cpp:492-506): broadphase cell tables and pair
-            # compaction pack a body slot id into 15 bits of an int32
-            # (broadphase.py _TBL_IDX_MASK; narrowphase.py packs a<<16|b+1),
-            # keeping the hot path int32 on the TPU vector unit.  Worlds
-            # beyond 32768 bodies shard spatially across devices instead
+        if capacity > 65536:
+            # Reference-parity ceiling (PhysicsWorld.cpp:492-506: 65536 max
+            # bodies): broadphase cell tables pack a body slot id into 16
+            # bits of the table entry (broadphase.py _TBL_IDX_MASK) and pair
+            # compaction packs (a << 16 | b) into a uint32.  Worlds beyond
+            # 65536 bodies shard spatially across devices instead
             # (parallel/spatial.py x-slab decomposition + halo exchange),
             # which also restores the per-step cost budget — one chip at
-            # 65k bodies would miss 60 Hz anyway.
+            # >65k bodies would miss 60 Hz anyway.
             raise ValueError(
-                "SimConfig.capacity is limited to 32768 bodies per device; "
-                "use parallel.spatial spatial sharding for larger worlds")
+                "SimConfig.capacity is limited to 65536 bodies per device "
+                "(reference parity); use parallel.spatial spatial sharding "
+                "for larger worlds")
         self.capacity = capacity
         self.max_pairs = max_pairs
         self.max_contacts_per_pair = max_contacts_per_pair
@@ -443,19 +443,20 @@ class SimConfig:
         self.pairs_per_body = pairs_per_body
         # Compacted contact buffer for the solver; 0 = auto heuristic.  The
         # solver's incidence sort packs (body << (contact_bits+1) | contact
-        # << 1 | side) into an int32, so capacity_bits + contact_bits + 1
-        # must fit in 31 bits — the auto heuristic clamps to that budget and
-        # explicit values are validated here (better a config-time error
-        # than a jit-time assert).
-        contact_budget = 1 << (30 - 1 - max(capacity.bit_length(), 1))
+        # << 1 | side) into a uint32, so bits(capacity) + contact_bits + 1
+        # must fit in 32 bits (the body field also carries the trash
+        # sentinel value == capacity) — the auto heuristic clamps to that
+        # budget and explicit values are validated here (better a
+        # config-time error than a jit-time assert).
+        contact_budget = (1 << (32 - 1 - max(capacity.bit_length(), 1))) - 1
         auto = min(2 * max_pairs + 4 * capacity, contact_budget)
         self.max_active_contacts = max_active_contacts or auto
         if (max(self.max_active_contacts.bit_length(), 1)
-                + max(capacity.bit_length(), 1) + 1 > 31):
+                + max(capacity.bit_length(), 1) + 1 > 32):
             raise ValueError(
                 f"max_active_contacts={self.max_active_contacts} too large "
                 f"for capacity={capacity}: the solver packs body and contact "
-                f"ids into one int32 sort key (<= {contact_budget} contacts "
+                f"ids into one uint32 sort key (<= {contact_budget} contacts "
                 f"at this capacity)")
         # Broadphase temporal reuse: rebuild the pair list at most every this
         # many steps (1 = every step); the cached rebuild enlarges the pair
