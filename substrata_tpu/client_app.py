@@ -190,20 +190,19 @@ class ClientApp:
 
     def _object_mesh(self, ob: WorldObject):
         """Decode the object's actual geometry: voxel groups via the greedy
-        mesher, model_url content (glTF/GLB) via the glTF decoder once its
-        bytes are in the resource store.  Returns (verts, tris, tri_mats)
-        in object space, or None while content is unavailable."""
+        mesher, model_url content via the per-format decoders
+        (bmesh/glTF/GLB/VRM/OBJ/STL/VOX — ModelLoading.cpp dispatch parity,
+        shared/model_formats.py) once its bytes are in the resource store.
+        Returns (verts, tris, tri_mats) in object space, or None while
+        content is unavailable."""
         if ob.object_type == int(ObjectType.VOXEL_GROUP) and ob.voxel_data:
             return make_mesh_for_voxel_group(ob.voxel_data)
         if ob.model_url:
             data = self.resources.get(ob.model_url)
             if data is not None:
                 try:
-                    if ob.model_url.endswith(".bmesh"):
-                        from substrata_tpu.shared.bmesh import load_bmesh
-                        return load_bmesh(data).merged_mesh()
-                    from substrata_tpu.shared.gltf import load_gltf
-                    return load_gltf(data).merged_mesh()
+                    from substrata_tpu.shared.model_formats import decode_model
+                    return decode_model(ob.model_url, data)
                 except Exception as e:
                     self.log(f"model decode failed for {ob.model_url}: {e}")
         return None

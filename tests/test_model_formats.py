@@ -1,0 +1,124 @@
+"""OBJ / STL / MagicaVoxel VOX decoders (shared/model_formats.py) — the
+remaining entries of ModelLoading.cpp's format dispatch (487-948)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from substrata_tpu.shared.model_formats import (UnsupportedModelFormat,
+                                                decode_model, load_obj,
+                                                load_stl, load_vox)
+
+CUBE_OBJ = b"""
+# unit cube
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+v 0 0 1
+v 1 0 1
+v 1 1 1
+v 0 1 1
+usemtl red
+f 1 2 3 4
+f 5 8 7 6
+usemtl blue
+f 1/1 5/2/3 6//4 2
+f 2 6 7 3
+f 3 7 8 4
+f 4 8 5 1
+"""
+
+
+def test_obj_cube():
+    v, t, m = load_obj(CUBE_OBJ)
+    assert v.shape == (8, 3)
+    # 6 quads fan-triangulated -> 12 triangles.
+    assert t.shape == (12, 3)
+    assert m.shape == (12,)
+    assert set(np.unique(m)) == {0, 1}           # usemtl red / blue
+    assert v.min() == 0.0 and v.max() == 1.0
+
+
+def test_obj_negative_indices():
+    data = b"v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n"
+    v, t, m = load_obj(data)
+    assert t.tolist() == [[0, 1, 2]]
+
+
+def _binary_stl(tri_pts):
+    n = len(tri_pts)
+    out = [b"\0" * 80, struct.pack("<I", n)]
+    for tri in tri_pts:
+        rec = struct.pack("<3f", 0, 0, 1)
+        for p in tri:
+            rec += struct.pack("<3f", *p)
+        rec += b"\0\0"
+        out.append(rec)
+    return b"".join(out)
+
+
+def test_stl_binary_and_ascii():
+    tris = [[(0, 0, 0), (1, 0, 0), (0, 1, 0)],
+            [(1, 0, 0), (1, 1, 0), (0, 1, 0)]]
+    v, t, m = load_stl(_binary_stl(tris))
+    assert len(t) == 2 and len(v) == 4          # shared corners deduped
+    ascii_stl = b"solid x\n"
+    for tri in tris:
+        ascii_stl += b"facet normal 0 0 1\nouter loop\n"
+        for p in tri:
+            ascii_stl += ("vertex %g %g %g\n" % p).encode()
+        ascii_stl += b"endloop\nendfacet\n"
+    ascii_stl += b"endsolid x\n"
+    v2, t2, m2 = load_stl(ascii_stl)
+    assert len(t2) == 2 and len(v2) == 4
+    assert np.allclose(np.sort(v.ravel()), np.sort(v2.ravel()))
+
+
+def _vox_file(voxels):
+    xyzi = struct.pack("<I", len(voxels))
+    for (x, y, z, c) in voxels:
+        xyzi += struct.pack("<4B", x, y, z, c)
+    size = struct.pack("<3I", 8, 8, 8)
+
+    def chunk(cid, body, children=b""):
+        return (cid + struct.pack("<II", len(body), len(children))
+                + body + children)
+
+    children = chunk(b"SIZE", size) + chunk(b"XYZI", xyzi)
+    return b"VOX " + struct.pack("<I", 150) + chunk(b"MAIN", b"", children)
+
+
+def test_vox_two_voxels():
+    v, t, m = load_vox(_vox_file([(0, 0, 0, 1), (1, 0, 0, 7)]))
+    # Two voxels of different materials: no interior face culling between
+    # them, both palette colours present as compact ids.
+    assert v.shape[1] == 3 and t.shape[1] == 3
+    assert set(np.unique(m)) == {0, 1}
+    assert v[:, 0].max() == 2.0                  # spans two 1 m voxels in x
+
+
+def test_decode_model_dispatch():
+    v, t, m = decode_model("thing.OBJ", CUBE_OBJ)
+    assert len(t) == 12
+    with pytest.raises(UnsupportedModelFormat):
+        decode_model("mesh.igmesh", b"xx")
+    with pytest.raises(UnsupportedModelFormat):
+        decode_model("mesh.wat", b"xx")
+
+
+def test_client_loads_obj_object():
+    """End-to-end: an OBJ-model dynamic object becomes a convex hull that
+    rests at the right height (same flow as the glTF test)."""
+    from tests.test_client_app import DT, make_app
+    from substrata_tpu.shared.world_object import DYNAMIC_FLAG, WorldObject
+    app = make_app()
+    app.provide_resource("cube.obj", CUBE_OBJ)
+    ob = WorldObject(model_url="cube.obj", mass=10.0, flags=DYNAMIC_FLAG | 1,
+                     pos=np.array([0.0, 3.0, 2.0]))
+    app.create_object(ob)
+    assert ob.physics_object.shape.shape_type == 3  # HULL, not placeholder
+    for _ in range(180):
+        app.timer_event(DT)
+    assert abs(ob.physics_object.pos[2] - 0.5) < 0.1, ob.physics_object.pos
