@@ -20,6 +20,7 @@ import numpy as np
 from substrata_tpu.net import protocol as P
 from substrata_tpu.net.snapshots import PhysicsOwnership, SnapshotRings
 from substrata_tpu.net.timesync import GlobalTimeSync
+from substrata_tpu.shared import guarded
 from substrata_tpu.shared.avatar import Avatar
 from substrata_tpu.shared.parcel import Parcel
 from substrata_tpu.shared.world_object import WorldObject
@@ -29,33 +30,66 @@ class ClientWorldState:
     """Client replica (gui_client/WorldState.h:44-70)."""
 
     def __init__(self, capacity: int = 16_384):
-        self.lock = threading.RLock()
-        self.objects: dict[int, WorldObject] = {}
-        self.avatars: dict[int, Avatar] = {}
-        self.parcels: dict[int, Parcel] = {}
-        self.dirty_from_remote_objects: set = set()
-        self.dirty_from_local_objects: set = set()
+        # GUARDED_BY discipline checked dynamically when
+        # SUBSTRATA_LOCK_CHECKS=1 (the reference's Clang thread-safety
+        # annotations, WorldState.h:44-63; see shared/guarded.py).
+        self.lock = guarded.make_lock("ClientWorldState.lock")
+        self.objects: dict[int, WorldObject] = guarded.guard(
+            {}, self.lock, "ClientWorldState.objects")
+        self.avatars: dict[int, Avatar] = guarded.guard(
+            {}, self.lock, "ClientWorldState.avatars")
+        self.parcels: dict[int, Parcel] = guarded.guard(
+            {}, self.lock, "ClientWorldState.parcels")
+        self.dirty_from_remote_objects: set = guarded.guard(
+            set(), self.lock, "ClientWorldState.dirty_from_remote_objects")
+        self.dirty_from_local_objects: set = guarded.guard(
+            set(), self.lock, "ClientWorldState.dirty_from_local_objects")
         self.snapshots = SnapshotRings(capacity)
         self.ownership = PhysicsOwnership(capacity)
-        self._slot_by_uid: dict[int, int] = {}
+        self._slot_by_uid: dict[int, int] = guarded.guard(
+            {}, self.lock, "ClientWorldState._slot_by_uid")
         self._free_slots = list(range(capacity - 1, -1, -1))
         self.time_sync = GlobalTimeSync()
         self.world_settings = None        # WorldSettings replica (3700/3701)
 
     def slot_for(self, uid: int) -> int:
-        s = self._slot_by_uid.get(uid)
-        if s is None:
-            s = self._free_slots.pop()
-            self._slot_by_uid[uid] = s
-        return s
+        # Self-locking: called from both the reader thread (message apply)
+        # and the tick thread (ownership claims / snapshot sends); the map
+        # mutation must be atomic between them.  RLock => fine under an
+        # already-held world lock.
+        with self.lock:
+            s = self._slot_by_uid.get(uid)
+            if s is None:
+                s = self._free_slots.pop()
+                self._slot_by_uid[uid] = s
+            return s
 
     def release_slot(self, uid: int):
-        s = self._slot_by_uid.pop(uid, None)
-        if s is not None:
-            self._free_slots.append(s)
+        with self.lock:
+            s = self._slot_by_uid.pop(uid, None)
+            if s is not None:
+                self._free_slots.append(s)
 
     def global_time(self) -> float:
         return self.time_sync.global_time()
+
+    # Locked snapshot accessors for cross-thread readers (bots, tools,
+    # tests): take the lock, return a plain copy usable lock-free.
+    def objects_snapshot(self) -> dict:
+        with self.lock:
+            return dict(self.objects)
+
+    def avatars_snapshot(self) -> dict:
+        with self.lock:
+            return dict(self.avatars)
+
+    def parcels_snapshot(self) -> dict:
+        with self.lock:
+            return dict(self.parcels)
+
+    def num_objects(self) -> int:
+        with self.lock:
+            return len(self.objects)
 
 
 @dataclass

@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from substrata_tpu.net import protocol as P
+from substrata_tpu.shared import guarded
 from substrata_tpu.shared.avatar import Avatar
 from substrata_tpu.shared.parcel import Parcel
 from substrata_tpu.shared.world_object import WorldObject, DYNAMIC_FLAG
@@ -124,14 +125,28 @@ class ServerWorldState:
     destroyed_objects: set = field(default_factory=set)
     db_dirty_objects: set = field(default_factory=set)
 
+    def _guard_with(self, lock):
+        """GUARDED_BY(all-worlds lock) for every container (checked only
+        when SUBSTRATA_LOCK_CHECKS=1; see shared/guarded.py)."""
+        for f in ("objects", "avatars", "parcels", "dirty_objects",
+                  "dirty_physics_objects", "dirty_avatars",
+                  "destroyed_objects", "db_dirty_objects"):
+            setattr(self, f, guarded.guard(
+                getattr(self, f), lock, f"ServerWorldState.{f}"))
+        return self
+
 
 class ServerAllWorldsState:
     """server/ServerWorldState.h ServerAllWorldsState: many named worlds,
     a record database, next-UID allocation, feature flags."""
 
     def __init__(self, db_path: str | None = None):
-        self.lock = threading.RLock()
-        self.worlds: dict[str, ServerWorldState] = {"": ServerWorldState(name="")}
+        # One mutex for all worlds (ServerWorldState.h semantics); GUARDED_BY
+        # discipline checked when SUBSTRATA_LOCK_CHECKS=1 (shared/guarded.py).
+        self.lock = guarded.make_lock("ServerAllWorldsState.lock")
+        self.worlds: dict[str, ServerWorldState] = guarded.guard(
+            {"": ServerWorldState(name="")._guard_with(self.lock)},
+            self.lock, "ServerAllWorldsState.worlds")
         self.db = RecordDatabase(db_path)
         self.next_uid = 1
         self.next_avatar_uid = 1
@@ -149,7 +164,8 @@ class ServerAllWorldsState:
     def get_world(self, name: str = "") -> ServerWorldState:
         with self.lock:
             if name not in self.worlds:
-                self.worlds[name] = ServerWorldState(name=name)
+                self.worlds[name] = ServerWorldState(
+                    name=name)._guard_with(self.lock)
             return self.worlds[name]
 
     def alloc_uid(self) -> int:
@@ -159,16 +175,17 @@ class ServerAllWorldsState:
             return uid
 
     def _load_from_db(self):
-        for key in self.db.keys_with_prefix(b"ob/"):
-            _, wname, uid = key.split(b"/", 2)
-            ob = WorldObject.from_bytes(self.db.get(key))
-            w = self.get_world(wname.decode())
-            w.objects[ob.uid] = ob
-            self.next_uid = max(self.next_uid, ob.uid + 1)
-        for key in self.db.keys_with_prefix(b"parcel/"):
-            _, wname, pid = key.split(b"/", 2)
-            p = Parcel.from_bytes(self.db.get(key))
-            self.get_world(wname.decode()).parcels[p.parcel_id] = p
+        with self.lock:
+            for key in self.db.keys_with_prefix(b"ob/"):
+                _, wname, uid = key.split(b"/", 2)
+                ob = WorldObject.from_bytes(self.db.get(key))
+                w = self.get_world(wname.decode())
+                w.objects[ob.uid] = ob
+                self.next_uid = max(self.next_uid, ob.uid + 1)
+            for key in self.db.keys_with_prefix(b"parcel/"):
+                _, wname, pid = key.split(b"/", 2)
+                p = Parcel.from_bytes(self.db.get(key))
+                self.get_world(wname.decode()).parcels[p.parcel_id] = p
 
     def save_dirty(self):
         with self.lock:
@@ -286,9 +303,12 @@ class WorkerConnection(threading.Thread):
             # Served by the normal message loop (GetFile/GetFiles handlers);
             # no avatar, no broadcasts, no initial world push.
             return
-        # Updates connection: assign avatar uid + initial state push.
-        self.avatar_uid = self.server.worlds_state.next_avatar_uid
-        self.server.worlds_state.next_avatar_uid += 1
+        # Updates connection: assign avatar uid + initial state push.  The
+        # increment is read-modify-write, so it needs the lock (two clients
+        # handshaking concurrently must not share an avatar uid).
+        with self.server.worlds_state.lock:
+            self.avatar_uid = self.server.worlds_state.next_avatar_uid
+            self.server.worlds_state.next_avatar_uid += 1
         self.sock.sendall(struct.pack("<Q", self.avatar_uid))
         self.server.register_connection(self)
         self._send_initial_objects()
@@ -1020,7 +1040,9 @@ class Server:
     def get_diagnostics(self) -> str:
         with self.conn_lock:
             n = len(self.connections)
-        nw = len(self.worlds_state.worlds)
-        nob = sum(len(w.objects) for w in self.worlds_state.worlds.values())
+        with self.worlds_state.lock:
+            nw = len(self.worlds_state.worlds)
+            nob = sum(len(w.objects)
+                      for w in self.worlds_state.worlds.values())
         return (f"Server: {n} connections, {nw} worlds, {nob} objects, "
                 f"udp packets {self.udp_packets_received}")

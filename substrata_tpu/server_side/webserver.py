@@ -530,13 +530,15 @@ class WebServer:
                 with ws.lock:
                     w = ws.worlds.get(name)
                     details = ws.world_details.get(name)
-                if w is None:
+                    counts = (len(w.objects), len(w.avatars),
+                              len(w.parcels)) if w is not None else None
+                if counts is None:
                     return self._send(404, self._page("<p>no such world</p>"))
                 desc = _e(details.description) if details else ""
                 self._send(200, self._page(
                     f"<h2>World '{_e(name) or '(main)'}'</h2><p>{desc}</p>"
-                    f"<p>{len(w.objects)} objects, {len(w.avatars)} avatars, "
-                    f"{len(w.parcels)} parcels</p>"))
+                    f"<p>{counts[0]} objects, {counts[1]} avatars, "
+                    f"{counts[2]} parcels</p>"))
 
             def _api_stats(self):
                 stats = {"users": len(outer.accounts.users)}

@@ -18,12 +18,22 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # (prefer-no-gather/scatter are compiler pseudo-features, not ISA bits).
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
+# Lock-discipline checks (shared/guarded.py — the reference's GUARDED_BY
+# thread-safety-annotation analogue): on for the whole suite so any access
+# to a world-state container without its lock fails loudly.
+os.environ.setdefault("SUBSTRATA_LOCK_CHECKS", "1")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is dominated by repeated XLA compiles
 # of small jitted programs; with the cache warm it runs several times
-# faster.  (Applies to CPU executables too.)
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+# faster.  CPU tests get their OWN cache dir, separate from the TPU bench
+# cache: XLA:CPU entries are AOT executables whose embedded machine-feature
+# list must match the loading process exactly — mixed-config processes
+# sharing one dir produced intermittent SIGSEGV at cache-read
+# (cpu_aot_loader "machine feature ... not supported ... SIGILL" warnings
+# are the benign tail of the same mismatch).
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -92,7 +92,10 @@ def test_backup_bot_roundtrip(tmp_path):
         for i in range(5):
             c.send_create_object(WorldObject(model_url=f"m{i}.glb", flags=1))
         t0 = time.time()
-        while len(s.worlds_state.get_world("").objects) < 5 and time.time() - t0 < 5:
+        def _count():
+            with s.worlds_state.lock:
+                return len(s.worlds_state.get_world("").objects)
+        while _count() < 5 and time.time() - t0 < 5:
             time.sleep(0.05)
         c.stop()
         path = backup_once("127.0.0.1", s.port, str(tmp_path))
@@ -103,10 +106,15 @@ def test_backup_bot_roundtrip(tmp_path):
         try:
             n = restore_into_server(path, "127.0.0.1", s2.port)
             assert n == 5
+
+            def _count2():
+                with s2.worlds_state.lock:
+                    return len(s2.worlds_state.get_world("").objects)
             t0 = time.time()
-            while len(s2.worlds_state.get_world("").objects) < 5 and time.time() - t0 < 5:
+            while _count2() < 5 and time.time() - t0 < 5:
                 time.sleep(0.05)
-            obs = s2.worlds_state.get_world("").objects
+            with s2.worlds_state.lock:
+                obs = dict(s2.worlds_state.get_world("").objects)
             assert len(obs) == 5
             assert sorted(o.model_url for o in obs.values()) == [
                 f"m{i}.glb" for i in range(5)]
@@ -129,12 +137,13 @@ def test_generate_world_lod_chunks(tmp_path):
     v, t, m = grid_mesh(8)
     rm.store_resource("house.stme", pack_mesh(v, t, m))
     ws = ServerAllWorldsState()
-    w = ws.get_world("")
-    # Two objects in chunk (0,0), one in chunk (1,0) at x=130.
-    for i, x in enumerate([5.0, 20.0, 130.0]):
-        ob = WorldObject(uid=i + 1, model_url="house.stme",
-                         pos=np.array([x, 10.0, 0.0]))
-        w.objects[ob.uid] = ob
+    with ws.lock:
+        w = ws.get_world("")
+        # Two objects in chunk (0,0), one in chunk (1,0) at x=130.
+        for i, x in enumerate([5.0, 20.0, 130.0]):
+            ob = WorldObject(uid=i + 1, model_url="house.stme",
+                             pos=np.array([x, 10.0, 0.0]))
+            w.objects[ob.uid] = ob
     chunks = generate_world_lod_chunks(ws, rm)
     assert {(c.x, c.y) for c in chunks} == {(0, 0), (1, 0)}
     assert ("", 0, 0) in ws.lod_chunks and ("", 1, 0) in ws.lod_chunks

@@ -124,7 +124,8 @@ def test_networked_two_apps_replicate_physics():
             time.sleep(0.002)
         # B has the object and received physics snapshots into its ring.
         assert ob.uid in app_b.objects
-        slot_b = cb.world_state._slot_by_uid.get(ob.uid)
+        with cb.world_state.lock:
+            slot_b = cb.world_state._slot_by_uid.get(ob.uid)
         assert slot_b is not None
         assert cb.world_state.snapshots.next_i[slot_b] >= 2
         # B's replica of the object has fallen (snapshots applied).

@@ -84,9 +84,9 @@ def test_import_replicates_over_loopback_server(tmp_path):
         bot.start()
         cv_bot.import_parcels([str(path)], client=bot, log=lambda *a: None)
         deadline = time.time() + 5
-        while time.time() < deadline and len(watcher.world_state.objects) < 2:
+        while time.time() < deadline and watcher.world_state.num_objects() < 2:
             time.sleep(0.05)
-        obs = list(watcher.world_state.objects.values())
+        obs = list(watcher.world_state.objects_snapshot().values())
         assert len(obs) == 2
         vg = [o for o in obs
               if o.object_type == int(ObjectType.VOXEL_GROUP)]

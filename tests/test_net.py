@@ -27,6 +27,26 @@ def wait_for(pred, timeout=5.0, interval=0.02):
     return False
 
 
+# World-state replicas are GUARDED_BY their lock (enforced suite-wide via
+# SUBSTRATA_LOCK_CHECKS, see shared/guarded.py) — snapshot under the lock.
+def obs_snapshot(c):
+    ws = c.world_state
+    with ws.lock:
+        return dict(ws.objects)
+
+
+def avatars_snapshot(c):
+    ws = c.world_state
+    with ws.lock:
+        return dict(ws.avatars)
+
+
+def slot_of(c, uid):
+    ws = c.world_state
+    with ws.lock:
+        return ws._slot_by_uid.get(uid)
+
+
 @pytest.fixture
 def server():
     s = Server(port=0, udp_port=0)
@@ -56,14 +76,14 @@ def test_object_create_replicates(server):
     ob = WorldObject(model_url="cube.glb", flags=DYNAMIC_FLAG | 1,
                      pos=np.array([1, 2, 3.0]))
     a.send_create_object(ob)
-    assert wait_for(lambda: len(b.world_state.objects) == 1)
-    got = list(b.world_state.objects.values())[0]
+    assert wait_for(lambda: len(obs_snapshot(b)) == 1)
+    got = list(obs_snapshot(b).values())[0]
     assert got.model_url == "cube.glb"
     assert np.allclose(got.pos, [1, 2, 3])
     assert got.uid > 0
     # Late joiner gets the initial send.
     c = connect(server)
-    assert wait_for(lambda: len(c.world_state.objects) == 1)
+    assert wait_for(lambda: len(obs_snapshot(c)) == 1)
     for cl in (a, b, c):
         cl.stop()
 
@@ -73,9 +93,9 @@ def test_physics_snapshot_roundtrip(server):
     b = connect(server)
     ob = WorldObject(flags=DYNAMIC_FLAG | 1)
     a.send_create_object(ob)
-    assert wait_for(lambda: len(a.world_state.objects) == 1)
-    uid = list(a.world_state.objects)[0]
-    assert wait_for(lambda: uid in b.world_state.objects)
+    assert wait_for(lambda: len(obs_snapshot(a)) == 1)
+    uid = list(obs_snapshot(a))[0]
+    assert wait_for(lambda: uid in obs_snapshot(b))
 
     # A owns + streams snapshots; B's ring fills, A doesn't get an echo.
     a.send_ownership_taken(uid, a.world_state.global_time())
@@ -85,14 +105,14 @@ def test_physics_snapshot_roundtrip(server):
         time.sleep(0.12)
 
     def b_has_snapshots():
-        slot = b.world_state._slot_by_uid.get(uid)
+        slot = slot_of(b, uid)
         return slot is not None and b.world_state.snapshots.next_i[slot] >= 4
     assert wait_for(b_has_snapshots)
-    slot_a = a.world_state._slot_by_uid.get(uid)
+    slot_a = slot_of(a, uid)
     if slot_a is not None:
         assert a.world_state.snapshots.next_i[slot_a] == 0  # no echo to owner
     # B sees A as the owner.
-    slot_b = b.world_state._slot_by_uid[uid]
+    slot_b = slot_of(b, uid)
     assert b.world_state.ownership.owner_id[slot_b] == a.avatar_uid
     a.stop()
     b.stop()
@@ -103,13 +123,13 @@ def test_avatar_replication(server):
     b = connect(server)
     av = Avatar(name="alice")
     a.send_avatar_created(av)
-    assert wait_for(lambda: a.avatar_uid in b.world_state.avatars)
+    assert wait_for(lambda: a.avatar_uid in avatars_snapshot(b))
     a.send_avatar_transform([5, 6, 7], [0, 0, 1.5])
     assert wait_for(lambda: abs(
-        b.world_state.avatars[a.avatar_uid].pos[0] - 5) < 1e-5)
+        avatars_snapshot(b)[a.avatar_uid].pos[0] - 5) < 1e-5)
     a.stop()
     # Disconnect destroys the avatar on B.
-    assert wait_for(lambda: a.avatar_uid not in b.world_state.avatars)
+    assert wait_for(lambda: a.avatar_uid not in avatars_snapshot(b))
     b.stop()
 
 
@@ -132,7 +152,7 @@ def test_world_isolation(server):
     b = connect(server, world="beta")
     a.send_create_object(WorldObject(flags=1))
     time.sleep(0.5)
-    assert len(b.world_state.objects) == 0
+    assert len(obs_snapshot(b)) == 0
     a.stop(); b.stop()
 
 
@@ -140,8 +160,8 @@ def test_static_object_rejects_physics_updates(server):
     a = connect(server)
     ob = WorldObject(flags=1)  # collidable, NOT dynamic
     a.send_create_object(ob)
-    assert wait_for(lambda: len(a.world_state.objects) == 1)
-    uid = list(a.world_state.objects)[0]
+    assert wait_for(lambda: len(obs_snapshot(a)) == 1)
+    uid = list(obs_snapshot(a))[0]
     a.send_physics_snapshot(uid, [9, 9, 9], [0, 0, 0, 1], [0, 0, 0], [0, 0, 0])
     time.sleep(0.4)
     with server.worlds_state.lock:
@@ -195,11 +215,15 @@ def test_server_persistence(tmp_path):
     s.start()
     c = connect(s)
     c.send_create_object(WorldObject(model_url="persist.glb", flags=1))
-    assert wait_for(lambda: len(s.worlds_state.get_world("").objects) == 1)
+    def sv_count():
+        with s.worlds_state.lock:
+            return len(s.worlds_state.get_world("").objects)
+    assert wait_for(lambda: sv_count() == 1)
     c.stop()
     s.stop()  # flushes
     s2 = Server(port=0, udp_port=0, db_path=path)
-    obs = s2.worlds_state.get_world("").objects
+    with s2.worlds_state.lock:
+        obs = dict(s2.worlds_state.get_world("").objects)
     assert len(obs) == 1
     assert list(obs.values())[0].model_url == "persist.glb"
     s2.stop()
@@ -324,14 +348,14 @@ def test_compressed_initial_send(server):
     a = connect(server)
     for i in range(10):
         a.send_create_object(WorldObject(flags=1))
-    assert wait_for(lambda: len(a.world_state.objects) >= 10)
+    assert wait_for(lambda: len(obs_snapshot(a)) >= 10)
     # New client with the capability: receives all objects (via the batch).
     b = Client("127.0.0.1", server.port,
                capabilities=P.STREAMING_COMPRESSED_OBJECT_SUPPORT)
     b.start()
-    assert wait_for(lambda: len(b.world_state.objects) >= 10)
+    assert wait_for(lambda: len(obs_snapshot(b)) >= 10)
     # And one WITHOUT the capability still gets everything per-object.
     c = Client("127.0.0.1", server.port, capabilities=0)
     c.start()
-    assert wait_for(lambda: len(c.world_state.objects) >= 10)
+    assert wait_for(lambda: len(obs_snapshot(c)) >= 10)
     a.stop(); b.stop(); c.stop()

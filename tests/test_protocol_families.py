@@ -18,6 +18,12 @@ from substrata_tpu.shared.records import GearItem, LODChunk, WorldSettings
 from substrata_tpu.shared.world_object import WorldObject
 
 
+def _sv(server, fn):
+    """Read server world state under its GUARDED_BY lock."""
+    with server.worlds_state.lock:
+        return fn(server.worlds_state.get_world(""))
+
+
 @pytest.fixture
 def server():
     s = Server(port=0)
@@ -62,11 +68,11 @@ def test_create_destroy_object_requests(server):
         uid2 = _drain(c2, lambda evs: next(
             (u for e in evs for u in e.objects_created), None))
         assert uid1 == uid2 and uid1 > 0
-        assert server.worlds_state.get_world("").objects[uid1].creator_id \
+        assert _sv(server, lambda w: w.objects[uid1].creator_id) \
             == c1.avatar_uid
 
         c1.request_destroy_object(uid1)
-        _wait(lambda: uid1 not in server.worlds_state.get_world("").objects)
+        _wait(lambda: uid1 not in _sv(server, lambda w: dict(w.objects)))
         _drain(c2, lambda evs: (True if any(
             uid1 in e.objects_destroyed for e in evs) else None))
     finally:
@@ -90,8 +96,7 @@ def test_move_to_and_summon(server):
         assert mv["uid"] == uid and not mv["is_rotation"]
         np.testing.assert_allclose(mv["target_pos"], [5, 0, 1])
         # Server applied the authoritative endpoint.
-        _wait(lambda: server.worlds_state.get_world("")
-              .objects[uid].pos[0] == 5.0)
+        _wait(lambda: _sv(server, lambda w: w.objects[uid].pos[0]) == 5.0)
 
         c1.send_summon_object(uid, [9.0, 9.0, 1.0])
         uid_s, pos, aa = _drain(c2, lambda evs: next(
@@ -103,8 +108,9 @@ def test_move_to_and_summon(server):
 
 
 def test_parcels_query_and_world_settings(server):
-    w = server.worlds_state.get_world("")
-    w.parcels[3] = Parcel(parcel_id=3, owner_id=7,
+    with server.worlds_state.lock:
+        w = server.worlds_state.get_world("")
+        w.parcels[3] = Parcel(parcel_id=3, owner_id=7,
                           aabb_min=np.zeros(3), aabb_max=np.ones(3) * 10)
     w.settings = WorldSettings(default_terrain_z=2.5, water_enabled=True,
                                water_z=-1.0)
@@ -118,7 +124,7 @@ def test_parcels_query_and_world_settings(server):
         parcels = _drain(c, lambda evs: next(
             (pl for e in evs for pl in e.parcel_lists), None))
         assert parcels[0].parcel_id == 3 and parcels[0].owner_id == 7
-        assert c.world_state.parcels[3].owner_id == 7
+        assert c.world_state.parcels_snapshot()[3].owner_id == 7
     finally:
         c.stop()
 
@@ -137,19 +143,19 @@ def test_seats_audio_streams(server):
         kind, av, veh, seat = _drain(c2, lambda evs: next(
             (s for e in evs for s in e.seat_changes), None))
         assert (kind, veh, seat) == (P.AVATAR_SAT_ON_SEAT, 44, 1)
-        sv = server.worlds_state.get_world("").avatars[c1.avatar_uid]
+        sv = _sv(server, lambda w: w.avatars[c1.avatar_uid])
         assert sv.entered_vehicle_uid == 44 and sv.vehicle_seat_index == 1
 
         c1.send_seat_change(P.AVATAR_EXITED_VEHICLE, vehicle_uid=44)
-        _wait(lambda: server.worlds_state.get_world("")
-              .avatars[c1.avatar_uid].entered_vehicle_uid == 0)
+        _wait(lambda: _sv(server, lambda w: w.avatars[c1.avatar_uid]
+              .entered_vehicle_uid) == 0)
 
         c1.send_audio_stream_state(True, stream_id=5)
         kind, av, rate, sid = _drain(c2, lambda evs: next(
             (s for e in evs for s in e.audio_streams), None))
         assert kind == P.AUDIO_STREAM_TO_SERVER_STARTED and sid == 5
-        assert server.worlds_state.get_world("") \
-            .avatars[c1.avatar_uid].audio_stream_id == 5
+        assert _sv(server, lambda w: w.avatars[c1.avatar_uid]
+                   .audio_stream_id) == 5
     finally:
         c1.stop(); c2.stop()
 
@@ -229,8 +235,9 @@ def test_builder_ai_streaming(server):
         assert "text_delta" in kinds and "tool_activity" in kinds
         assert kinds[-1] == "turn_complete"
         # Two cubes should exist in the world now, created as this avatar.
-        w = server.worlds_state.get_world("")
-        cubes = [ob for ob in w.objects.values()
+        with server.worlds_state.lock:
+            w = server.worlds_state.get_world("")
+            cubes = [ob for ob in w.objects.values()
                  if ob.creator_id == c.avatar_uid]
         assert len(cubes) == 2
         assert cubes[0].pos[0] == pytest.approx(3.0)

@@ -113,16 +113,16 @@ def test_avatar_vehicle_replay_fields_propagate():
         a = Client("127.0.0.1", s.port); a.start()
         b = Client("127.0.0.1", s.port); b.start()
         a.send_avatar_created(Avatar(name="driver"))
-        assert wait_for(lambda: a.avatar_uid in b.world_state.avatars)
+        assert wait_for(lambda: a.avatar_uid in b.world_state.avatars_snapshot())
         bits = VehiclePhysicsInput(forward=1.0, right=-1.0).to_bitflags()
         a.send_avatar_transform([1, 2, 3], [0, 0, 0], anim_state=0,
                                 vehicle_uid=777, seat=0, input_bitflags=bits)
 
         def got():
-            av = b.world_state.avatars.get(a.avatar_uid)
+            av = b.world_state.avatars_snapshot().get(a.avatar_uid)
             return av is not None and av.entered_vehicle_uid == 777
         assert wait_for(got)
-        av = b.world_state.avatars[a.avatar_uid]
+        av = b.world_state.avatars_snapshot()[a.avatar_uid]
         replay = VehiclePhysicsInput.from_bitflags(av.last_physics_input_bitflags)
         assert replay.forward == 1.0 and replay.right == -1.0
         a.stop(); b.stop()

@@ -41,7 +41,7 @@ def test_game_protocol_over_tls_loopback():
             with c2.world_state.lock:
                 found = any(
                     np.allclose(o.pos, [1.0, 2.0, 3.0])
-                    for o in c2.world_state.objects.values())
+                    for o in c2.world_state.objects_snapshot().values())
             time.sleep(0.05)
         assert found, "object did not replicate over TLS"
         c1.stop()

@@ -20,16 +20,23 @@ from substrata_tpu.shared.parcel import Parcel
 FORM = {"Content-Type": "application/x-www-form-urlencoded"}
 
 
+def _locked(worlds, fn):
+    """Read server world state under its GUARDED_BY lock (shared/guarded.py)."""
+    with worlds.lock:
+        return fn(worlds.get_world(""))
+
+
 @pytest.fixture
 def site():
     store = AccountStore()
     admin = store.create_user("admin", "a@x", "adminpw1")   # id 1 = god user
     alice = store.create_user("alice", "al@x", "alicepw1")
     worlds = ServerAllWorldsState()
-    w = worlds.get_world("")
-    w.parcels[7] = Parcel(parcel_id=7, owner_id=0,
-                          aabb_min=np.array([0., 0., 0.]),
-                          aabb_max=np.array([20., 20., 10.]))
+    with worlds.lock:
+        w = worlds.get_world("")
+        w.parcels[7] = Parcel(parcel_id=7, owner_id=0,
+                              aabb_min=np.array([0., 0., 0.]),
+                              aabb_max=np.array([20., 20., 10.]))
     ws = WebServer(store, worlds_state=worlds, port=0)
     ws.start()
     yield ws, store, worlds
@@ -99,7 +106,7 @@ def test_auction_buy_flow_and_orders(site):
 
     a = store.auctions[1]
     assert a.sold_to_user_id == 2
-    assert worlds.get_world("").parcels[7].owner_id == 2
+    assert _locked(worlds, lambda w: w.parcels[7].owner_id) == 2
     assert store.orders[1].confirmed
 
     status, body = _get(conn, "/order/1", alice_h)
@@ -116,7 +123,8 @@ def test_parcel_edit_permissions(site):
     status, _ = _post(conn, "/edit_parcel_title_post",
                       {"parcel_id": 7, "title": "mine"}, alice_h)
     assert status == 403
-    worlds.get_world("").parcels[7].owner_id = 2
+    with worlds.lock:
+        worlds.get_world("").parcels[7].owner_id = 2
     status, _ = _post(conn, "/edit_parcel_title_post",
                       {"parcel_id": 7, "title": "Alice's plot"}, alice_h)
     assert status == 200
@@ -126,7 +134,7 @@ def test_parcel_edit_permissions(site):
     status, _ = _post(conn, "/add_parcel_writer_post",
                       {"parcel_id": 7, "writer_name": "admin"}, alice_h)
     assert status == 200
-    assert 1 in worlds.get_world("").parcels[7].writer_ids
+    assert 1 in _locked(worlds, lambda w: w.parcels[7].writer_ids)
 
 
 def test_news_events_worlds(site):
@@ -272,7 +280,7 @@ def test_mcp_auth_and_tools(site):
                               "arguments": {"x": 5, "y": 5, "z": 1}})
     out = json.loads(resp["result"]["content"][0]["text"])
     uid = out["uid"]
-    assert worlds.get_world("").objects[uid].creator_id == 2
+    assert _locked(worlds, lambda w: w.objects[uid].creator_id) == 2
 
     status, resp = _mcp_call(conn, key, "tools/call",
                              {"name": "list_objects_near",
@@ -289,7 +297,7 @@ def test_mcp_auth_and_tools(site):
     status, resp = _mcp_call(conn, key, "tools/call",
                              {"name": "delete_object",
                               "arguments": {"uid": uid}})
-    assert uid not in worlds.get_world("").objects
+    assert uid not in _locked(worlds, lambda w: dict(w.objects))
 
 
 def test_mcp_permissions_and_errors(site):
@@ -308,11 +316,11 @@ def test_mcp_permissions_and_errors(site):
     _, resp = _mcp_call(conn, bob_key, "tools/call",
                         {"name": "delete_object", "arguments": {"uid": uid}})
     assert resp["result"].get("isError"), resp
-    assert uid in worlds.get_world("").objects
+    assert uid in _locked(worlds, lambda w: dict(w.objects))
     # the god user can
     _, resp = _mcp_call(conn, admin_key, "tools/call",
                         {"name": "delete_object", "arguments": {"uid": uid}})
-    assert uid not in worlds.get_world("").objects
+    assert uid not in _locked(worlds, lambda w: dict(w.objects))
 
     # protocol errors
     _, resp = _mcp_call(conn, alice_key, "no_such_method")
@@ -460,7 +468,7 @@ def test_paypal_purchase_flow(site):
     assert conn.getresponse().status == 200
     assert o.confirmed
     alice = store.users_by_name["alice"]
-    assert worlds.get_world("").parcels[7].owner_id == alice.user_id
+    assert _locked(worlds, lambda w: w.parcels[7].owner_id) == alice.user_id
     # Tampered IPN (bad secret) must be rejected.
     o2 = store.create_order(alice.user_id, 7, 10.0)
     conn.request("POST", "/paypal_ipn",

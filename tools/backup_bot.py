@@ -31,7 +31,7 @@ def backup_once(host: str, port: int, out_dir: str, world: str = "",
     last_count = -1
     while time.time() - t0 < settle_time:
         with c.world_state.lock:
-            n = len(c.world_state.objects)
+            n = c.world_state.num_objects()
         if n == last_count and n > 0:
             break
         last_count = n
@@ -39,8 +39,8 @@ def backup_once(host: str, port: int, out_dir: str, world: str = "",
     stamp = time.strftime("%Y%m%d_%H%M%S")
     path = os.path.join(out_dir, f"world_backup_{stamp}.zip")
     with c.world_state.lock:
-        objects = list(c.world_state.objects.values())
-        parcels = list(c.world_state.parcels.values())
+        objects = list(c.world_state.objects_snapshot().values())
+        parcels = list(c.world_state.parcels_snapshot().values())
     c.stop()
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         for ob in objects:

@@ -67,11 +67,11 @@ def build():
     # Replicate WITHOUT stepping physics (each tick is a full 12k-body
     # device step; waiting on the wire needs none of that).
     deadline = time.time() + 120
-    while time.time() < deadline and len(viewer.world_state.objects) < N_OBJECTS:
+    while time.time() < deadline and viewer.world_state.num_objects() < N_OBJECTS:
         time.sleep(0.1)
-    if len(viewer.world_state.objects) < N_OBJECTS:
+    if viewer.world_state.num_objects() < N_OBJECTS:
         raise RuntimeError(
-            f"replication stalled at {len(viewer.world_state.objects)}")
+            f"replication stalled at {viewer.world_state.num_objects()}")
     # Now load the replicated objects into the physics world in one pass.
     t0 = time.time()
     for _ in range(10):
@@ -89,7 +89,7 @@ def main():
 
     # Sender streams snapshots for its dynamic objects (10 Hz per object, in
     # slices like the reference's send pass).
-    dyn_uids = [uid for uid, ob in list(viewer.world_state.objects.items())
+    dyn_uids = [uid for uid, ob in list(viewer.world_state.objects_snapshot().items())
                 if ob.is_dynamic()][:N_DYNAMIC]
     rng = np.random.default_rng(1)
 
@@ -115,7 +115,7 @@ def main():
         "value": round(ticks_per_sec, 2),
         "unit": "ticks/s",
         "vs_baseline": round(ticks_per_sec / BASELINE_TICK_HZ, 3),
-        "replicated_objects": len(viewer.world_state.objects),
+        "replicated_objects": viewer.world_state.num_objects(),
     }))
 
     viewer.stop()

@@ -81,7 +81,7 @@ def screenshot_once(host: str, port: int, out_path: str, center=(0.0, 0.0),
     c.start()
     time.sleep(settle)
     with c.world_state.lock:
-        objects = list(c.world_state.objects.values())
+        objects = list(c.world_state.objects_snapshot().values())
     c.stop()
     img = render_map_tile(objects, center, tile_w, res)
     write_png(out_path, img)

@@ -119,7 +119,7 @@ def render_frame(app, width=72, height=30, view_w=48.0):
         else:
             plot(p[0], p[1], "#", 215)
     if app.world_state is not None:
-        for av in app.world_state.avatars.values():
+        for av in app.world_state.avatars_snapshot().values():
             p = np.asarray(av.pos, np.float64)
             plot(p[0], p[1], "@", 46)
     plot(cx, cy, "P", 196)
