@@ -769,8 +769,19 @@ class WorkerConnection(threading.Thread):
                     pass
 
             user = User(user_id=self.avatar_uid, name=f"avatar{self.avatar_uid}")
+            # LLM seam: SUBSTRATA_LLM_URL selects a real OpenAI-compatible
+            # endpoint (vLLM/llama.cpp/gateway); default is the scripted
+            # builder (zero-dependency, same wire path).
+            llm = None
+            llm_url = os.environ.get("SUBSTRATA_LLM_URL")
+            if llm_url:
+                from substrata_tpu.server_side.llm_client import HTTPChatLLM
+                llm = HTTPChatLLM(
+                    llm_url,
+                    model=os.environ.get("SUBSTRATA_LLM_MODEL", "default"),
+                    api_key=os.environ.get("SUBSTRATA_LLM_API_KEY"))
             self._builder_session = BuilderAISession(
-                self.server.mcp, user, emit)
+                self.server.mcp, user, emit, llm=llm)
         return self._builder_session
 
 

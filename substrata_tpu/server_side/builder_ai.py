@@ -88,8 +88,19 @@ class BuilderAISession:
         self._cancel.set()
 
     def _run_turn(self, text: str):
+        # Drive the generator with send() so each tool's RESULT flows back
+        # into the LLM's next round (the reference's agentic loop; a plain
+        # for-loop would run tools blind).  Scripted generators that ignore
+        # the sent value keep working unchanged.
         try:
-            for ev in self.llm.run_turn(text, self.mcp and TOOL_NAMES):
+            gen = self.llm.run_turn(text, self.mcp and TOOL_NAMES)
+            result = None
+            while True:
+                try:
+                    ev = gen.send(result) if result is not None else next(gen)
+                except StopIteration:
+                    break
+                result = None
                 if self._cancel.is_set():
                     self.emit("turn_complete", "cancelled")
                     return
