@@ -37,3 +37,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the number of live XLA:CPU executables in the suite process.
+
+    A full-suite run accumulates hundreds of loaded AOT executables; at
+    that point DESERIALISING one more persistent-cache entry segfaulted
+    deterministically inside cpu_aot_loader (reproduced 4x at the same
+    test; the same read works in a fresh process).  Dropping the
+    in-memory executable caches between modules keeps the loaded count
+    low; reloads stay cheap via the persistent cache."""
+    yield
+    jax.clear_caches()
