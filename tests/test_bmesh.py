@@ -87,6 +87,7 @@ def test_decode_skinned_v1_with_joints():
     assert hull.mass == 60.0
 
 
+@pytest.mark.slow
 def test_client_loads_bmesh_object():
     """A .bmesh model_url object gets real collision geometry through the
     client asset path (same flow as glTF)."""

@@ -28,6 +28,7 @@ def test_simconfig_accepts_65536_and_rejects_more():
         SimConfig(capacity=65537)
 
 
+@pytest.mark.slow
 def test_find_pairs_at_high_slots():
     # A cluster of overlapping spheres parked in the TOP slots of a
     # 65536-capacity world: every pair id has bit 15 set on both sides.

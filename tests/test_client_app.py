@@ -156,6 +156,7 @@ def test_touch_events_fire_scripts():
 # real glTF content must reach the collision system, not placeholder boxes.
 # ----------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_static_gltf_mesh_collides_and_ray_hits():
     from tests.test_gltf import make_cube_gltf
     app = make_app()

@@ -12,10 +12,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 import lightmapper_bot
 from substrata_tpu.client_app import ClientApp
 from substrata_tpu.physics.state import SimConfig
+import pytest
+
 from substrata_tpu.shared.world_object import (
     COLLIDABLE_FLAG, LIGHTMAP_NEEDS_COMPUTING_FLAG, WorldObject)
 
 
+@pytest.mark.slow
 def test_bake_writes_png_clears_flag_and_shadows(tmp_path):
     app = ClientApp(config=SimConfig(capacity=256, max_pairs=1024,
                                      grid_dim=32, cell_size=4.0),

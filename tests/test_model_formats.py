@@ -108,6 +108,7 @@ def test_decode_model_dispatch():
         decode_model("mesh.wat", b"xx")
 
 
+@pytest.mark.slow
 def test_client_loads_obj_object():
     """End-to-end: an OBJ-model dynamic object becomes a convex hull that
     rests at the right height (same flow as the glTF test)."""

@@ -5,6 +5,7 @@ import numpy as np
 from substrata_tpu.physics.particles import ParticleManager
 from substrata_tpu.physics.state import SimConfig
 from substrata_tpu.physics.world import PhysicsWorld
+import pytest
 
 DT = 1.0 / 60.0
 
@@ -93,6 +94,7 @@ def test_water_buoyancy_clamp():
     assert float(np.asarray(pm.state.vel)[0, 2]) > 0.3
 
 
+@pytest.mark.slow
 def test_10k_particles_over_heightfield():
     w = make_world()
     xs = np.linspace(-40, 40, 33)

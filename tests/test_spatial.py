@@ -49,6 +49,7 @@ def _build_world():
 
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV, reason="needs 4 devices")
+@pytest.mark.slow
 def test_spatial_sharded_step_matches_unsharded():
     w = _build_world()
     dt = jnp.float32(1 / 60)

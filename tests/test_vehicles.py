@@ -39,6 +39,7 @@ def drive(w, vm, veh, inp, ticks):
     w.sync_transforms()
 
 
+@pytest.mark.slow
 def test_car_settles_on_suspension():
     w = make_world()
     vm = VehicleManager(w)
@@ -78,6 +79,7 @@ def test_car_steers():
     assert abs(chassis.pos[0]) > 1.0, chassis.pos
 
 
+@pytest.mark.slow
 def test_car_brakes():
     w = make_world()
     vm = VehicleManager(w)
@@ -168,6 +170,7 @@ def test_doppler_factor():
     assert f2 < 1.0
 
 
+@pytest.mark.slow
 def test_car_accel_brake_speed_trace():
     """Car-on-flat acceleration/brake TRACE (VERDICT r2 item 4): record the
     speed profile through throttle -> coast -> brake phases and check the
