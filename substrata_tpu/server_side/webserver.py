@@ -64,9 +64,13 @@ class WebServer:
     def __init__(self, accounts, worlds_state=None, resource_manager=None,
                  port: int = 0, site_data: SiteDataStore | None = None,
                  secure_cookies: bool = False, tls_context=None,
-                 payments=None):
+                 payments=None, game_server=None):
         self.accounts = accounts
         self.worlds_state = worlds_state
+        # Game server for protocol-over-WebSocket connections (the web
+        # client path: WebServerRequestHandler.cpp:874-882 wraps the
+        # upgraded socket and hands it to a game WorkerThread).
+        self.game_server = game_server
         self.resources = resource_manager
         self.site_data = site_data or SiteDataStore()
         self.data_store = WebDataStore()
@@ -151,6 +155,11 @@ class WebServer:
                         pass
 
             def _do_GET(self):
+                # Protocol-over-WebSocket upgrade -> game WorkerThread
+                # (WebServerRequestHandler::handleWebSocketConnection).
+                if ("websocket" in
+                        self.headers.get("Upgrade", "").lower()):
+                    return self._websocket_upgrade()
                 path, _, query = self.path.partition("?")
                 path = urllib.parse.unquote(path)
                 q = urllib.parse.parse_qs(query)
@@ -160,6 +169,10 @@ class WebServer:
 
                 if path == "/":
                     return self._index(user)
+                if path == "/webclient":
+                    from substrata_tpu.server_side.webclient_page import \
+                        WEBCLIENT_HTML
+                    return self._send(200, WEBCLIENT_HTML)
                 if path in ds.info_pages:
                     return self._send(200, self._page(ds.info_pages[path]))
 
@@ -355,6 +368,24 @@ class WebServer:
                     return self._send(200, ds.public_files[path],
                                       ctype="application/octet-stream")
                 return self._send(404, self._page("<p>not found</p>"))
+
+            def _websocket_upgrade(self):
+                from substrata_tpu.net.server import WorkerConnection
+                from substrata_tpu.net.websocket import (WebSocketStream,
+                                                         handshake_response)
+                key = self.headers.get("Sec-WebSocket-Key")
+                if outer.game_server is None or not key:
+                    return self._send(404, self._page(
+                        "<p>no game server behind this site</p>"))
+                self.connection.sendall(handshake_response(key))
+                self.close_connection = True
+                ws = WebSocketStream(self.connection)
+                worker = WorkerConnection(outer.game_server, ws,
+                                          self.client_address)
+                # Run the protocol endpoint ON this HTTP thread (the site
+                # is a thread-per-connection server; the reference spawns a
+                # WorkerThread for the same effect).  Returns at disconnect.
+                worker.run()
 
             # ---------------- GET page builders ----------------
             def _index(self, user):
