@@ -73,6 +73,9 @@ class Body:
     radius: float = 0.0
     # For box-box stacking: half extents (None for non-boxes).
     half_extents: np.ndarray | None = None
+    # For hull-hull: local face planes [[nx,ny,nz,d], ...] with n.x+d<=0
+    # inside (scipy ConvexHull.equations; None for non-hulls).
+    planes: np.ndarray | None = None
     lin_damping: float = 0.05
     ang_damping: float = 0.05
 
@@ -158,9 +161,12 @@ def make_hull_body(verts, pos, density=1000.0, friction=0.5, restitution=0.0):
     from substrata_tpu.physics import shapes
     sh = shapes.make_convex_hull(np.asarray(verts, np.float32),
                                  density=density)
+    from scipy.spatial import ConvexHull
+    planes = ConvexHull(np.asarray(sh.hull_verts, float)).equations
     return Body(pos=np.asarray(pos, float), inv_mass=sh.inv_mass,
                 inv_inertia=np.asarray(sh.inv_inertia, float),
                 verts=np.asarray(sh.hull_verts, float),
+                planes=planes,
                 friction=friction, restitution=restitution)
 
 
@@ -248,6 +254,27 @@ def _collect_contacts(bodies, ground_z, margin=0.04):
                             contacts.append(_Contact(
                                 bi, ai, corners[k].copy(), n, pen,
                                 (bi, ai, int(k) + 1)))
+            elif a.planes is not None and b.planes is not None:
+                # Hull-hull vertex-face manifold, both directions: each
+                # vertex of one hull tested against the other's face planes
+                # (scipy ConvexHull equations — fully independent of the
+                # engine's SAT + clipping path).  Edge-edge regimes are
+                # outside this oracle's scope, same as box-box.
+                for (ai, bi) in ((i, j), (j, i)):
+                    ba, bb = bodies[ai], bodies[bi]
+                    ra = quat_to_mat(ba.quat)
+                    wverts = (quat_to_mat(bb.quat) @ bb.verts.T).T + bb.pos
+                    q = (wverts - ba.pos) @ ra             # into A's frame
+                    # signed distance to each face; max = distance outside
+                    sd = q @ ba.planes[:, :3].T + ba.planes[:, 3]
+                    worst = np.max(sd, axis=1)
+                    face = np.argmax(sd, axis=1)
+                    for k in np.nonzero(worst < margin)[0]:
+                        pen = float(-worst[k])
+                        n = ra @ ba.planes[face[k], :3]    # outward from A
+                        contacts.append(_Contact(
+                            bi, ai, wverts[k].copy(), n, pen,
+                            (bi, ai, int(k) + 1)))
     return contacts
 
 
