@@ -44,8 +44,11 @@ from substrata_tpu.physics.state import MotionType, SimConfig
 from substrata_tpu.physics.step import physics_step
 from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
 
-N_BODIES = 10_000
-N_SOURCES = 256
+# SUBSTRATA_BENCH_SMOKE=1 shrinks the workload for a CPU logic check of
+# the full bench path (the driver's real run stays 10k/256 on TPU).
+_SMOKE = os.environ.get("SUBSTRATA_BENCH_SMOKE", "") not in ("", "0")
+N_BODIES = 400 if _SMOKE else 10_000
+N_SOURCES = 16 if _SMOKE else 256
 TICK_FRAMES = 800              # 48 kHz / 60 Hz: one tick of audio per step
 DT = 1.0 / 60.0
 BASELINE_STEPS_PER_SEC = 60.0  # real-time 60 Hz = reference design rate
@@ -83,9 +86,9 @@ def build_audio():
 
 def build_world():
     cfg = SimConfig(
-        capacity=10_240,
-        max_pairs=16_384,
-        grid_dim=128,
+        capacity=512 if _SMOKE else 10_240,
+        max_pairs=2_048 if _SMOKE else 16_384,
+        grid_dim=32 if _SMOKE else 128,
         cell_size=1.4,
         cell_capacity=6,
         # 7 FISTA-accelerated iterations match 8 plain ones on the quality
@@ -94,7 +97,7 @@ def build_world():
         solver_iters=7,
         pairs_per_body=10,
         pair_rebuild_interval=6,
-        max_active_contacts=36_864,
+        max_active_contacts=4_096 if _SMOKE else 36_864,
         contacts_per_body=12,
     )
     w = PhysicsWorld(cfg)
@@ -250,7 +253,7 @@ def main():
     _ = float(np.asarray(state.pos)[0, 0])
 
     # Window 1: physics only (continuity with rounds 1-2).
-    chunks = 40  # 120 ticks = two churn cycles in the timed window
+    chunks = 10 if _SMOKE else 40  # 120 ticks = two churn cycles timed
     t0 = time.perf_counter()
     drive(chunks)
     _ = float(np.asarray(state.pos)[0, 0])  # real sync
