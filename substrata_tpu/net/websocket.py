@@ -30,6 +30,11 @@ _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0, 1, 2, 8, 9, 10
 
+# Untrusted-length bound: the game protocol caps messages at 64 MiB
+# (protocol.MessageReader); a frame claiming more is hostile or corrupt —
+# close instead of waiting forever for bytes that will never come.
+MAX_FRAME = 64 * 1024 * 1024
+
 
 def accept_key(sec_websocket_key: str) -> str:
     digest = hashlib.sha1((sec_websocket_key.strip() + _WS_GUID).encode())
@@ -150,6 +155,9 @@ class WebSocketStream:
                     return
                 (n,) = struct.unpack_from(">Q", raw, 2)
                 off = 10
+            if n > MAX_FRAME:
+                self._closed = True
+                return
             key_off = off
             if masked:
                 off += 4

@@ -120,3 +120,57 @@ def test_fuzz_wav_reader(data):
             readers.read_wav(blob)
         except DECODE_ERRORS:
             pass
+
+
+def test_fuzz_websocket_frames():
+    """The WebSocket frame parser consumes untrusted wire bytes — random
+    garbage must never crash, hang, or emit unbounded buffers (CLAUDE.md
+    decoder-fuzz rule; docs/fuzzing.txt in the reference)."""
+    import socket
+
+    from substrata_tpu.net.websocket import (MAX_FRAME, WebSocketStream,
+                                             encode_frame)
+
+    rng = np.random.default_rng(42)
+    for trial in range(40):
+        a, b = socket.socketpair()
+        try:
+            ws = WebSocketStream(b)
+            blob = rng.integers(0, 256, rng.integers(1, 2000),
+                                dtype=np.uint8).tobytes()
+            a.sendall(blob)
+            a.shutdown(socket.SHUT_WR)
+            ws.settimeout(1.0)
+            total = 0
+            for _ in range(200):
+                d = ws.recv(65536)
+                if not d:
+                    break
+                total += len(d)
+            assert total <= len(blob)     # payload never exceeds input
+        finally:
+            a.close()
+            b.close()
+
+    # A frame CLAIMING a huge length closes the stream instead of waiting
+    # forever for bytes that will never arrive.
+    a, b = socket.socketpair()
+    try:
+        ws = WebSocketStream(b)
+        hdr = bytes([0x82, 0xFF]) + struct.pack(">Q", MAX_FRAME + 1) + b"\0" * 4
+        a.sendall(hdr + b"somedata")
+        ws.settimeout(1.0)
+        assert ws.recv(64) == b""
+    finally:
+        a.close()
+        b.close()
+
+    # Valid frames intermixed with a ping still round-trip after fuzzing.
+    a, b = socket.socketpair()
+    try:
+        ws = WebSocketStream(b)
+        a.sendall(encode_frame(b"ok", mask=True))
+        assert ws.recv(16) == b"ok"
+    finally:
+        a.close()
+        b.close()
