@@ -28,8 +28,9 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-N_OBJECTS = 12_000
-N_DYNAMIC = 512          # client-A-owned moving objects streaming snapshots
+_SMOKE = os.environ.get("SUBSTRATA_BENCH_SMOKE", "") not in ("", "0")
+N_OBJECTS = 600 if _SMOKE else 12_000
+N_DYNAMIC = 64 if _SMOKE else 512   # client-A moving objects streaming snapshots
 TICK_HZ = 60.0           # reference clients tick at display rate (60)
 BASELINE_TICK_HZ = 60.0
 
@@ -60,8 +61,11 @@ def build():
 
     viewer = Client("127.0.0.1", server.port)
     viewer.start()
-    cfg = SimConfig(capacity=12_288, max_pairs=16_384, grid_dim=96,
-                    cell_size=4.0, solver_iters=7, pair_rebuild_interval=6)
+    cfg = (SimConfig(capacity=1024, max_pairs=2048, grid_dim=32,
+                     cell_size=4.0, solver_iters=7, pair_rebuild_interval=6)
+           if _SMOKE else
+           SimConfig(capacity=12_288, max_pairs=16_384, grid_dim=96,
+                     cell_size=4.0, solver_iters=7, pair_rebuild_interval=6))
     app = ClientApp(client=viewer, config=cfg, enable_audio=False)
 
     # Replicate WITHOUT stepping physics (each tick is a full 12k-body
@@ -93,7 +97,7 @@ def main():
                 if ob.is_dynamic()][:N_DYNAMIC]
     rng = np.random.default_rng(1)
 
-    n_ticks = 150
+    n_ticks = 30 if _SMOKE else 150
     t0 = time.perf_counter()
     for tick in range(n_ticks):
         # ~10 Hz snapshot stream: every tick, 1/3 of dynamic objects update.
