@@ -186,6 +186,121 @@ def spatial_world_step(body: BodyState, world: StaticWorld, hull_cv,
 
 def shard_partitioned(body: BodyState, mesh: Mesh) -> BodyState:
     """Device-put a partitioned BodyState with its capacity axis sharded
-    over the mesh's first axis."""
-    spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    over ALL mesh axes (1-D slab or 2-D tile layouts alike — tile index is
+    x-major, matching the mesh's device raveling)."""
+    spec = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), body)
+
+
+# ---------------------------------------------------------------------------
+# 2-D tile decomposition
+# ---------------------------------------------------------------------------
+# 1-D x-slabs stop scaling when the slab width approaches the interaction
+# diameter (a 256-chip pod slicing one world into 256 slabs would make every
+# body a boundary body).  The 2-D variant splits space into PX x PY tiles
+# over a 2-D mesh and exchanges halos in TWO phases: an x-phase over the
+# "sx" axis, then a y-phase over "sy" packing from local + x-ghosts — the
+# standard corner trick, so diagonal-neighbour contacts (which pure per-axis
+# exchange misses) arrive via the y-pass of an x-ghost.
+
+
+def partition_by_tile(body: BodyState, px: int, py: int, local_cap: int,
+                      x_min: float, x_max: float, y_min: float, y_max: float):
+    """Host-side: re-order a world's bodies into px*py fixed-capacity tile
+    slots (row-major y-fastest to match a ("sx", "sy") mesh reshape).
+    Returns (sharded BodyState [px*py*local_cap, ...], owner_slot)."""
+    host = jax.tree_util.tree_map(np.asarray, body)
+    alive = host.alive
+    n = alive.shape[0]
+    wx = (x_max - x_min) / px
+    wy = (y_max - y_min) / py
+    tx = np.clip(((host.pos[:, 0] - x_min) / wx).astype(np.int32), 0, px - 1)
+    ty = np.clip(((host.pos[:, 1] - y_min) / wy).astype(np.int32), 0, py - 1)
+    tile = tx * py + ty
+    owner_slot = np.full(n, -1, np.int64)
+    take = np.zeros(px * py * local_cap, np.int64)
+    valid = np.zeros(px * py * local_cap, bool)
+    for t in range(px * py):
+        ids = np.nonzero(alive & (tile == t))[0]
+        if len(ids) > local_cap:
+            raise ValueError(
+                f"tile {t} holds {len(ids)} bodies > local_cap {local_cap}")
+        take[t * local_cap:t * local_cap + len(ids)] = ids
+        valid[t * local_cap:t * local_cap + len(ids)] = True
+        owner_slot[ids] = t * local_cap + np.arange(len(ids))
+    out = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)[take]),
+                                 body)
+    out = out.replace(alive=jnp.asarray(valid),
+                      awake=out.awake & jnp.asarray(valid))
+    return out, owner_slot
+
+
+def _axis_exchange(local: BodyState, coord_axis: int, halo_cap: int,
+                   halo_width: float, lo: float, hi: float,
+                   axis_name: str, n_dev: int):
+    """One ppermute halo exchange along one mesh axis; returns
+    (from_low_neighbour, from_high_neighbour, overflow)."""
+    d = jax.lax.axis_index(axis_name)
+    w = (hi - lo) / n_dev
+    low_edge = lo + d.astype(jnp.float32) * w
+    high_edge = low_edge + w
+    c = local.pos[:, coord_axis]
+    mask_high = local.alive & (c > high_edge - halo_width)
+    mask_low = local.alive & (c < low_edge + halo_width)
+    send_high = _pack_halo(local, mask_high, halo_cap)
+    send_low = _pack_halo(local, mask_low, halo_cap)
+    overflow = (jnp.maximum(jnp.sum(mask_high) - halo_cap, 0)
+                + jnp.maximum(jnp.sum(mask_low) - halo_cap, 0))
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]
+    from_low = jax.tree_util.tree_map(
+        lambda a: jax.lax.ppermute(a, axis_name, fwd), send_high)
+    from_high = jax.tree_util.tree_map(
+        lambda a: jax.lax.ppermute(a, axis_name, bwd), send_low)
+    return from_low, from_high, overflow
+
+
+def spatial_world_step_2d(body: BodyState, world: StaticWorld, hull_cv,
+                          dt, params: SimParams, config: SimConfig,
+                          mesh: Mesh, halo_cap: int, halo_width: float,
+                          x_min: float, x_max: float,
+                          y_min: float, y_max: float):
+    """One step of ONE world sharded over a 2-D ("sx", "sy") mesh.
+
+    ``body`` is laid out by ``partition_by_tile`` and sharded over BOTH
+    mesh axes flattened (tile-major).  Per step: x-phase halo ppermute,
+    then y-phase packing from local + x-ghosts (corners included), step the
+    combined set with the ordinary fused physics_step, keep the local
+    slice.  Returns (new_body, global awake count, halo overflow count).
+    """
+    from jax import shard_map
+
+    ax_x, ax_y = mesh.axis_names[0], mesh.axis_names[1]
+    px, py = mesh.devices.shape
+    total_cap = body.capacity
+    local_cap = total_cap // (px * py)
+    # local + 2 x-ghost blocks + 2 y-ghost blocks (y-ghosts can contain
+    # forwarded x-ghost corners, so they get the same fixed capacity).
+    combined_cap = local_cap + 4 * halo_cap
+    cfg = _halo_config(config, combined_cap)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P((ax_x, ax_y)), P(), P()),
+             out_specs=(P((ax_x, ax_y)), P(), P()),
+             check_vma=False)
+    def stepper(local, world_rep, hull_rep):
+        from_lo_x, from_hi_x, ov_x = _axis_exchange(
+            local, 0, halo_cap, halo_width, x_min, x_max, ax_x, px)
+        with_x = _tree_concat([local, from_lo_x, from_hi_x])
+        from_lo_y, from_hi_y, ov_y = _axis_exchange(
+            with_x, 1, halo_cap, halo_width, y_min, y_max, ax_y, py)
+        combined = _tree_concat([with_x, from_lo_y, from_hi_y])
+        out = step_mod.physics_step(combined, world_rep, hull_rep,
+                                    dt, params, cfg)
+        new_local = jax.tree_util.tree_map(lambda x: x[:local_cap], out[0])
+        awake = jax.lax.psum(jax.lax.psum(
+            jnp.sum(new_local.awake & new_local.alive), ax_x), ax_y)
+        halo_overflow = jax.lax.psum(jax.lax.psum(ov_x + ov_y, ax_x), ax_y)
+        return new_local, awake, halo_overflow
+
+    return stepper(body, world, hull_cv)

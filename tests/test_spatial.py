@@ -202,3 +202,73 @@ def test_spatial_scale_two_devices_with_drift_and_rebalance():
     ke_sh = float((sh_np.linvel[new_idx] ** 2).sum())
     ke_ref = float((ref_np.linvel[alive] ** 2).sum())
     assert abs(ke_sh - ke_ref) < 0.15 * max(ke_ref, 1.0), (ke_sh, ke_ref)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
+def test_spatial_2d_tiles_match_unsharded():
+    """2-D tile decomposition (4x2 mesh) with two-phase halo exchange must
+    match the unsharded step — including a cluster straddling a tile CORNER
+    (diagonal-neighbour contacts only reach the owner via the y-pass of an
+    x-ghost, the case 1-D slabs never exercise)."""
+    from jax.sharding import Mesh
+    from substrata_tpu.parallel.spatial import (partition_by_tile,
+                                                spatial_world_step_2d)
+
+    PX, PY = 4, 2
+    Y_MIN, Y_MAX = -8.0, 8.0
+    cfg = SimConfig(capacity=64, max_pairs=1024, grid_dim=16, cell_size=4.0,
+                    solver_iters=6)
+    w = PhysicsWorld(cfg)
+    w.set_ground_plane(0.0)
+    # Cluster ON the corner (0, 0) where four tiles meet: one body per
+    # quadrant, all mutually touching.
+    for (dx, dy) in ((-0.3, -0.3), (0.3, -0.3), (-0.3, 0.3), (0.3, 0.3)):
+        w.add_object(PhysicsObject(
+            shape=shapes.make_sphere(0.4),
+            pos=np.array([dx, dy, 0.5], np.float32),
+            motion_type=int(MotionType.DYNAMIC)))
+    # A second stack crossing only an x-boundary (x=-4), and scattered.
+    for k in range(3):
+        w.add_object(PhysicsObject(
+            shape=shapes.make_sphere(0.4),
+            pos=np.array([-4.0 + (k % 2) * 0.5 - 0.25, 2.0, 0.5 + 0.5 * k],
+                         np.float32),
+            motion_type=int(MotionType.DYNAMIC)))
+    rng = np.random.default_rng(3)
+    for i in range(6):
+        w.add_object(PhysicsObject(
+            shape=shapes.make_box([0.3, 0.3, 0.3]),
+            pos=np.array([rng.uniform(-7, 7), rng.uniform(-7, 7), 1.2],
+                         np.float32),
+            motion_type=int(MotionType.DYNAMIC)))
+    w._flush()
+    dt = jnp.float32(1 / 60)
+
+    ref = w.state
+    for _ in range(3):
+        ref = physics_step(ref, w.static_world, w._hull_contact_verts,
+                           dt, w.params, w.config)[0]
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(PX, PY), ("sx", "sy"))
+    part, owner = partition_by_tile(w.state, PX, PY, local_cap=16,
+                                    x_min=X_MIN, x_max=X_MAX,
+                                    y_min=Y_MIN, y_max=Y_MAX)
+    part = shard_partitioned(part, mesh)
+    total_ov = 0
+    for _ in range(3):
+        part, awake, ov = spatial_world_step_2d(
+            part, w.static_world, w._hull_contact_verts, dt, w.params,
+            w.config, mesh, halo_cap=8, halo_width=2.0,
+            x_min=X_MIN, x_max=X_MAX, y_min=Y_MIN, y_max=Y_MAX)
+        total_ov += int(np.asarray(ov))
+    assert total_ov == 0
+
+    got_pos = np.asarray(part.pos)
+    ref_pos = np.asarray(ref.pos)
+    ref_alive = np.asarray(ref.alive)
+    for orig in np.nonzero(ref_alive)[0]:
+        new = int(owner[orig])
+        assert new >= 0
+        np.testing.assert_allclose(got_pos[new], ref_pos[orig],
+                                   atol=2e-4, err_msg=f"body {orig}")
