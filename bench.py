@@ -301,4 +301,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        if "backend" in str(e).lower() or "unavailable" in str(e).lower():
+            # TPU tunnel down (it drops for hours at a time — CLAUDE.md):
+            # emit a parseable line instead of a traceback so the bench
+            # capture still records WHY there is no number.
+            print(json.dumps({
+                "metric": "combined tick rate (TPU backend unavailable)",
+                "value": 0.0, "unit": "ticks/s", "vs_baseline": 0.0,
+                "error": str(e)[:200]}))
+            raise SystemExit(1)
+        raise
