@@ -97,6 +97,7 @@ class ClientEvents:
     """Messages surfaced to the app layer per tick."""
 
     chat: list = field(default_factory=list)
+    logged_in: list = field(default_factory=list)  # (user_id, name)
     info: list = field(default_factory=list)
     errors: list = field(default_factory=list)
     objects_created: list = field(default_factory=list)
@@ -128,6 +129,7 @@ class Client:
         self.events = ClientEvents()
         self.events_lock = threading.Lock()
         self.avatar_uid = 0
+        self.logged_in_user_id = 0
         self.connected = False
         self.running = False
         self._reader_thread = None
@@ -195,6 +197,13 @@ class Client:
     # ------------------------------------------------------------------
     # Senders
     # ------------------------------------------------------------------
+    def send_login(self, username: str, password: str):
+        """LogInMessage 8000 (Protocol.h:196-204): bind the account
+        identity to this game connection."""
+        self.send_message(P.make_message(
+            P.LOG_IN_MESSAGE,
+            P.pack_string(username) + P.pack_string(password)))
+
     def send_create_object(self, ob: WorldObject):
         self.send_message(P.make_message(P.OBJECT_CREATED, ob.to_bytes()))
 
@@ -494,6 +503,16 @@ class Client:
             sent = self._ping_sent_at.pop(payload, None)
             if sent is not None:
                 ws.time_sync.last_rtt = time.monotonic() - sent
+        elif msg_type == P.LOGGED_IN_MESSAGE_ID:
+            (uid_,) = struct.unpack_from("<I", payload, 0)
+            name_, _ = P.unpack_string(payload, 4)
+            self.logged_in_user_id = uid_
+            with self.events_lock:
+                self.events.logged_in.append((uid_, name_))
+        elif msg_type == P.LOG_IN_FAILURE:
+            msg_, _ = P.unpack_string(payload, 0)
+            with self.events_lock:
+                self.events.errors.append(msg_)
         elif msg_type == P.CHAT_MESSAGE_ID:
             with self.events_lock:
                 self.events.chat.append(P.unpack_chat_message(payload))

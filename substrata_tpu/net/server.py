@@ -40,6 +40,8 @@ from substrata_tpu.shared.avatar import Avatar
 from substrata_tpu.shared.parcel import Parcel
 from substrata_tpu.shared.world_object import WorldObject, DYNAMIC_FLAG
 
+AVATAR_UID_BASE = 1 << 24  # ephemeral avatar ids disjoint from UserIDs
+
 SERVER_TICK = 0.1          # Server.cpp:626-628
 TIME_SYNC_PERIOD = 2.0
 DB_FLUSH_PERIOD = 10.0
@@ -149,7 +151,12 @@ class ServerAllWorldsState:
             self.lock, "ServerAllWorldsState.worlds")
         self.db = RecordDatabase(db_path)
         self.next_uid = 1
-        self.next_avatar_uid = 1
+        # Avatar uids allocate from a base ABOVE any plausible account
+        # UserID: both id kinds land in the same u32 fields (creator_id,
+        # physics ownership), and an anonymous connection's avatar uid must
+        # never alias a logged-in account (found by an end-to-end drive:
+        # anonymous avatar 2 aliased account user 2).
+        self.next_avatar_uid = AVATAR_UID_BASE + 1
         self.feature_flags = {"SERVER_SCRIPT_EXEC": True, "LUA_HTTP_REQUESTS": False}
         # Admin-settable site state (Server.cpp:1142 server_admin_message;
         # WorkerThread.cpp:1991 read-only mode).
@@ -213,6 +220,10 @@ class WorkerConnection(threading.Thread):
         self._tls_context = tls_context
         self.send_lock = threading.Lock()
         self.avatar_uid = 0
+        # Account identity from a web session cookie (websocket connections
+        # only, WorkerThread.cpp:183-187); 0 = anonymous, identity falls
+        # back to the per-connection avatar uid.
+        self.logged_in_user_id = 0
         self.world_name = ""
         self.udp_endpoint = None
         self.alive = True
@@ -225,6 +236,10 @@ class WorkerConnection(threading.Thread):
                 self.sock.sendall(data)
         except OSError:
             self.alive = False
+
+    @property
+    def effective_user_id(self) -> int:
+        return self.logged_in_user_id or self.avatar_uid
 
     def run(self):
         try:
@@ -466,7 +481,7 @@ class WorkerConnection(threading.Thread):
             with ws.lock:
                 if ob.uid == 0:
                     ob.uid = ws.alloc_uid()
-                ob.creator_id = self.avatar_uid
+                ob.creator_id = self.effective_user_id
                 w.objects[ob.uid] = ob
                 w.dirty_objects.add(ob.uid)
                 w.db_dirty_objects.add(ob.uid)
@@ -475,7 +490,7 @@ class WorkerConnection(threading.Thread):
             with ws.lock:
                 ob = w.objects.get(ob_new.uid)
                 if ob is not None and self.server.user_has_object_write_perms(
-                        self.avatar_uid, ob, w):
+                        self.effective_user_id, ob, w):
                     # Audio volume clamp (WorkerThread.cpp:2040-2090).
                     ob_new.audio_volume = float(np.clip(ob_new.audio_volume, 0.0, 4.0))
                     ob_new.physics_object = ob.physics_object
@@ -487,7 +502,7 @@ class WorkerConnection(threading.Thread):
             with ws.lock:
                 ob = w.objects.get(uid)
                 if ob is not None and self.server.user_has_object_write_perms(
-                        self.avatar_uid, ob, w):
+                        self.effective_user_id, ob, w):
                     del w.objects[uid]
                     w.destroyed_objects.add(uid)
                     w.db_dirty_objects.add(uid)
@@ -530,6 +545,21 @@ class WorkerConnection(threading.Thread):
             for _ in range(min(count, 4096)):
                 url, off = P.unpack_string(payload, off)
                 self._send_file(url)
+        elif msg_type == P.LOG_IN_MESSAGE:
+            # Protocol login on the updates connection (Protocol.h:196-204):
+            # binds the ACCOUNT identity, like the reference's LogInMessage.
+            username, off = P.unpack_string(payload, 0)
+            password, _ = P.unpack_string(payload, off)
+            user = self.server.accounts.users_by_name.get(username)
+            if user is None or not user.is_password_valid(password):
+                self.send_message(P.make_message(
+                    P.LOG_IN_FAILURE, P.pack_string("Login failed.")))
+            else:
+                self.logged_in_user_id = user.user_id
+                self.send_message(P.make_message(
+                    P.LOGGED_IN_MESSAGE_ID,
+                    struct.pack("<I", user.user_id)
+                    + P.pack_string(user.name)))
         elif msg_type == P.PING:
             self.send_message(P.make_message(P.PONG, payload))
         elif msg_type == P.KEEP_ALIVE:
@@ -554,7 +584,7 @@ class WorkerConnection(threading.Thread):
             ob = WorldObject.from_bytes(payload)
             with ws.lock:
                 ob.uid = ws.alloc_uid()
-                ob.creator_id = self.avatar_uid
+                ob.creator_id = self.effective_user_id
                 w.objects[ob.uid] = ob
                 w.db_dirty_objects.add(ob.uid)
             self.server.broadcast(self.world_name,
@@ -565,7 +595,7 @@ class WorkerConnection(threading.Thread):
                 ob = w.objects.get(uid)
                 allowed = (ob is not None
                            and self.server.user_has_object_write_perms(
-                               self.avatar_uid, ob, w)
+                               self.effective_user_id, ob, w)
                            and not self.server.read_only)
                 if allowed:
                     del w.objects[uid]
@@ -585,7 +615,7 @@ class WorkerConnection(threading.Thread):
                 ob = w.objects.get(uid)
                 allowed = (ob is not None
                            and self.server.user_has_object_write_perms(
-                               self.avatar_uid, ob, w))
+                               self.effective_user_id, ob, w))
                 if allowed and msg_type == P.OBJECT_MOVE_TO:
                     _uid, _t0, _dur, _ease, _start, target = \
                         P.unpack_object_move_to(payload)
@@ -607,7 +637,7 @@ class WorkerConnection(threading.Thread):
                 ob = w.objects.get(uid)
                 allowed = (ob is not None
                            and self.server.user_has_object_write_perms(
-                               self.avatar_uid, ob, w))
+                               self.effective_user_id, ob, w))
                 if allowed:
                     ob.pos = pos.astype(np.float64)
                     angle = float(np.linalg.norm(aa))

@@ -196,14 +196,21 @@ class ClientWebSocketStream(WebSocketStream):
         self._send_frame(encode_frame(bytes(data), OP_BINARY, mask=True))
 
 
-def client_handshake(sock, host: str, path: str = "/") -> None:
-    """Perform the client side of the upgrade on a connected socket."""
+def client_handshake(sock, host: str, path: str = "/",
+                     extra_headers: dict | None = None) -> None:
+    """Perform the client side of the upgrade on a connected socket.
+    ``extra_headers`` e.g. {"Cookie": "session_id=..."} — websocket game
+    connections can authenticate with the web session cookie
+    (WorkerThread.cpp:183-187)."""
     key = base64.b64encode(os.urandom(16)).decode()
+    extra = "".join(f"{k}: {v}\r\n"
+                    for k, v in (extra_headers or {}).items())
     req = (f"GET {path} HTTP/1.1\r\n"
            f"Host: {host}\r\n"
            "Upgrade: websocket\r\n"
            "Connection: Upgrade\r\n"
            f"Sec-WebSocket-Key: {key}\r\n"
+           f"{extra}"
            "Sec-WebSocket-Version: 13\r\n\r\n").encode()
     sock.sendall(req)
     buf = b""

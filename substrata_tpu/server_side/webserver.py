@@ -377,11 +377,17 @@ class WebServer:
                 if outer.game_server is None or not key:
                     return self._send(404, self._page(
                         "<p>no game server behind this site</p>"))
+                # Session-cookie login for websocket game connections
+                # (WorkerThread.cpp:183-187: "If the client connected via a
+                # websocket, they can be logged in with a session cookie").
+                user = self._session_user()
                 self.connection.sendall(handshake_response(key))
                 self.close_connection = True
                 ws = WebSocketStream(self.connection)
                 worker = WorkerConnection(outer.game_server, ws,
                                           self.client_address)
+                if user is not None:
+                    worker.logged_in_user_id = user.user_id
                 # Run the protocol endpoint ON this HTTP thread (the site
                 # is a thread-per-connection server; the reference spawns a
                 # WorkerThread for the same effect).  Returns at disconnect.

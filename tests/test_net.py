@@ -359,3 +359,49 @@ def test_compressed_initial_send(server):
     c.start()
     assert wait_for(lambda: len(obs_snapshot(c)) >= 10)
     a.stop(); b.stop(); c.stop()
+
+
+def test_protocol_login_binds_account_and_ids_never_collide(server):
+    """LogInMessage 8000 (Protocol.h:196-204): binding an account to the
+    game connection makes created objects account-owned; anonymous avatar
+    uids allocate from a base disjoint from account UserIDs so an
+    anonymous connection can never alias a logged-in user in the shared
+    u32 identity fields (creator_id, physics ownership)."""
+    from substrata_tpu.net.server import AVATAR_UID_BASE
+
+    alice = server.accounts.create_user("alice", "al@x", "alicepw1")
+    a = connect(server)     # will log in
+    b = connect(server)     # stays anonymous
+    assert a.avatar_uid >= AVATAR_UID_BASE
+    assert b.avatar_uid >= AVATAR_UID_BASE
+
+    # Wrong password -> error event, identity unchanged.
+    a.send_login("alice", "wrongpw")
+    errs = []
+    assert wait_for(lambda: (errs.extend(a.pop_events().errors),
+                             any("failed" in e.lower() for e in errs))[1])
+    assert a.logged_in_user_id == 0
+
+    # Correct login -> LoggedInMessage with the account id.
+    a.send_login("alice", "alicepw1")
+    logins = []
+    assert wait_for(lambda: (logins.extend(a.pop_events().logged_in),
+                             len(logins) > 0)[1])
+    assert logins[0] == (alice.user_id, "alice")
+
+    # Objects created after login carry the ACCOUNT id; anonymous ones
+    # carry the (high-based) avatar uid.
+    a.send_create_object(WorldObject(model_url="acct.glb", flags=1))
+    b.send_create_object(WorldObject(model_url="anon.glb", flags=1))
+
+    def creators():
+        with server.worlds_state.lock:
+            return {ob.model_url: ob.creator_id
+                    for ob in server.worlds_state.get_world("")
+                    .objects.values()}
+    assert wait_for(lambda: len(creators()) == 2)
+    got = creators()
+    assert got["acct.glb"] == alice.user_id
+    assert got["anon.glb"] == b.avatar_uid >= AVATAR_UID_BASE
+    assert got["anon.glb"] != alice.user_id
+    a.stop(); b.stop()

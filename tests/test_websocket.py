@@ -221,3 +221,100 @@ def test_upgrade_without_game_server_404s():
         raw.close()
     finally:
         web.stop()
+
+
+def test_websocket_cookie_login_binds_account_identity():
+    """WorkerThread.cpp:183-187 parity: a websocket game connection carrying
+    the web session cookie acts AS that account — objects it creates are
+    owned by the user id (durable across connections), and parcel write
+    permissions keyed on the account apply."""
+    import http.client
+    import urllib.parse
+
+    from substrata_tpu.server_side.accounts import AccountStore
+    from substrata_tpu.server_side.webserver import WebServer
+    from substrata_tpu.shared.parcel import Parcel
+
+    store = AccountStore()
+    store.create_user("admin", "a@x", "adminpw1")       # god user id 1
+    alice = store.create_user("alice", "al@x", "alicepw1")
+    gs = Server(port=0, udp_port=0)
+    gs.start()
+    web = WebServer(store, worlds_state=gs.worlds_state, port=0,
+                    game_server=gs)
+    web.start()
+    try:
+        # Web login -> session cookie.
+        conn = http.client.HTTPConnection("127.0.0.1", web.port, timeout=5)
+        body = urllib.parse.urlencode({"username": "alice",
+                                       "password": "alicepw1"})
+        conn.request("POST", "/login_post", body,
+                     {"Content-Type": "application/x-www-form-urlencoded"})
+        r = conn.getresponse()
+        cookie = r.getheader("Set-Cookie").split(";")[0]
+        r.read()
+
+        # Alice owns a parcel; a STATIC object inside it belongs to someone
+        # else, so only parcel write perms can authorise editing it.
+        with gs.worlds_state.lock:
+            w = gs.worlds_state.get_world("")
+            w.parcels[5] = Parcel(parcel_id=5, owner_id=alice.user_id,
+                                  aabb_min=np.array([0., 0., 0.]),
+                                  aabb_max=np.array([10., 10., 10.]))
+
+        other = Client("127.0.0.1", gs.port)
+        other.start()
+        target = WorldObject(model_url="statue.glb", flags=1,  # static
+                             pos=np.array([5.0, 5.0, 1.0]))
+        other.request_create_object(target)
+        assert wait_for(
+            lambda: len(other.world_state.objects_snapshot()) == 1)
+        uid = list(other.world_state.objects_snapshot())[0]
+
+        # Cookie-authenticated websocket connection.
+        raw = socket.create_connection(("127.0.0.1", web.port), timeout=5)
+        from substrata_tpu.net.websocket import client_handshake as hs
+        hs(raw, f"127.0.0.1:{web.port}", extra_headers={"Cookie": cookie})
+        s = ClientWebSocketStream(raw)
+        s.sendall(struct.pack("<II", P.CYBERSPACE_HELLO,
+                              P.CYBERSPACE_PROTOCOL_VERSION))
+        buf = b""
+        while len(buf) < 8:
+            buf += s.recv(8 - len(buf))
+        s.sendall(struct.pack("<III", P.CONNECTION_TYPE_UPDATES, 0, 0))
+        buf = b""
+        while len(buf) < 8:
+            buf += s.recv(8 - len(buf))
+
+        # 1. Created objects carry the ACCOUNT id as creator.
+        mine = WorldObject(model_url="alice.glb", flags=1,
+                           pos=np.array([1.0, 1.0, 1.0]))
+        s.sendall(P.make_message(P.OBJECT_CREATED, mine.to_bytes()))
+
+        def created_with_account_id():
+            with gs.worlds_state.lock:
+                for ob in gs.worlds_state.get_world("").objects.values():
+                    if ob.model_url == "alice.glb":
+                        return ob.creator_id == alice.user_id
+            return False
+        assert wait_for(created_with_account_id)
+
+        # 2. Parcel write perms: edit someone else's STATIC object inside
+        #    alice's parcel (rejected for anonymous connections).
+        target2 = WorldObject.from_bytes(
+            next(ob.to_bytes()
+                 for ob in other.world_state.objects_snapshot().values()
+                 if ob.uid == uid))
+        target2.content = "edited by alice"
+        s.sendall(P.make_message(P.OBJECT_FULL_UPDATE, target2.to_bytes()))
+
+        def edited():
+            with gs.worlds_state.lock:
+                ob = gs.worlds_state.get_world("").objects.get(uid)
+                return ob is not None and ob.content == "edited by alice"
+        assert wait_for(edited), "parcel write perms not honoured over ws"
+        s.close()
+        other.stop()
+    finally:
+        web.stop()
+        gs.stop()
