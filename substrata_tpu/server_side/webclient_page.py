@@ -11,6 +11,12 @@ the world (objects incl. live physics transforms, avatars, chat), renders
 a top-down canvas view, and participates: it creates an avatar, moves with
 WASD (AvatarTransformUpdate at 10 Hz like the native client's send pass),
 and chats.
+
+Authentication: the page is served same-origin, so the browser attaches
+the site's session cookie to the WebSocket upgrade automatically — a
+logged-in web user is account-bound on the game connection
+(WorkerThread.cpp:183-187 cookie-login parity; net/server.py
+effective_user_id).
 """
 
 WEBCLIENT_HTML = r"""<!DOCTYPE html>
