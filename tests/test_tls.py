@@ -79,3 +79,64 @@ def test_webserver_https():
         assert b"<html" in body.lower() or len(body) > 0
     finally:
         ws.stop()
+
+
+def test_websocket_game_connection_over_wss():
+    """wss:// — the web client's production transport: TLS webserver
+    upgrade -> WebSocketStream over the SSL socket -> game WorkerThread.
+    (The reference serves the webclient over HTTPS and notes cookie login
+    works over TLS websockets, WorkerThread.cpp:183-187.)"""
+    import socket
+    import struct
+    import time
+
+    from substrata_tpu.net import protocol as P
+    from substrata_tpu.net.websocket import (ClientWebSocketStream,
+                                             client_handshake)
+    from substrata_tpu.server_side.accounts import AccountStore
+    from substrata_tpu.server_side.webserver import WebServer
+
+    cert, key = generate_self_signed_cert()
+    gs = Server(port=0, udp_port=0)
+    gs.start()
+    web = WebServer(AccountStore(), worlds_state=gs.worlds_state, port=0,
+                    game_server=gs, tls_context=make_server_context(cert, key),
+                    secure_cookies=True)
+    web.start()
+    try:
+        raw = socket.create_connection(("127.0.0.1", web.port), timeout=5)
+        tls = make_client_context(cert).wrap_socket(
+            raw, server_hostname="localhost")
+        client_handshake(tls, "localhost")
+        s = ClientWebSocketStream(tls)
+        s.sendall(struct.pack("<II", P.CYBERSPACE_HELLO,
+                              P.CYBERSPACE_PROTOCOL_VERSION))
+        buf = b""
+        while len(buf) < 8:
+            buf += s.recv(8 - len(buf))
+        code, ver = struct.unpack("<II", buf)
+        assert code == P.CLIENT_PROTOCOL_OK and ver == 54
+        s.sendall(struct.pack("<III", P.CONNECTION_TYPE_UPDATES, 0, 0))
+        buf = b""
+        while len(buf) < 8:
+            buf += s.recv(8 - len(buf))
+        (uid,) = struct.unpack("<Q", buf)
+        assert uid > 0
+        # A message round-trips over the encrypted upgraded stream.
+        s.sendall(P.make_message(P.PING, b"x" * 8))
+        reader = P.MessageReader()
+        got = []
+        s.settimeout(0.2)
+        deadline = time.time() + 5
+        while time.time() < deadline and not got:
+            try:
+                d = s.recv(65536)
+            except TimeoutError:
+                continue
+            reader.feed(d)
+            got += [t for t, _ in reader.messages() if t == P.PONG]
+        assert got, "no PONG over wss"
+        s.close()
+    finally:
+        web.stop()
+        gs.stop()
