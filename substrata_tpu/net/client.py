@@ -124,7 +124,8 @@ class Client:
 
     def __init__(self, host: str, port: int, world_name: str = "",
                  capabilities: int = P.STREAMING_COMPRESSED_OBJECT_SUPPORT,
-                 tls_context=None, server_hostname: str | None = None):
+                 tls_context=None, server_hostname: str | None = None,
+                 sock=None):
         self.world_state = ClientWorldState()
         self.events = ClientEvents()
         self.events_lock = threading.Lock()
@@ -139,13 +140,19 @@ class Client:
         self._file_cv = threading.Condition()
         self._file_results: dict[str, bytes | None] = {}
 
-        self.sock = socket.create_connection((host, port), timeout=5.0)
-        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        if tls_context is not None:
-            # TLS before the protocol handshake (reference: MySocket is
-            # wrapped in TLSSocket before CyberspaceHello is sent).
-            self.sock = tls_context.wrap_socket(
-                self.sock, server_hostname=server_hostname or host)
+        if sock is not None:
+            # Pre-connected socket-like transport (e.g. a WebSocketStream
+            # from a webserver upgrade) — the protocol handshake runs over
+            # it unchanged.
+            self.sock = sock
+        else:
+            self.sock = socket.create_connection((host, port), timeout=5.0)
+            self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            if tls_context is not None:
+                # TLS before the protocol handshake (reference: MySocket is
+                # wrapped in TLSSocket before CyberspaceHello is sent).
+                self.sock = tls_context.wrap_socket(
+                    self.sock, server_hostname=server_hostname or host)
         self.send_lock = threading.Lock()
         self._handshake(world_name, capabilities)
 

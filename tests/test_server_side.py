@@ -93,8 +93,11 @@ def test_stress_harness():
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from stress_test import run_stress_test
-    stats = run_stress_test(n_bots=6, seconds=1.0)
+    # Half the bots load the browser transport (webserver WebSocket
+    # upgrade), half raw TCP — both paths under concurrent load.
+    stats = run_stress_test(n_bots=6, seconds=1.0, ws_frac=0.5)
     assert stats["errors"] == []
+    assert stats["websocket_bots"] == 3
     assert stats["messages_sent"] > 6 * 20  # ~60 Hz for 1 s each
 
 

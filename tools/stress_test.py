@@ -28,21 +28,41 @@ from substrata_tpu.shared.avatar import Avatar
 
 class BotThread(threading.Thread):
     """One bot: connect, create avatar, walk a circle at ~60 Hz updates
-    (StressTest bot behaviour)."""
+    (StressTest bot behaviour).  ``ws_port`` set -> connect through the
+    webserver's WebSocket upgrade instead of raw TCP (loads the browser
+    transport path, net/websocket.py)."""
 
     def __init__(self, host: str, port: int, bot_id: int, duration: float,
-                 update_hz: float = 60.0):
+                 update_hz: float = 60.0, ws_port: int | None = None):
         super().__init__(daemon=True)
         self.host, self.port = host, port
         self.bot_id = bot_id
         self.duration = duration
         self.update_hz = update_hz
+        self.ws_port = ws_port
         self.sent = 0
         self.error: str | None = None
 
+    def _connect_ws(self) -> Client:
+        import socket as _socket
+
+        from substrata_tpu.net.websocket import (ClientWebSocketStream,
+                                                 client_handshake)
+        raw = _socket.create_connection((self.host, self.ws_port), timeout=10)
+        client_handshake(raw, f"{self.host}:{self.ws_port}")
+        stream = ClientWebSocketStream(raw)
+        # Client with a pre-upgraded socket: bypass __init__'s TCP connect
+        # by grafting the stream in before the handshake.
+        c = Client.__new__(Client)
+        c.__dict__.update(Client("127.0.0.1", self.port).__dict__)             if False else None
+        return stream
+
     def run(self):
         try:
-            c = Client(self.host, self.port)
+            if self.ws_port is not None:
+                c = Client(self.host, self.port, sock=self._connect_ws())
+            else:
+                c = Client(self.host, self.port)
             c.start()
             c.send_avatar_created(Avatar(name=f"bot{self.bot_id}"))
             t0 = time.monotonic()
@@ -59,13 +79,29 @@ class BotThread(threading.Thread):
 
 
 def run_stress_test(n_bots: int = 16, seconds: float = 5.0,
-                    host: str = "127.0.0.1", port: int | None = None):
+                    host: str = "127.0.0.1", port: int | None = None,
+                    ws_frac: float = 0.0):
+    """``ws_frac`` of the bots connect through the webserver's WebSocket
+    upgrade (the browser transport); the rest use raw TCP."""
     own_server = None
+    own_web = None
+    ws_port = None
     if port is None:
         own_server = Server(port=0, udp_port=0)
         own_server.start()
         port = own_server.port
-    bots = [BotThread(host, port, i, seconds) for i in range(n_bots)]
+        if ws_frac > 0:
+            from substrata_tpu.server_side.accounts import AccountStore
+            from substrata_tpu.server_side.webserver import WebServer
+            own_web = WebServer(AccountStore(),
+                                worlds_state=own_server.worlds_state,
+                                port=0, game_server=own_server)
+            own_web.start()
+            ws_port = own_web.port
+    n_ws = int(round(n_bots * ws_frac)) if ws_port is not None else 0
+    bots = [BotThread(host, port, i, seconds,
+                      ws_port=(ws_port if i < n_ws else None))
+            for i in range(n_bots)]
     t0 = time.monotonic()
     for b in bots:
         b.start()
@@ -77,12 +113,15 @@ def run_stress_test(n_bots: int = 16, seconds: float = 5.0,
     errors = [b.error for b in bots if b.error]
     stats = {
         "bots": n_bots,
+        "websocket_bots": sum(1 for b in bots if b.ws_port is not None),
         "seconds": seconds,
         "messages_sent": total_sent,
         "msgs_per_sec": total_sent / wall,
         "errors": errors,
         "server_diagnostics": own_server.get_diagnostics() if own_server else "",
     }
+    if own_web is not None:
+        own_web.stop()
     if own_server is not None:
         own_server.stop()
     return stats
@@ -94,7 +133,10 @@ if __name__ == "__main__":
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--ws-frac", type=float, default=0.0,
+                    help="fraction of bots connecting over WebSocket")
     args = ap.parse_args()
-    stats = run_stress_test(args.bots, args.seconds, args.host, args.port)
+    stats = run_stress_test(args.bots, args.seconds, args.host, args.port,
+                            ws_frac=args.ws_frac)
     for k, v in stats.items():
         print(f"{k}: {v}")
