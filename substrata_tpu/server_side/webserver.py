@@ -410,8 +410,12 @@ class WebServer:
                     for p in news)
                 live = [a for a in outer.accounts.auctions.values()
                         if a.state == int(AuctionState.FOR_SALE)]
+                enter = ("<p><a href=/webclient>Enter the world in your "
+                         "browser</a></p>" if outer.game_server is not None
+                         else "")
                 self._send(200, self._page(
-                    f"<p>{who}</p><p>{n_obs} objects, {n_parcels} parcels</p>"
+                    f"<p>{who}</p>{enter}"
+                    f"<p>{n_obs} objects, {n_parcels} parcels</p>"
                     f"<p>{len(live)} parcels <a href=/parcel_auction_list>"
                     f"on auction</a></p><ul>{news_html}</ul>"))
 
