@@ -355,6 +355,8 @@ class WebServer:
                         return self._send(404, "not found")
                     return self._send(200, f,
                                       ctype="application/octet-stream")
+                if path == "/metrics":
+                    return self._metrics()
                 if path == "/api/stats":
                     return self._api_stats()
 
@@ -418,6 +420,47 @@ class WebServer:
                     f"<p>{n_obs} objects, {n_parcels} parcels</p>"
                     f"<p>{len(live)} parcels <a href=/parcel_auction_list>"
                     f"on auction</a></p><ul>{news_html}</ul>"))
+
+            def _metrics(self):
+                """Prometheus text exposition: serving-side observability
+                (beyond the reference, which has only conPrint diagnostics
+                — SURVEY §5 'No metrics export')."""
+                lines = []
+
+                def m(name, value, help_=""):
+                    if help_:
+                        lines.append(f"# HELP {name} {help_}")
+                        lines.append(f"# TYPE {name} gauge")
+                    lines.append(f"{name} {value}")
+
+                m("substrata_users", len(outer.accounts.users),
+                  "registered accounts")
+                ws = outer.worlds_state
+                if ws is not None:
+                    with ws.lock:
+                        m("substrata_worlds", len(ws.worlds), "named worlds")
+                        m("substrata_objects",
+                          sum(len(w.objects) for w in ws.worlds.values()),
+                          "world objects across all worlds")
+                        m("substrata_avatars",
+                          sum(len(w.avatars) for w in ws.worlds.values()),
+                          "connected avatars across all worlds")
+                        m("substrata_parcels",
+                          sum(len(w.parcels) for w in ws.worlds.values()),
+                          "parcels across all worlds")
+                gs = outer.game_server
+                if gs is not None:
+                    with gs.conn_lock:
+                        m("substrata_game_connections", len(gs.connections),
+                          "live game-protocol connections")
+                    m("substrata_udp_voice_packets_total",
+                      gs.udp_packets_received, "UDP voice packets relayed")
+                m("substrata_auctions_live",
+                  sum(1 for a in outer.accounts.auctions.values()
+                      if a.state == int(AuctionState.FOR_SALE)),
+                  "parcels currently on auction")
+                self._send(200, "\n".join(lines) + "\n",
+                           ctype="text/plain; version=0.0.4; charset=utf-8")
 
             def _iter_parcels(self):
                 ws = outer.worlds_state

@@ -508,3 +508,40 @@ def test_coinbase_purchase_flow(site):
                  {"Content-Type": "application/json",
                   "X-CC-Webhook-Signature": "00" * 32})
     assert conn.getresponse().status == 400
+
+
+def test_metrics_endpoint(site):
+    """Prometheus-format /metrics (serving observability; the reference has
+    no metrics export, SURVEY §5)."""
+    ws, store, worlds = site
+    conn = _conn(ws)
+    status, body = _get(conn, "/metrics")
+    assert status == 200
+    assert "# TYPE substrata_users gauge" in body
+    assert "substrata_users 2" in body            # admin + alice
+    assert "substrata_parcels 1" in body          # fixture parcel 7
+    assert "substrata_worlds" in body
+
+
+def test_metrics_with_game_server():
+    from substrata_tpu.net.client import Client
+    from substrata_tpu.net.server import Server
+    from substrata_tpu.server_side.accounts import AccountStore
+
+    gs = Server(port=0, udp_port=0)
+    gs.start()
+    web = WebServer(AccountStore(), worlds_state=gs.worlds_state, port=0,
+                    game_server=gs)
+    web.start()
+    try:
+        c = Client("127.0.0.1", gs.port)
+        c.start()
+        conn = _conn(web)
+        status, body = _get(conn, "/metrics")
+        assert status == 200
+        assert "substrata_game_connections 1" in body
+        assert "substrata_udp_voice_packets_total 0" in body
+        c.stop()
+    finally:
+        web.stop()
+        gs.stop()
