@@ -9,6 +9,8 @@ Modes:
                           scripted object, no server needed
   --connect HOST PORT     connect as a protocol client to a running server
                           (net/client.py), replicating its world
+  --ws                    with --connect: HOST PORT is a WEBSERVER; connect
+                          through its WebSocket upgrade (browser transport)
   --demo-frames N         non-interactive: run N frames of scripted input
                           and print the final frame (used by tests/CI)
 
@@ -30,7 +32,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build_app(connect=None):
+def _build_app(connect=None, ws=False):
     from substrata_tpu.client_app import ClientApp
     from substrata_tpu.physics.state import SimConfig
 
@@ -38,7 +40,18 @@ def _build_app(connect=None):
     if connect is not None:
         from substrata_tpu.net.client import Client
         host, port = connect
-        client = Client(host, int(port))
+        if ws:
+            import socket as _socket
+
+            from substrata_tpu.net.websocket import (ClientWebSocketStream,
+                                                     client_handshake)
+            raw = _socket.create_connection((host, int(port)), timeout=10)
+            client_handshake(raw, f"{host}:{port}")
+            client = Client(host, int(port),
+                            sock=ClientWebSocketStream(raw))
+        else:
+            client = Client(host, int(port))
+        client.start()      # reader thread: without it nothing replicates
     cfg = SimConfig(capacity=2048, max_pairs=8192, grid_dim=64, cell_size=4.0)
     app = ClientApp(client=client, config=cfg, enable_audio=False)
     return app
@@ -176,13 +189,13 @@ def run_demo(frames: int, out=sys.stdout):
     return app
 
 
-def run_interactive(connect=None):
+def run_interactive(connect=None, ws=False):
     import termios
     import tty
 
     from substrata_tpu.client_app import PlayerInput
 
-    app = _build_app(connect)
+    app = _build_app(connect, ws=ws)
     if connect is None:
         _populate_offline_world(app)
 
@@ -234,12 +247,15 @@ def run_interactive(connect=None):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--connect", nargs=2, metavar=("HOST", "PORT"))
+    ap.add_argument("--ws", action="store_true",
+                    help="connect through a webserver WebSocket upgrade")
     ap.add_argument("--demo-frames", type=int, default=0)
     args = ap.parse_args()
     if args.demo_frames:
         run_demo(args.demo_frames)
     else:
-        run_interactive(tuple(args.connect) if args.connect else None)
+        run_interactive(tuple(args.connect) if args.connect else None,
+                        ws=args.ws)
 
 
 if __name__ == "__main__":
