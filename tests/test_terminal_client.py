@@ -54,9 +54,10 @@ def test_connect_mode_replicates_over_tcp_and_websocket():
         for connect, ws in ((("127.0.0.1", gs.port), False),
                             (("127.0.0.1", web.port), True)):
             app = tc._build_app(connect, ws=ws)
-            # The FIRST tick of a fresh app instance costs ~10 s on CPU
-            # (per-instance warmup), so bound by tick count, not a wall
-            # window that one warmup tick can consume.
+            # The first tick that loads a replicated object changes the
+            # world's present-shape-type set, which recompiles the step
+            # (~10 s on CPU; documented SimConfig behaviour) — so bound by
+            # tick count, not a wall window one recompile can consume.
             for _ in range(100):
                 app.timer_event(1 / 60)
                 if len(app.objects) >= 1:
