@@ -96,11 +96,16 @@ class PlayerInput:
 
 class ClientApp:
     def __init__(self, client=None, config: SimConfig | None = None,
-                 clock=time.monotonic, enable_audio: bool = True):
+                 clock=time.monotonic, enable_audio: bool = True,
+                 pin_all_shape_types: bool = False):
         self.client = client                  # net.client.Client or None
         self.clock = clock
+        # pin_all_shape_types: interactive sessions can pre-pay the full
+        # narrowphase compile so streamed content introducing a new shape
+        # type never hitches the tick with a recompile.
         self.physics_world = PhysicsWorld(config or SimConfig(
-            capacity=16_384 // 2, max_pairs=16_384, grid_dim=96, cell_size=4.0))
+            capacity=16_384 // 2, max_pairs=16_384, grid_dim=96, cell_size=4.0),
+            pin_all_shape_types=pin_all_shape_types)
         self.physics_world.set_ground_plane(0.0)
         self.terrain = TerrainSystem(self.physics_world)
         self.scattering = TerrainScattering(self.terrain)

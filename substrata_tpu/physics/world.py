@@ -226,7 +226,8 @@ class PhysicsWorld:
 
     def __init__(self, config: SimConfig | None = None,
                  params: SimParams | None = None,
-                 auto_tier: bool | None = None):
+                 auto_tier: bool | None = None,
+                 pin_all_shape_types: bool = False):
         import copy
         self.config = copy.copy(config) if config is not None else SimConfig()
         self._base_config = copy.copy(self.config)
@@ -240,7 +241,14 @@ class PhysicsWorld:
         self._calm_steps = 0
         # Start with no shape types present; add_object grows this, so the
         # narrowphase only pays for shape combos that can actually occur.
-        self.config.present_shape_types = (False, False, False, False)
+        # Interactive clients can pin the full set instead
+        # (pin_all_shape_types) to trade a longer first compile for ZERO
+        # recompile hitches when streamed content introduces a new shape
+        # type mid-session (~10 s stall per new type on CPU otherwise).
+        if pin_all_shape_types:
+            self.config.present_shape_types = (True, True, True, True)
+        else:
+            self.config.present_shape_types = (False, False, False, False)
         self.params = params or default_sim_params()
         self.state = zero_body_state(self.config.capacity)
         from substrata_tpu.physics import broadphase as broadphase_mod
