@@ -98,6 +98,9 @@ class ClientEvents:
 
     chat: list = field(default_factory=list)
     logged_in: list = field(default_factory=list)  # (user_id, name)
+    gestures: list = field(default_factory=list)   # (avatar_uid, name|"" )
+    selections: list = field(default_factory=list)  # (avatar_uid?, ob_uid, selected)
+    object_updates: list = field(default_factory=list)  # uids w/ changed fields
     info: list = field(default_factory=list)
     errors: list = field(default_factory=list)
     objects_created: list = field(default_factory=list)
@@ -210,6 +213,52 @@ class Client:
         self.send_message(P.make_message(
             P.LOG_IN_MESSAGE,
             P.pack_string(username) + P.pack_string(password)))
+
+    def send_perform_gesture(self, name: str, url: str = "",
+                             flags: int = 0, start_global_time: float = 0.0):
+        """AvatarPerformGesture 1010 (WorkerThread.cpp:1481 payload)."""
+        self.send_message(P.make_message(
+            P.AVATAR_PERFORM_GESTURE,
+            struct.pack("<Q", self.avatar_uid) + P.pack_string(name)
+            + P.pack_string(url) + struct.pack("<Id", flags,
+                                               start_global_time)))
+
+    def send_stop_gesture(self):
+        self.send_message(P.make_message(
+            P.AVATAR_STOP_GESTURE, struct.pack("<Q", self.avatar_uid)))
+
+    def send_select_object(self, uid: int, selected: bool = True):
+        self.send_message(P.make_message(
+            P.USER_SELECTED_OBJECT if selected else P.USER_DESELECTED_OBJECT,
+            struct.pack("<Q", uid)))
+
+    def send_object_flags_changed(self, uid: int, flags: int):
+        self.send_message(P.make_message(
+            P.OBJECT_FLAGS_CHANGED, struct.pack("<QI", uid, flags)))
+
+    def send_object_model_url_changed(self, uid: int, url: str):
+        self.send_message(P.make_message(
+            P.OBJECT_MODEL_URL_CHANGED,
+            struct.pack("<Q", uid) + P.pack_string(url)))
+
+    def send_object_lightmap_url_changed(self, uid: int, url: str):
+        self.send_message(P.make_message(
+            P.OBJECT_LIGHTMAP_URL_CHANGED,
+            struct.pack("<Q", uid) + P.pack_string(url)))
+
+    def send_change_world(self, world_name: str):
+        """ChangeToDifferentWorld 600: switch this connection's world and
+        receive the new world's initial state."""
+        self.send_message(P.make_message(
+            P.CHANGE_TO_DIFFERENT_WORLD, P.pack_string(world_name)))
+
+    def send_sign_up(self, username: str, email: str, password: str):
+        self.send_message(P.make_message(
+            P.SIGN_UP_MESSAGE, P.pack_string(username) + P.pack_string(email)
+            + P.pack_string(password)))
+
+    def send_log_out(self):
+        self.send_message(P.make_message(P.LOG_OUT_MESSAGE, b""))
 
     def send_create_object(self, ob: WorldObject):
         self.send_message(P.make_message(P.OBJECT_CREATED, ob.to_bytes()))
@@ -510,12 +559,51 @@ class Client:
             sent = self._ping_sent_at.pop(payload, None)
             if sent is not None:
                 ws.time_sync.last_rtt = time.monotonic() - sent
+        elif msg_type in (P.AVATAR_PERFORM_GESTURE, P.AVATAR_STOP_GESTURE):
+            (av_uid,) = struct.unpack_from("<Q", payload, 0)
+            name = ""
+            if msg_type == P.AVATAR_PERFORM_GESTURE:
+                name, _ = P.unpack_string(payload, 8)
+            with ws.lock:
+                av = ws.avatars.get(av_uid)
+                if av is not None:
+                    av.performing_gesture = name
+            with self.events_lock:
+                self.events.gestures.append((av_uid, name))
+        elif msg_type in (P.USER_SELECTED_OBJECT, P.USER_DESELECTED_OBJECT):
+            (ob_uid,) = struct.unpack_from("<Q", payload, 0)
+            with self.events_lock:
+                self.events.selections.append(
+                    (ob_uid, msg_type == P.USER_SELECTED_OBJECT))
+        elif msg_type in (P.OBJECT_FLAGS_CHANGED, P.OBJECT_MODEL_URL_CHANGED,
+                          P.OBJECT_LIGHTMAP_URL_CHANGED):
+            (uid,) = struct.unpack_from("<Q", payload, 0)
+            with ws.lock:
+                ob = ws.objects.get(uid)
+                if ob is not None:
+                    if msg_type == P.OBJECT_FLAGS_CHANGED:
+                        (ob.flags,) = struct.unpack_from("<I", payload, 8)
+                    elif msg_type == P.OBJECT_MODEL_URL_CHANGED:
+                        ob.model_url, _ = P.unpack_string(payload, 8)
+                    else:
+                        ob.lightmap_url, _ = P.unpack_string(payload, 8)
+                    ws.dirty_from_remote_objects.add(uid)
+            with self.events_lock:
+                self.events.object_updates.append(uid)
         elif msg_type == P.LOGGED_IN_MESSAGE_ID:
             (uid_,) = struct.unpack_from("<I", payload, 0)
             name_, _ = P.unpack_string(payload, 4)
             self.logged_in_user_id = uid_
             with self.events_lock:
                 self.events.logged_in.append((uid_, name_))
+        elif msg_type == P.SIGNED_UP_MESSAGE_ID:
+            (uid_,) = struct.unpack_from("<I", payload, 0)
+            name_, _ = P.unpack_string(payload, 4)
+            self.logged_in_user_id = uid_
+            with self.events_lock:
+                self.events.logged_in.append((uid_, name_))
+        elif msg_type == P.LOGGED_OUT_MESSAGE_ID:
+            self.logged_in_user_id = 0
         elif msg_type == P.LOG_IN_FAILURE:
             msg_, _ = P.unpack_string(payload, 0)
             with self.events_lock:

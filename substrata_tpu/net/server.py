@@ -545,6 +545,79 @@ class WorkerConnection(threading.Thread):
             for _ in range(min(count, 4096)):
                 url, off = P.unpack_string(payload, off)
                 self._send_file(url)
+        elif msg_type in (P.AVATAR_PERFORM_GESTURE, P.AVATAR_STOP_GESTURE):
+            # Gesture playback relay (WorkerThread.cpp:1481-1547): record the
+            # gesture on the avatar (late joiners get it re-sent with the
+            # avatar state) and rebroadcast to everyone else.
+            w = self.server.worlds_state.get_world(self.world_name)
+            (av_uid,) = struct.unpack_from("<Q", payload, 0)
+            with self.server.worlds_state.lock:
+                av = w.avatars.get(av_uid)
+                if av is not None:
+                    if msg_type == P.AVATAR_PERFORM_GESTURE:
+                        name, _ = P.unpack_string(payload, 8)
+                        av.performing_gesture = name
+                    else:
+                        av.performing_gesture = ""
+            self.server.broadcast(self.world_name,
+                                  P.make_message(msg_type, payload),
+                                  exclude=self)
+        elif msg_type in (P.USER_SELECTED_OBJECT, P.USER_DESELECTED_OBJECT):
+            # Selection-highlight relay (WorkerThread: pure rebroadcast).
+            self.server.broadcast(self.world_name,
+                                  P.make_message(msg_type, payload),
+                                  exclude=self)
+        elif msg_type in (P.OBJECT_FLAGS_CHANGED, P.OBJECT_MODEL_URL_CHANGED,
+                          P.OBJECT_LIGHTMAP_URL_CHANGED):
+            # Partial object updates (Protocol.h:3010-3012): cheaper than a
+            # full update for single-field changes (the lightmapper bot
+            # patches lightmap URLs this way).  Same write-permission gate
+            # as ObjectFullUpdate.
+            w = self.server.worlds_state.get_world(self.world_name)
+            (uid,) = struct.unpack_from("<Q", payload, 0)
+            with self.server.worlds_state.lock:
+                ob = w.objects.get(uid)
+                if ob is None or not self.server.user_has_object_write_perms(
+                        self.effective_user_id, ob, w):
+                    return
+                if msg_type == P.OBJECT_FLAGS_CHANGED:
+                    (ob.flags,) = struct.unpack_from("<I", payload, 8)
+                elif msg_type == P.OBJECT_MODEL_URL_CHANGED:
+                    ob.model_url, _ = P.unpack_string(payload, 8)
+                else:
+                    ob.lightmap_url, _ = P.unpack_string(payload, 8)
+                w.dirty_objects.add(uid)
+                w.db_dirty_objects.add(uid)
+            self.server.broadcast(self.world_name,
+                                  P.make_message(msg_type, payload),
+                                  exclude=self)
+        elif msg_type == P.CHANGE_TO_DIFFERENT_WORLD:
+            # Switch this connection to another world and resend that
+            # world's initial state (WorkerThread.cpp:1376-1395).
+            new_world, _ = P.unpack_string(payload, 0)
+            self.world_name = new_world
+            self.server.worlds_state.get_world(new_world)  # ensure exists
+            self._send_initial_objects()
+        elif msg_type == P.SIGN_UP_MESSAGE:
+            # Protocol-side account creation (Protocol.h:196-204 family).
+            username, off = P.unpack_string(payload, 0)
+            email, off = P.unpack_string(payload, off)
+            password, _ = P.unpack_string(payload, off)
+            try:
+                user = self.server.accounts.create_user(username, email,
+                                                        password)
+            except ValueError as e:
+                self.send_message(P.make_message(
+                    P.LOG_IN_FAILURE, P.pack_string(str(e))))
+            else:
+                self.logged_in_user_id = user.user_id
+                self.send_message(P.make_message(
+                    P.SIGNED_UP_MESSAGE_ID,
+                    struct.pack("<I", user.user_id)
+                    + P.pack_string(user.name)))
+        elif msg_type == P.LOG_OUT_MESSAGE:
+            self.logged_in_user_id = 0
+            self.send_message(P.make_message(P.LOGGED_OUT_MESSAGE_ID, b""))
         elif msg_type == P.LOG_IN_MESSAGE:
             # Protocol login on the updates connection (Protocol.h:196-204):
             # binds the ACCOUNT identity, like the reference's LogInMessage.

@@ -243,3 +243,77 @@ def test_builder_ai_streaming(server):
         assert cubes[0].pos[0] == pytest.approx(3.0)
     finally:
         c.stop()
+
+
+def test_gestures_selection_partial_updates_world_switch(server):
+    """The remaining WorkerThread message families: gesture relay (1010/
+    1011, stored on the avatar), selection relay (6000/6001), partial
+    object updates (3010-3012, permission-gated), world switch (600), and
+    protocol sign-up/log-out (8002/8001)."""
+    from substrata_tpu.shared.avatar import Avatar
+
+    c1 = Client("127.0.0.1", server.port)
+    c2 = Client("127.0.0.1", server.port)
+    c1.start(); c2.start()
+    try:
+        c1.send_avatar_created(Avatar(uid=c1.avatar_uid, name="gesturer"))
+        _wait(lambda: c1.avatar_uid in c2.world_state.avatars_snapshot())
+
+        # Gesture: relayed to c2, recorded server-side.
+        c1.send_perform_gesture("Wave", flags=1, start_global_time=12.5)
+        got = []
+        _wait(lambda: (got.extend(c2.pop_events().gestures),
+                       (c1.avatar_uid, "Wave") in got)[1])
+        assert _sv(server, lambda w: w.avatars[c1.avatar_uid]
+                   .performing_gesture) == "Wave"
+        c1.send_stop_gesture()
+        _wait(lambda: _sv(server, lambda w: w.avatars[c1.avatar_uid]
+                          .performing_gesture) == "")
+
+        # Object + selection relay.
+        c1.request_create_object(WorldObject(model_url="a.glb", flags=1))
+        uid = _drain(c1, lambda evs: next(
+            (u for e in evs for u in e.objects_created), None))
+        c1.send_select_object(uid)
+        sels = []
+        _wait(lambda: (sels.extend(c2.pop_events().selections),
+                       (uid, True) in sels)[1])
+
+        # Partial updates from the creator: apply + replicate.
+        c1.send_object_model_url_changed(uid, "b.glb")
+        c1.send_object_flags_changed(uid, 3)
+        c1.send_object_lightmap_url_changed(uid, "lm.png")
+        def c2_sees():
+            ob = c2.world_state.objects_snapshot().get(uid)
+            return (ob is not None and ob.model_url == "b.glb"
+                    and ob.flags == 3 and ob.lightmap_url == "lm.png")
+        _wait(c2_sees)
+        # Non-creator partial update on a STATIC object is rejected.
+        c2.send_object_model_url_changed(uid, "evil.glb")
+        time.sleep(0.3)
+        assert _sv(server, lambda w: w.objects[uid].model_url) == "b.glb"
+
+        # World switch: c1 hops to 'moon', receives ITS initial state and
+        # stops seeing main-world broadcasts.
+        c3 = Client("127.0.0.1", server.port, world_name="moon")
+        c3.start()
+        c3.send_create_object(WorldObject(model_url="rock.glb", flags=1))
+        _wait(lambda: len(c3.world_state.objects_snapshot()) == 1)
+        c1.send_change_world("moon")
+        def c1_sees_moon():
+            obs = c1.world_state.objects_snapshot()
+            return any(o.model_url == "rock.glb" for o in obs.values())
+        _wait(c1_sees_moon)
+
+        # Protocol sign-up binds the new account; log-out clears it.
+        c2.send_sign_up("newbie", "n@x", "newbiepw1")
+        logins = []
+        _wait(lambda: (logins.extend(c2.pop_events().logged_in),
+                       len(logins) > 0)[1])
+        assert logins[0][1] == "newbie"
+        assert c2.logged_in_user_id == logins[0][0] > 0
+        c2.send_log_out()
+        _wait(lambda: c2.logged_in_user_id == 0)
+        c3.stop()
+    finally:
+        c1.stop(); c2.stop()
