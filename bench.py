@@ -35,6 +35,12 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+# Test hook: force a platform (e.g. a bogus one) to exercise the
+# outage-fallback path below without a real tunnel outage.  The axon
+# sitecustomize overrides the JAX_PLATFORMS env var, so this must go
+# through jax.config (CLAUDE.md).
+if os.environ.get("SUBSTRATA_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SUBSTRATA_BENCH_PLATFORM"])
 
 import jax.numpy as jnp
 import numpy as np

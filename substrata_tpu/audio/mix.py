@@ -27,6 +27,7 @@ from functools import partial
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BLOCK = 256            # frames per block (AudioEngine.cpp:580-585)
 ENGINE_RATE = 48_000   # Hz stereo f32 output (AudioEngine.cpp:576-612)
@@ -76,7 +77,6 @@ def room_from_aabb(aabb_min, aabb_max, reflectivity: float) -> RoomState:
     """Room parameters from the enclosing object's AABB (the reference
     derives Resonance room properties + reflections the same way,
     AudioEngine.cpp:738-767)."""
-    import numpy as np
     dims = np.maximum(np.asarray(aabb_max, np.float64)
                       - np.asarray(aabb_min, np.float64), 0.5)
     # First-order reflection path lengths per dimension pair -> delays,
@@ -96,11 +96,13 @@ def room_from_aabb(aabb_min, aabb_max, reflectivity: float) -> RoomState:
                         wet=jnp.float32(0.25 * refl))
 
 
-# Householder feedback matrix: orthogonal, fully mixing, cheap.
-_FDN_MIX = jnp.array([[0.5, 0.5, 0.5, 0.5],
-                      [0.5, -0.5, 0.5, -0.5],
-                      [0.5, 0.5, -0.5, -0.5],
-                      [0.5, -0.5, -0.5, 0.5]], jnp.float32)
+# Householder feedback matrix: orthogonal, fully mixing, cheap.  Kept as a
+# host np array so importing this module never initialises a JAX backend
+# (bench.py's outage-fallback path relies on host-only imports).
+_FDN_MIX = np.array([[0.5, 0.5, 0.5, 0.5],
+                     [0.5, -0.5, 0.5, -0.5],
+                     [0.5, 0.5, -0.5, -0.5],
+                     [0.5, -0.5, -0.5, 0.5]], np.float32)
 
 
 @flax.struct.dataclass

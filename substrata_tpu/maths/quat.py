@@ -10,8 +10,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-IDENTITY = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32)
+# np (not jnp): module import must stay host-only (no backend init) so
+# bench.py's outage-fallback can report before any device is touched.
+IDENTITY = np.array([0.0, 0.0, 0.0, 1.0], dtype=np.float32)
 
 
 def identity(batch_shape=(), dtype=jnp.float32):

@@ -22,6 +22,7 @@ from __future__ import annotations
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from substrata_tpu.physics.state import (BodyState, MotionType, ShapeType,
                                          SimConfig)
@@ -61,7 +62,9 @@ _TBL_STATIC = 1 << 17
 _TBL_SMALL = 1 << 18     # fits in a cell (diameter <= cell_size)
 # Pair compaction packs (a << 16 | b) into a uint32; all-ones = empty slot
 # (sorts last, so valid pairs stay contiguous after the dedup sort).
-_PAIR_EMPTY = jnp.uint32(0xFFFFFFFF)
+# np (not jnp) so importing this module never initialises a JAX backend —
+# bench.py's outage-fallback path depends on imports staying host-only.
+_PAIR_EMPTY = np.uint32(0xFFFFFFFF)
 
 
 def build_cell_table(body: BodyState, config: SimConfig, with_flags: bool = False):

@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import flax.struct
 
@@ -467,12 +468,15 @@ def _convex_convex(pa, wa, maska, ra, pl_a, plmask_a,
     return pts, pens, normal, valid
 
 
-_BOX_CORNERS = jnp.array(
+# np (not jnp): importing this module must not initialise a JAX backend
+# (bench.py's outage-fallback depends on host-only imports); jnp ops convert
+# these at trace time.
+_BOX_CORNERS = np.array(
     [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-    jnp.float32)
-_BOX_NORMALS = jnp.array(
+    np.float32)
+_BOX_NORMALS = np.array(
     [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
-    jnp.float32)
+    np.float32)
 
 
 def _convex_rep(row, stype, hull_verts, hull_planes, hull_n_verts,

@@ -160,7 +160,8 @@ _EVT = 128     # touching-pair slots in the digest
 
 
 @jax.jit
-def _event_digest(events, num_contacts, num_awake, steps_left=jnp.int32(0)):
+def _event_digest(events, num_contacts, num_awake,
+                  steps_left=np.int32(0)):  # np: no backend init at import
     """Pack everything the host reads per tick into ONE small i32 array.
 
     Remote TPU runtimes (the axon tunnel) charge ~10 ms latency per

@@ -81,3 +81,28 @@ def test_profile_jax(tmp_path):
     f = jax.jit(lambda x: (x * 2).sum())
     d = profile_jax(f, jnp.ones((64, 64)), trace_dir=str(tmp_path / "tr"), iters=2)
     assert os.path.isdir(d)
+
+
+def test_bench_outage_fallback_emits_json_line():
+    """With the backend forced unavailable, bench.py must exit 1 with a
+    parseable JSON failure line as the LAST stdout line (VERDICT r3: the
+    r3 bench artifact was a raw traceback because module-level device
+    constants initialised the backend at import time, outside main()'s
+    try).  SUBSTRATA_BENCH_PLATFORM=bogus stands in for the tunnel outage
+    (the env var JAX_PLATFORMS is overridden by the axon sitecustomize, so
+    bench.py applies it via jax.config)."""
+    import json
+    import subprocess
+
+    env = dict(os.environ,
+               SUBSTRATA_BENCH_PLATFORM="bogus",
+               SUBSTRATA_BENCH_SMOKE="1")
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    for script in ("bench.py", os.path.join("tools", "bench_networked.py")):
+        r = subprocess.run([sys.executable, os.path.join(repo, script)],
+                           capture_output=True, text=True, timeout=300,
+                           env=env)
+        assert r.returncode == 1, (script, r.stdout, r.stderr[-500:])
+        last = r.stdout.strip().splitlines()[-1]
+        parsed = json.loads(last)
+        assert parsed["value"] == 0.0 and "error" in parsed, (script, parsed)

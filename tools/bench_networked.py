@@ -27,6 +27,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+# Test hook (same contract as bench.py): force a platform so the outage-
+# fallback path can be exercised without a real tunnel outage.  The axon
+# sitecustomize overrides JAX_PLATFORMS, so this must go through jax.config.
+if os.environ.get("SUBSTRATA_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SUBSTRATA_BENCH_PLATFORM"])
 
 _SMOKE = os.environ.get("SUBSTRATA_BENCH_SMOKE", "") not in ("", "0")
 N_OBJECTS = 600 if _SMOKE else 12_000
@@ -128,4 +133,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        if "backend" in str(e).lower() or "unavailable" in str(e).lower():
+            # TPU tunnel down: parseable failure line instead of a traceback
+            # (same contract as bench.py — BENCH capture records WHY).
+            print(json.dumps({
+                "metric": "networked client ticks/sec (TPU backend unavailable)",
+                "value": 0.0, "unit": "ticks/s", "vs_baseline": 0.0,
+                "error": str(e)[:200]}))
+            raise SystemExit(1)
+        raise
