@@ -3,13 +3,18 @@
 
 North-star metric (BASELINE.json): the CONJUNCTION — 10k interacting rigid
 bodies AND 256 spatial audio sources at >= 60 Hz real time on one TPU chip.
-The reference tick runs both every frame (gui_client/GUIClient.cpp:6432
-physics think + audio/AudioEngine.cpp:345-555 ResonanceThread), so the
-headline here is the combined tick rate: each tick dispatches one 10k-body
-physics step AND one 800-frame (1/60 s at 48 kHz) 256-source audio mix,
-with source positions/velocities gathered on-device from the body state
-(no host round trip in the coupling).  Sub-metrics report the physics-only
-rate for continuity with rounds 1-2.
+The headline is the FULL reference tick (GUIClient::timerEvent order,
+gui_client/GUIClient.cpp:5918+ / SURVEY §3.1): per tick, ONE fused device
+program runs vehicle controllers (8 scripted vehicles, batched wheel rays —
+GUIClient.cpp:6418-6430), the player character update
+(PlayerPhysics.cpp:251-469), the 10k-body physics step + buoyancy
+(GUIClient.cpp:6432), a 10k-particle update (ParticleManager::think,
+GUIClient.cpp:7705), a 512-instance Winter script eval batch
+(Scripting.cpp:766-880), and one 800-frame (1/60 s at 48 kHz) 256-source
+full-quality audio mix (AudioEngine.cpp:345-555), with audio source
+positions gathered on-device from the body state (no host round trip in
+the coupling).  Sub-metrics report the physics-only rate and the
+physics+audio rate for continuity with rounds 1-3.
 
 Honesty guards (round-3):
 - sustained churn: every CHURN_PERIOD steps ALL dynamic bodies get a random
@@ -55,6 +60,9 @@ from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
 _SMOKE = os.environ.get("SUBSTRATA_BENCH_SMOKE", "") not in ("", "0")
 N_BODIES = 400 if _SMOKE else 10_000
 N_SOURCES = 16 if _SMOKE else 256
+N_PARTICLES = 256 if _SMOKE else 10_000
+N_VEHICLES = 8                 # 2 each: car/bike/boat/hovercar
+N_WINTER = 32 if _SMOKE else 512  # scripted-object instances per eval batch
 TICK_FRAMES = 800              # 48 kHz / 60 Hz: one tick of audio per step
 DT = 1.0 / 60.0
 BASELINE_STEPS_PER_SEC = 60.0  # real-time 60 Hz = reference design rate
@@ -134,6 +142,61 @@ def build_world():
     return w
 
 
+def build_fulltick(w):
+    """The rest of the reference tick: 1 player character, 8 scripted
+    vehicles on the first 8 boxes, 10k bouncing particles, and a Winter
+    eval batch (512 instances of 2 script sources)."""
+    from substrata_tpu.physics.character import init_character_state
+    from substrata_tpu.physics.particles import zero_particles
+    from substrata_tpu.physics.vehicles.manager import (
+        BikePhysics, BoatPhysics, CarPhysics, HoverCarPhysics,
+        VehicleInputs, VehicleManager)
+    from substrata_tpu.scripting.winter import WinterScriptEvaluator
+
+    char = init_character_state([0.0, 0.0, 3.0])
+
+    vm = VehicleManager(w, capacity=N_VEHICLES)
+    classes = [CarPhysics, BikePhysics, BoatPhysics, HoverCarPhysics]
+    first_obs = [w.objects[s] for s in sorted(w.objects)[:N_VEHICLES]]
+    for i in range(N_VEHICLES):
+        classes[i % 4](vm, first_obs[i])
+        vm.set_active(i, True)
+    vinputs = VehicleInputs(
+        forward=jnp.full((N_VEHICLES,), 0.6, jnp.float32),
+        right=jnp.full((N_VEHICLES,), 0.15, jnp.float32),
+        up=jnp.zeros((N_VEHICLES,), jnp.float32),
+        brake=jnp.zeros((N_VEHICLES,), bool),
+        handbrake=jnp.zeros((N_VEHICLES,), bool))
+
+    rng = np.random.default_rng(3)
+    ps = zero_particles(N_PARTICLES)
+    ps = ps.replace(
+        pos=jnp.asarray(rng.uniform([-35, -35, 1], [35, 35, 8],
+                                    (N_PARTICLES, 3)).astype(np.float32)),
+        vel=jnp.asarray(rng.normal(0, 2, (N_PARTICLES, 3)).astype(np.float32)),
+        opacity=ps.opacity.at[:].set(1.0),
+        alive=ps.alive.at[:].set(True))  # die_on_hit False: bounce forever
+
+    evs = [WinterScriptEvaluator(
+               "def evalRotation(float time, WinterEnv env) vec3 : "
+               "vec3(0.0, 0.0, time * 0.5 + env.instance_index)"),
+           WinterScriptEvaluator(
+               "def evalTranslation(float time, WinterEnv env) vec3 : "
+               "vec3(sin(time) * 2.0, cos(time * 0.7) * 2.0, 0.0)")]
+    widx = jnp.arange(N_WINTER // 2, dtype=jnp.float32)
+
+    def winter_eval(t):
+        """One batched script-eval pass; summed so XLA cannot DCE it."""
+        acc = jnp.float32(0.0)
+        tt = jnp.broadcast_to(t, widx.shape)
+        for ev in evs:
+            acc = acc + jnp.sum(ev.eval_rotation(tt, widx, N_WINTER))
+            acc = acc + jnp.sum(ev.eval_translation(tt, widx, N_WINTER))
+        return acc
+
+    return char, vm, vinputs, ps, winter_eval
+
+
 def _kick_body(state, key):
     """Churn: random velocity kick to every dynamic body + full wake."""
     kick = jax.random.uniform(key, state.linvel.shape, jnp.float32,
@@ -189,6 +252,11 @@ class RebuildScheduler:
 
 def main():
     from substrata_tpu.audio.mix import default_listener, mix_block
+    from substrata_tpu.physics import broadphase
+    from substrata_tpu.physics.character import character_update
+    from substrata_tpu.physics.particles import particles_step
+    from substrata_tpu.physics.vehicles.manager import (
+        _apply_vehicle_deltas, vehicles_update)
 
     w = build_world()
     cfg = w.config
@@ -197,6 +265,7 @@ def main():
     hull_cv = w._hull_contact_verts
     src, pool, room = build_audio()
     listener = default_listener()
+    char0, vm, vinputs, ps0, winter_eval = build_fulltick(w)
     # Audio sources track the first 256 dynamic bodies; their pos/vel are
     # gathered ON DEVICE from the stepped body state (row gather of 2-D
     # operands with a flat index — the fast TPU layout) and fed straight to
@@ -205,36 +274,64 @@ def main():
 
     # NOTE: a lax.scan over the step makes XLA compile time pathological at
     # this size, so CHUNK ticks are unrolled per program and driven from a
-    # host loop.  Everything in a tick — churn kick, physics step, on-device
+    # host loop.  Everything in a tick — churn kick, vehicle controllers,
+    # character update, physics step, particles, Winter eval, on-device
     # transform gather, full-quality audio mix — is inside the one program.
-    @partial(jax.jit, static_argnames=("pattern", "kick", "audio"),
-             donate_argnums=(0, 1, 2, 3, 4))
-    def run_chunk(body, cache, pcache, s, r, key, pattern, kick, audio):
+    @partial(jax.jit, static_argnames=("pattern", "kick", "audio", "full"),
+             donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+    def run_chunk(body, cache, pcache, s, r, char, ps, veh, t, key,
+                  pattern, kick, audio, full):
         overflow = jnp.int32(0)
+        wsum = jnp.float32(0.0)
         outs = []
         for i, rb in enumerate(pattern):
             if kick and i == 0:
                 body = _kick_body(body, key)
+            if full:
+                # Controllers run BEFORE think (§3.1 steps 3c/3d).  One
+                # broadphase cell table per tick, shared by every ray batch
+                # in the tick (vehicle wheels, character probe, particles —
+                # three table builds would triple the cost for <2 cm of
+                # body movement within the tick).
+                table, _, _ = broadphase.build_cell_table(body, cfg)
+                veh, dv, dw, slots = vehicles_update(
+                    veh, vinputs, body, sw, jnp.float32(DT), params, cfg,
+                    table=table)
+                body = _apply_vehicle_deltas(body, slots, dv, dw)
+                move = 3.0 * jnp.array([jnp.cos(0.3 * t), jnp.sin(0.3 * t),
+                                        0.0])  # walking player, full speed
+                char, _campos, _jumped, _touched = character_update(
+                    char, body, sw, move, False, False, False,
+                    jnp.float32(DT), params, cfg,
+                    exclude_body=jnp.int32(-1), table=table)
             body, cache, pcache, ev, diags = physics_step(
                 body, sw, hull_cv, jnp.float32(DT), params, cfg, cache,
                 pcache, rebuild_pairs=rb,
                 has_oversize=bool(w._oversize_slots))
             overflow = overflow + ev.broadphase_overflow
+            if full:
+                ps, _foam = particles_step(ps, body, sw, jnp.float32(DT),
+                                           params, cfg, table=table)
+                wsum = wsum + winter_eval(t)
             if audio:
                 s = s.replace(pos=body.pos[src_idx], vel=body.linvel[src_idx])
                 s, out, r = mix_block(s, pool, listener, room=r,
                                       use_hrtf=True, block=TICK_FRAMES)
                 outs.append(out)
+            t = t + jnp.float32(DT)
         out = jnp.concatenate(outs, 0) if audio else jnp.zeros((1, 2))
-        return body, cache, pcache, s, r, diags, overflow, out
+        return (body, cache, pcache, s, r, char, ps, veh, t, diags,
+                overflow, out, wsum)
 
     state, cache, pcache = w.state, w.solver_cache, w.pair_cache
+    char, ps, veh = char0, ps0, vm.veh
+    tick_t = jnp.float32(0.0)
     key = jax.random.PRNGKey(7)
     assert CHURN_PERIOD % CHUNK == 0 and cfg.pair_rebuild_interval % CHUNK == 0
     churn_chunks = CHURN_PERIOD // CHUNK
 
-    def drive(n_chunks, collect=None, audio=False):
-        nonlocal state, cache, pcache, key, src, room
+    def drive(n_chunks, collect=None, audio=False, full=False):
+        nonlocal state, cache, pcache, key, src, room, char, ps, veh, tick_t
         out = None
         g = 0   # steps since last rebuild-forcing kick
         for c in range(n_chunks):
@@ -247,8 +344,10 @@ def main():
             pattern = tuple((g + i) % cfg.pair_rebuild_interval == 0
                             for i in range(CHUNK))
             g += CHUNK
-            state, cache, pcache, src, room, diags, ov, out = run_chunk(
-                state, cache, pcache, src, room, sub, pattern, kick, audio)
+            (state, cache, pcache, src, room, char, ps, veh, tick_t, diags,
+             ov, out, _wsum) = run_chunk(
+                state, cache, pcache, src, room, char, ps, veh, tick_t, sub,
+                pattern, kick, audio, full)
             if collect is not None:
                 collect.append((diags, ov))
         return out
@@ -256,6 +355,7 @@ def main():
     # Warm-up: compile all chunk variants + settle the dispatch queue.
     drive(12)
     drive(12, audio=True)
+    drive(12, audio=True, full=True)
     _ = float(np.asarray(state.pos)[0, 0])
 
     # Window 1: physics only (continuity with rounds 1-2).
@@ -265,10 +365,18 @@ def main():
     _ = float(np.asarray(state.pos)[0, 0])  # real sync
     phys_steps_per_sec = chunks * CHUNK / (time.perf_counter() - t0)
 
-    # Window 2: the conjunction — physics + a full tick of audio, per tick.
+    # Window 2: physics + audio (continuity with round 3).
+    t0 = time.perf_counter()
+    out = drive(chunks, audio=True)
+    _ = float(np.asarray(state.pos)[0, 0])
+    _ = float(np.asarray(out)[0, 0])
+    pa_ticks_per_sec = chunks * CHUNK / (time.perf_counter() - t0)
+
+    # Window 3 (HEADLINE): the whole reference tick — vehicles + character
+    # + physics + particles + Winter + audio (§3.1 order).
     log = []
     t0 = time.perf_counter()
-    out = drive(chunks, collect=log, audio=True)
+    out = drive(chunks, collect=log, audio=True, full=True)
     _ = float(np.asarray(state.pos)[0, 0])
     _ = float(np.asarray(out)[0, 0])
     dt_wall = time.perf_counter() - t0
@@ -280,16 +388,23 @@ def main():
     pairs = np.array([int(np.asarray(d.num_pairs)) for d, _ in log[::4]])
     overflow = np.array([int(np.asarray(ov)) for _, ov in log[::4]])
     n_dyn = N_BODIES
+    n_alive_particles = int(np.asarray(jnp.sum(ps.alive)))
 
     print(json.dumps({
-        "metric": (f"combined tick rate: {N_BODIES}-body physics + "
-                   f"{N_SOURCES}-source audio (sustained churn)"),
+        "metric": (f"full tick rate: {N_BODIES}-body physics + "
+                   f"{N_SOURCES}-source audio + {N_PARTICLES} particles + "
+                   f"{N_VEHICLES} vehicles + character + {N_WINTER} Winter "
+                   f"instances (sustained churn)"),
         "value": round(ticks_per_sec, 2),
         "unit": "ticks/s",
         "vs_baseline": round(ticks_per_sec / BASELINE_STEPS_PER_SEC, 3),
         "physics_only_steps_per_sec": round(phys_steps_per_sec, 2),
+        "physics_audio_ticks_per_sec": round(pa_ticks_per_sec, 2),
         "audio_ms_per_tick": round(
-            (1000.0 / ticks_per_sec) - (1000.0 / phys_steps_per_sec), 2),
+            (1000.0 / pa_ticks_per_sec) - (1000.0 / phys_steps_per_sec), 2),
+        "fulltick_extra_ms": round(
+            (1000.0 / ticks_per_sec) - (1000.0 / pa_ticks_per_sec), 2),
+        "alive_particles": n_alive_particles,
         "awake_frac_mean": round(float(awake.mean()) / n_dyn, 3),
         "awake_frac_min": round(float(awake.min()) / n_dyn, 3),
         "contacts_mean": int(contacts.mean()),

@@ -218,14 +218,18 @@ def _remove_component(v, n):
 @partial(jax.jit, static_argnames=("config",))
 def character_update(char: CharacterState, body: BodyState, world: StaticWorld,
                      move_desired_vel, jump_requested, fly_mode, sitting, dt,
-                     params: SimParams, config: SimConfig, exclude_body):
+                     params: SimParams, config: SimConfig, exclude_body,
+                     table=None):
     """One substep of PlayerPhysics::update (PlayerPhysics.cpp:251-469).
 
     Returns (new_char, campos [4], jumped bool, touched_bodies [K] i32).
+    ``table``: optional precomputed broadphase cell table shared with the
+    tick's other query batches (see queries.trace_rays).
     """
     dt = jnp.asarray(dt, jnp.float32)
     move_desired_vel = jnp.asarray(move_desired_vel, jnp.float32)
-    table, _, _ = broadphase.build_cell_table(body, config)
+    if table is None:
+        table, _, _ = broadphase.build_cell_table(body, config)
     cyl_h = jnp.where(sitting, SITTING_HEIGHT, CYLINDER_HEIGHT)
 
     allow_sliding = jnp.sum(move_desired_vel ** 2) > 0.0

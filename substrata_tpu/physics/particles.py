@@ -79,7 +79,7 @@ def zero_particles(capacity: int) -> ParticleState:
 @partial(jax.jit, static_argnames=("config", "n_ray_steps"))
 def particles_step(ps: ParticleState, body: BodyState, world: StaticWorld,
                    dt, params: SimParams, config: SimConfig,
-                   n_ray_steps: int = 4):
+                   n_ray_steps: int = 4, table=None):
     """One tick for all particles.  Returns (new_state, foam_events) where
     foam_events is a [P] bool mask of particles that died on the water
     surface this tick (the host turns these into foam decals,
@@ -90,7 +90,7 @@ def particles_step(ps: ParticleState, body: BodyState, world: StaticWorld,
     max_ts = speed * dt
 
     hits = queries.trace_rays(ps.pos, dirs, jnp.maximum(max_ts, 1e-6), body,
-                              world, config, n_steps=n_ray_steps)
+                              world, config, n_steps=n_ray_steps, table=table)
     hit = hits.hit & ps.alive & (max_ts > 1e-6)
     to_hit_dt = jnp.where(hit, hits.t / jnp.maximum(speed, 1e-9), 0.0)
     remaining = dt - to_hit_dt

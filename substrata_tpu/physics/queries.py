@@ -266,16 +266,22 @@ def _ray_bodies_single(o, d, max_t, body: BodyState, table, config: SimConfig,
 @partial(jax.jit, static_argnames=("config", "n_steps", "collidable_only"))
 def trace_rays(origins, dirs, max_ts, body: BodyState, world: StaticWorld,
                config: SimConfig, n_steps: int = 16,
-               exclude=None, collidable_only: bool = True) -> RayHits:
+               exclude=None, collidable_only: bool = True,
+               table=None) -> RayHits:
     """Batched traceRay: first hit among dynamic bodies, heightfield, trimesh.
 
     origins/dirs: [R, 3] (dirs unit), max_ts: [R]; exclude: [R] body slot to
     skip (e.g. the vehicle's own chassis for wheel rays), -1 = none.
+    ``table``: optional precomputed broadphase cell table — the full client
+    tick issues several independent ray batches (character probe, vehicle
+    wheels, particles) against the same body state, so callers can build the
+    table once per tick instead of once per batch.
     """
     r = origins.shape[0]
     if exclude is None:
         exclude = jnp.full((r,), -1, jnp.int32)
-    table, _, _ = broadphase.build_cell_table(body, config)
+    if table is None:
+        table, _, _ = broadphase.build_cell_table(body, config)
 
     tb, nb, bi = jax.vmap(
         lambda o, d, mt, ex: _ray_bodies_single(

@@ -448,7 +448,7 @@ def _vehicle_update_one(vt, active, body_pos, body_quat, body_lin, body_ang,
 @partial(jax.jit, static_argnames=("config",))
 def vehicles_update(veh: VehicleArrays, inputs: VehicleInputs, body: BodyState,
                     world: StaticWorld, dt, params: SimParams,
-                    config: SimConfig):
+                    config: SimConfig, table=None):
     """Batched update of every vehicle: suspension raycasts for all wheels of
     all vehicles in one trace_rays call, then vmapped force models.
 
@@ -480,7 +480,7 @@ def vehicles_update(veh: VehicleArrays, inputs: VehicleInputs, body: BodyState,
     max_ts = jnp.broadcast_to(ray_len[:, None], (v, 4)).reshape(v * 4)
     exclude = jnp.broadcast_to(slots[:, None], (v, 4)).reshape(v * 4)
     hits = queries.trace_rays(origins, dirs, max_ts, body, world, config,
-                              n_steps=4, exclude=exclude)
+                              n_steps=4, exclude=exclude, table=table)
     hit_t = hits.t.reshape(v, 4)
     hit_n = hits.normal.reshape(v, 4, 3)
     hit_ok = hits.hit.reshape(v, 4) & has_body[:, None]

@@ -159,8 +159,12 @@ _KEYWORDS = {
     "true", "until", "while",
 }
 
-_TWO_CHAR = {"==", "~=", "<=", ">=", ".."}
-_THREE_CHAR = {"..."}
+# Luau-dialect compound-assignment operators (SubstrataLuaVM.h:21-67: the
+# reference runs scripts under Luau, not vanilla 5.1).
+_COMPOUND_OPS = {"+=", "-=", "*=", "/=", "%=", "^=", "..="}
+_TWO_CHAR = {"==", "~=", "<=", ">=", "..", "+=", "-=", "*=", "/=", "%=",
+             "^=", "->"}
+_THREE_CHAR = {"...", "..="}
 
 
 class _Tok:
@@ -297,7 +301,68 @@ def _lex(src: str):
             toks.append(_Tok("op", src[i:i + 2], line))
             i += 2
             continue
-        if c in "+-*/%^#<>=(){}[];:,.":
+        if c == "`":
+            # Luau interpolated string: `text {expr} text` (the reference's
+            # scripts run under Luau, SubstrataLuaVM.h:21-67).  Token value
+            # is a list of ("str", s) / ("expr", source_text) parts; the
+            # parser compiles each expr part.
+            parts = []
+            buf = []
+            j = i + 1
+            while True:
+                if j >= n:
+                    raise LuaSyntaxError(
+                        f"unfinished interpolated string at line {line}")
+                ch = src[j]
+                if ch == "`":
+                    break
+                if ch == "\\" and j + 1 < n:
+                    e = src[j + 1]
+                    rep = {"`": "`", "{": "{", "}": "}", "\\": "\\",
+                           "n": "\n", "t": "\t", "r": "\r"}.get(e)
+                    if rep is None:
+                        raise LuaSyntaxError(
+                            f"invalid escape '\\{e}' in interpolated string "
+                            f"at line {line}")
+                    buf.append(rep)
+                    j += 2
+                    continue
+                if ch == "{":
+                    if buf:
+                        parts.append(("str", "".join(buf)))
+                        buf = []
+                    depth = 1
+                    k = j + 1
+                    while k < n and depth:
+                        ck = src[k]
+                        if ck in "'\"":            # skip quoted strings
+                            q = ck
+                            k += 1
+                            while k < n and src[k] != q:
+                                k += 2 if src[k] == "\\" else 1
+                        elif ck == "{":
+                            depth += 1
+                        elif ck == "}":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        k += 1
+                    if depth:
+                        raise LuaSyntaxError(
+                            f"unterminated interpolation at line {line}")
+                    parts.append(("expr", src[j + 1:k]))
+                    j = k + 1
+                    continue
+                if ch == "\n":
+                    line += 1
+                buf.append(ch)
+                j += 1
+            if buf or not parts:
+                parts.append(("str", "".join(buf)))
+            toks.append(_Tok("istring", parts, line))
+            i = j + 1
+            continue
+        if c in "+-*/%^#<>=(){}[];:,.|&?":
             toks.append(_Tok("op", c, line))
             i += 1
             continue
@@ -394,8 +459,12 @@ class _Parser:
                     fn = self.parse_funcbody(name)
                     return ("local_func", name, fn)
                 names = [self.expect("name").value]
+                if self.accept("op", ":"):
+                    self._skip_type()          # Luau: local x : number = ...
                 while self.accept("op", ","):
                     names.append(self.expect("name").value)
+                    if self.accept("op", ":"):
+                        self._skip_type()
                 exprs = []
                 if self.accept("op", "="):
                     exprs = self.parse_exprlist()
@@ -436,6 +505,8 @@ class _Parser:
             if kw == "for":
                 self.next()
                 name1 = self.expect("name").value
+                if self.accept("op", ":"):
+                    self._skip_type()          # Luau: for i : number = ...
                 if self.accept("op", "="):
                     e1 = self.parse_expr()
                     self.expect("op", ",")
@@ -450,6 +521,8 @@ class _Parser:
                 names = [name1]
                 while self.accept("op", ","):
                     names.append(self.expect("name").value)
+                    if self.accept("op", ":"):
+                        self._skip_type()
                 self.expect("keyword", "in")
                 exprs = self.parse_exprlist()
                 self.expect("keyword", "do")
@@ -482,8 +555,32 @@ class _Parser:
                 self.next()
                 return ("break",)
             raise LuaSyntaxError(f"unexpected '{kw}' at line {t.line}")
+        # Luau 'continue': a contextual keyword — a statement only when the
+        # next token cannot extend it into an expression statement (so
+        # 'continue = 5', 'continue()' and 'continue.x' still treat it as a
+        # plain name, like Luau's parser does).
+        if t.kind == "name" and t.value == "continue":
+            nxt = self.toks[self.i + 1]
+            extends = nxt.kind in ("string", "istring") or (
+                nxt.kind == "op" and nxt.value in
+                ("=", ",", "(", "[", ".", ":", "{") | _COMPOUND_OPS)
+            if not extends:
+                self.next()
+                return ("continue",)
         # expression statement: call or assignment
         e = self.parse_prefix_expr()
+        ct = self.peek()
+        if ct.kind == "op" and ct.value in _COMPOUND_OPS:
+            # Luau compound assignment: a op= b  ==>  a = a op b.
+            # (Caveat vs real Luau: an index target's subexpressions
+            # evaluate twice here; fine for the side-effect-free targets
+            # real scripts use.)
+            self.next()
+            if e[0] not in ("name", "index"):
+                raise LuaSyntaxError(
+                    f"cannot compound-assign to this expression at line {ct.line}")
+            rhs = self.parse_expr()
+            return ("assign", [e], [("binop", ct.value[:-1], e, rhs)])
         if self.check("op", "=") or self.check("op", ","):
             targets = [e]
             while self.accept("op", ","):
@@ -506,14 +603,66 @@ class _Parser:
             while True:
                 if self.accept("op", "..."):
                     is_vararg = True
+                    if self.accept("op", ":"):
+                        self._skip_type()
                     break
                 params.append(self.expect("name").value)
+                if self.accept("op", ":"):
+                    self._skip_type()  # Luau: function f(av : Avatar, ...)
                 if not self.accept("op", ","):
                     break
         self.expect("op", ")")
+        if self.accept("op", ":"):
+            self._skip_type()          # Luau return-type annotation
         body = self.parse_block()
         self.expect("keyword", "end")
         return ("func", params, is_vararg, body, name)
+
+    # ---- Luau type annotations (type-erased: no runtime effect) ----
+
+    def _skip_type(self):
+        self._skip_type_prefix()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("|", "&"):
+                self.next()
+                self._skip_type_prefix()
+            else:
+                return
+
+    def _skip_type_prefix(self):
+        t = self.peek()
+        if t.kind == "op" and t.value in ("{", "("):
+            self._skip_balanced(t.value, {"{": "}", "(": ")"}[t.value])
+            if self.accept("op", "->"):
+                self._skip_type()      # function type (args) -> ret
+        elif t.kind == "string":
+            self.next()                # string-literal singleton type
+        elif t.kind == "keyword" and t.value in ("nil", "true", "false"):
+            self.next()
+        elif t.kind == "name":
+            self.next()
+            while self.accept("op", "."):
+                self.expect("name")
+            if self.check("op", "<"):
+                self._skip_balanced("<", ">")   # generic args
+        else:
+            raise LuaSyntaxError(f"bad type annotation at line {t.line}")
+        while self.accept("op", "?"):
+            pass
+
+    def _skip_balanced(self, open_, close):
+        depth = 0
+        while True:
+            t = self.next()
+            if t.kind == "eof":
+                raise LuaSyntaxError("unterminated type annotation")
+            if t.kind == "op" and t.value == open_:
+                depth += 1
+            elif t.kind == "op" and t.value == close:
+                depth -= 1
+                if depth == 0:
+                    return
 
     # ---- expressions (precedence climbing) ----
 
@@ -576,6 +725,20 @@ class _Parser:
         if t.kind == "string":
             self.next()
             return ("str", t.value)
+        if t.kind == "istring":
+            # Luau interpolated string -> ("interp", [("str", s) |
+            # ("val", expr_ast)]); each value part is tostring'd at eval.
+            self.next()
+            parts = []
+            for kind, val in t.value:
+                if kind == "str":
+                    parts.append(("str", val))
+                else:
+                    sub = _Parser(_lex(val))
+                    e = sub.parse_expr()
+                    sub.expect("eof")
+                    parts.append(("val", e))
+            return ("interp", parts)
         if t.kind == "keyword":
             if t.value == "nil":
                 self.next()
@@ -681,6 +844,11 @@ class _Break(Exception):
     pass
 
 
+class _Continue(Exception):
+    """Luau 'continue' statement unwind."""
+    pass
+
+
 class _Return(Exception):
     def __init__(self, values):
         self.values = values
@@ -769,6 +937,8 @@ class Interpreter:
                     self.exec_block(body, _Env(env), varargs)
                 except _Break:
                     break
+                except _Continue:
+                    pass
         elif op == "repeat":
             _, body, cond = stmt
             while True:
@@ -778,6 +948,8 @@ class Interpreter:
                     self.exec_block(body, scope, varargs)
                 except _Break:
                     break
+                except _Continue:
+                    pass   # Luau: continue in repeat jumps to the until check
                 # until condition sees the loop body's locals
                 if truthy(self.eval(cond, scope, varargs)):
                     break
@@ -798,11 +970,51 @@ class Interpreter:
                     self.exec_block(body, scope, varargs)
                 except _Break:
                     break
+                except _Continue:
+                    pass
                 v += step
         elif op == "forin":
             _, names, exprs, body = stmt
             vals = self.eval_exprlist(exprs, env, varargs, 3)
             f, s, ctrl = vals[0], vals[1], vals[2]
+            if isinstance(f, LuaTable):
+                # Luau generalised iteration: `for k, v in t do` iterates
+                # the table directly (array part in order, then hash keys)
+                # — used by the reference's example corpus
+                # (example_luau_scripts.htmlfrag race script).
+                it = f.metatable.get("__iter") if f.metatable else None
+                if it is not None:
+                    rets = self.call_value(it, [f])
+                    f = rets[0] if rets else None
+                    s = rets[1] if len(rets) > 1 else None
+                    ctrl = rets[2] if len(rets) > 2 else None
+                else:
+                    n_arr = int(f.length())
+                    arr_keys = set(range(1, n_arr + 1))
+
+                    def _luak(k):
+                        return (float(k) if isinstance(k, int)
+                                and not isinstance(k, bool) else k)
+
+                    items = ([(float(i), f.hash[i])
+                              for i in range(1, n_arr + 1)]
+                             + [(_luak(k), v) for k, v in f.hash.items()
+                                if not (isinstance(k, int)
+                                        and not isinstance(k, bool)
+                                        and k in arr_keys)])
+                    for k, v in items:
+                        self._tick()
+                        scope = _Env(env)
+                        pair = (k, v)
+                        for j, name in enumerate(names):
+                            scope.vars[name] = pair[j] if j < 2 else None
+                        try:
+                            self.exec_block(body, scope, varargs)
+                        except _Break:
+                            return
+                        except _Continue:
+                            pass
+                    return
             while True:
                 self._tick()
                 rets = self.call_value(f, [s, ctrl])
@@ -816,6 +1028,8 @@ class Interpreter:
                     self.exec_block(body, scope, varargs)
                 except _Break:
                     break
+                except _Continue:
+                    pass
         elif op == "func_stmt":
             _, target, fnexpr = stmt
             fn = self.eval(fnexpr, env, varargs)
@@ -828,6 +1042,8 @@ class Interpreter:
             raise _Return(self.eval_exprlist(stmt[1], env, varargs, -1))
         elif op == "break":
             raise _Break()
+        elif op == "continue":
+            raise _Continue()
         elif op == "do":
             self.exec_block(stmt[1], _Env(env), varargs)
         else:                                         # pragma: no cover
@@ -927,6 +1143,14 @@ class Interpreter:
             left = self.eval(e[2], env, varargs)
             right = self.eval(e[3], env, varargs)
             return self.binop(e[1], left, right)
+        if op == "interp":
+            # Luau interpolated string: tostring each value part (respects
+            # __tostring, like Luau's string interpolation).
+            out = []
+            for kind, val in e[1]:
+                out.append(val if kind == "str"
+                           else self.tostring(self.eval(val, env, varargs)))
+            return "".join(out)
         if op == "table":
             _, array_items, pairs = e
             t = LuaTable()

@@ -48,12 +48,45 @@ MAX_OB_EVENT_LISTENS = 32     # SubstrataLuaVM MAX_NUM_OB_EVENT_LISTENS
 DEFAULT_BUDGET = 2_000_000
 
 
+# Shared metatable for vector values: Vec3f/Vec3d results support + - *
+# (scalar or componentwise) like the reference's Luau Vec3 classes
+# (SubstrataLuaVM.cpp vector metamethods; used by the example corpus:
+# `ob:moveTo(ob.pos + Vec3d(10,0,0), ...)`).
+_VEC3_MT = LuaTable()
+
+
+def _vec_xyz(v):
+    if isinstance(v, LuaTable):
+        return (float(v.get("x") or 0.0), float(v.get("y") or 0.0),
+                float(v.get("z") or 0.0))
+    f = float(v)
+    return (f, f, f)
+
+
+def _vec_binop(fn):
+    def op(ip, args):
+        a, b = _vec_xyz(args[0]), _vec_xyz(args[1])
+        return vec3_table([fn(a[0], b[0]), fn(a[1], b[1]), fn(a[2], b[2])])
+    return op
+
+
+_VEC3_MT.set("__add", _vec_binop(lambda a, b: a + b))
+_VEC3_MT.set("__sub", _vec_binop(lambda a, b: a - b))
+_VEC3_MT.set("__mul", _vec_binop(lambda a, b: a * b))
+_VEC3_MT.set("__div", _vec_binop(lambda a, b: a / b if b else math.inf))
+_VEC3_MT.set("__unm", lambda ip, args: vec3_table(
+    [-c for c in _vec_xyz(args[0])]))
+_VEC3_MT.set("__tostring", lambda ip, args: "({}, {}, {})".format(
+    *_vec_xyz(args[0])))
+
+
 def vec3_table(v) -> LuaTable:
     t = LuaTable()
     a = np.asarray(v, np.float64).reshape(-1)
     t.set("x", float(a[0]))
     t.set("y", float(a[1]) if len(a) > 1 else 0.0)
     t.set("z", float(a[2]) if len(a) > 2 else 0.0)
+    t.metatable = _VEC3_MT
     return t
 
 
@@ -103,7 +136,8 @@ _WRITABLE = {
     "collidable": bool, "dynamic": bool, "sensor": bool,
     "angle": float,
 }
-_VEC3_FIELDS = {"pos", "axis", "scale", "centre_of_mass_offset_os"}
+_VEC3_FIELDS = {"pos", "axis", "scale", "centre_of_mass_offset_os",
+                "linear_velocity"}   # avatar jump pads write this
 
 
 class LuaScriptEvaluator:
@@ -124,6 +158,33 @@ class LuaScriptEvaluator:
         self.interp = Interpreter(budget=budget)
         self._install_api()
         self.interp.run(src)
+        self._register_global_handlers()
+
+    # Event-handler functions defined at script top level implicitly listen
+    # on the script's own object (LuaScriptEvaluator.cpp:93-160: "Event
+    # handling functions defined in this way basically do implicit
+    # addEventListener() calls").
+    _GLOBAL_HANDLER_EVENTS = (
+        ("onUserTouchedObject", "on_user_touched_object"),
+        ("onUserUsedObject", "on_user_used_object"),
+        ("onUserMovedNearToObject", "on_user_moved_near_to_object"),
+        ("onUserMovedAwayFromObject", "on_user_moved_away_from_object"),
+        ("onUserEnteredParcel", "on_user_entered_parcel"),
+        ("onUserExitedParcel", "on_user_exited_parcel"),
+        ("onUserEnteredVehicle", "on_user_entered_vehicle"),
+        ("onUserExitedVehicle", "on_user_exited_vehicle"),
+    )
+
+    def _register_global_handlers(self):
+        if self.this_object is None or self.vm is None:
+            return
+        uid = int(getattr(self.this_object, "uid", 0) or 0)
+        h = self.vm.handlers_for(uid)
+        for lua_name, attr in self._GLOBAL_HANDLER_EVENTS:
+            fn = self.interp.globals.get(lua_name)
+            if fn is not None:
+                getattr(h, attr).add(
+                    lambda *a, fn=fn: self.call_handler(fn, *a))
 
     # ------------------------------------------------------------------
     # Engine -> script event dispatch
@@ -185,12 +246,37 @@ class LuaScriptEvaluator:
                 return lambda ip2, a: float(len(getattr(ob, "materials", []) or []))
             if key == "getMaterial":
                 def _get_mat(ip2, a):
+                    # 0-based like the reference (the example corpus calls
+                    # ob:getMaterial(0) for the first material).
                     mats = getattr(ob, "materials", []) or []
-                    i = int(ip2.tonum(a[1])) - 1
+                    i = int(ip2.tonum(a[1]))
                     if 0 <= i < len(mats):
                         return ev.make_material_proxy(ob, mats[i])
                     return None
                 return _get_mat
+            if key == "moveTo":
+                # ob:moveTo(pos, duration) — eased kinematic move (the
+                # reference's moveTo path, Protocol ObjectMoveToTarget);
+                # routed to the host's moveTo controller hook.
+                def _move_to(ip2, a):
+                    hook = (getattr(ev.vm.world, "move_to", None)
+                            if ev.vm and ev.vm.world else None)
+                    pos = table_to_vec3(a[1])
+                    dur = float(ip2.tonum(a[2])) if len(a) > 2 else 1.0
+                    if hook is not None:
+                        hook(getattr(ob, "uid", 0), pos, dur)
+                return _move_to
+            if key == "rotateTo":
+                # ob:rotateTo(axis, angle, duration)
+                def _rotate_to(ip2, a):
+                    hook = (getattr(ev.vm.world, "rotate_to", None)
+                            if ev.vm and ev.vm.world else None)
+                    axis = table_to_vec3(a[1])
+                    angle = float(ip2.tonum(a[2])) if len(a) > 2 else 0.0
+                    dur = float(ip2.tonum(a[3])) if len(a) > 3 else 1.0
+                    if hook is not None:
+                        hook(getattr(ob, "uid", 0), axis, angle, dur)
+                return _rotate_to
             if key == "playAudio":
                 def _play(ip2, a):
                     hook = getattr(ev.vm.world, "play_audio", None) if ev.vm and ev.vm.world else None
@@ -214,7 +300,17 @@ class LuaScriptEvaluator:
                     return float(hook(getattr(ob, "uid", 0), lua_to_python(a[1]))) if hook else -1.0
                 return _animidx
             if isinstance(key, str) and hasattr(ob, key):
-                return python_to_lua(getattr(ob, key))
+                v = getattr(ob, key)
+                # Engine entities (e.g. av.vehicle_inside -> a WorldObject)
+                # come back as proxies, matching the reference's
+                # pushWorldObjectTableOntoStack for nested references.
+                if (v is not None and not isinstance(v, (bool, int, float,
+                                                         str, bytes, dict,
+                                                         list, tuple,
+                                                         np.ndarray))
+                        and hasattr(v, "uid")):
+                    return ev.make_object_proxy(v)
+                return python_to_lua(v)
             return None
 
         def _newindex(ip, args):
@@ -404,6 +500,39 @@ class LuaScriptEvaluator:
                 "onDone": _opt(args, 4), "onError": _opt(args, 5),
             })
         G.set("doHTTPPostRequestAsync", _http_post)
+
+        # Vec3f / Vec3d constructors (SubstrataLuaVM.cpp Vec3 classes; the
+        # engine stores doubles for positions — both map to the same
+        # metatabled {x, y, z}).
+        def _vec3(ip, args):
+            return vec3_table([float(ip.tonum(a)) for a in args[:3]]
+                              if args else [0.0, 0.0, 0.0])
+        G.set("Vec3f", _vec3)
+        G.set("Vec3d", _vec3)
+        G.set("Vec2f", _vec3)   # z defaults 0
+        G.set("Vec4f", _vec3)   # w dropped (scripts only read xyz)
+
+        # Luau `buffer` library subset: the corpus uses
+        # buffer.tostring(res.body_data) on HTTP responses.  Buffers are
+        # Python bytes on the host side.
+        buf_lib = LuaTable()
+
+        def _buf_tostring(ip, args):
+            b = args[0]
+            if isinstance(b, (bytes, bytearray)):
+                return bytes(b).decode("utf-8", "replace")
+            return ip.tostring(b)
+        buf_lib.set("tostring", _buf_tostring)
+
+        def _buf_fromstring(ip, args):
+            return str(args[0]).encode("utf-8")
+        buf_lib.set("fromstring", _buf_fromstring)
+
+        def _buf_len(ip, args):
+            return float(len(args[0])) if isinstance(
+                args[0], (bytes, bytearray)) else 0.0
+        buf_lib.set("len", _buf_len)
+        G.set("buffer", buf_lib)
 
 
 def _opt(args, i):

@@ -81,20 +81,28 @@ def build():
     if viewer.world_state.num_objects() < N_OBJECTS:
         raise RuntimeError(
             f"replication stalled at {viewer.world_state.num_objects()}")
+    print(f"# replicated {viewer.world_state.num_objects()} objects",
+          file=sys.stderr, flush=True)
     # Now load the replicated objects into the physics world in one pass.
     t0 = time.time()
-    for _ in range(10):
+    for i in range(10):
         app.timer_event(1 / TICK_HZ)
+        print(f"# load tick {i}: {len(app.objects)} objects, "
+              f"{time.time()-t0:.1f} s", file=sys.stderr, flush=True)
     print(f"# loaded {len(app.objects)} objects in {time.time()-t0:.1f} s",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
     return server, sender, viewer, app
 
 
 def main():
     server, sender, viewer, app = build()
     # Warm: let object loading + first compiles happen outside the window.
-    for _ in range(60):
+    t0 = time.time()
+    for i in range(60):
         app.timer_event(1 / TICK_HZ)
+        if i % 10 == 0:
+            print(f"# warm tick {i}: {time.time()-t0:.1f} s",
+                  file=sys.stderr, flush=True)
 
     # Sender streams snapshots for its dynamic objects (10 Hz per object, in
     # slices like the reference's send pass).
