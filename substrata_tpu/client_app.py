@@ -692,18 +692,30 @@ class ClientApp:
 
     def _readback_active_objects(self, global_time):
         """Step 6: push simulated transforms to world objects + audio; stage
-        snapshots for objects we own."""
+        snapshots for objects we own.
+
+        Per-object work here runs for EVERY non-static object EVERY tick —
+        at reference scale (12k-object world, README.md:42) this loop is
+        the client tick's hot host path, so: pose composition is skipped
+        for offset-free shapes (the common case), and no jnp touches
+        (each un-jitted device op costs a remote round trip; r4 measured
+        78 s/tick at 12k objects before these rules)."""
         my_uid = self.client.avatar_uid if self.client is not None else 0
+        push_audio = self.audio is not None
         for ob in self.objects.values():
             phys = ob.physics_object
             if phys is None or phys.motion_type == int(MotionType.STATIC):
                 continue
-            mesh_pos, mesh_rot = phys.shape.mesh_pose_from_body(phys.pos, phys.rot)
-            ob.pos = np.asarray(mesh_pos, np.float64)
+            if phys.shape.pose_is_identity():
+                mesh_pos, mesh_rot = phys.pos, phys.rot
+            else:
+                mesh_pos, mesh_rot = phys.shape.mesh_pose_from_body(
+                    phys.pos, phys.rot)
+            ob.pos = mesh_pos
             ob.set_rotation_quat(mesh_rot)
             ob.linear_vel = phys.linvel
             ob.angular_vel = phys.angvel
-            if ob.audio_source is not None and self.audio is not None:
+            if push_audio and ob.audio_source is not None:
                 ob.audio_source.pos = np.asarray(phys.pos, np.float32)
                 ob.audio_source.vel = np.asarray(phys.linvel, np.float32)
                 self.audio.source_position_updated(ob.audio_source)
@@ -739,11 +751,19 @@ class ClientApp:
                     continue
                 if not local.is_dynamic():
                     continue
-                slot = ws.slot_for(uid)
-                if ws.ownership.owned_by(slot, my_uid, global_time):
-                    continue
                 uids.append(uid)
-                slots.append(slot)
+                slots.append(ws.slot_for(uid))
+        if slots:
+            # Vectorised not-owned-by-me filter (owned_by per slot is a
+            # Python call per object — this path scans every replicated
+            # dynamic object every tick).
+            sl = np.asarray(slots)
+            own = ws.ownership
+            mine = ((own.owner_id[sl] == my_uid)
+                    & ((global_time - own.change_time[sl]) <= OWNERSHIP_PERIOD))
+            keep = np.nonzero(~mine)[0]
+            uids = [uids[int(k)] for k in keep]
+            slots = [slots[int(k)] for k in keep]
         if slots:
             idx = np.array(slots)
             due, pos, rot, lv, av = ws.snapshots.due_physics_snapshots(idx, global_time)

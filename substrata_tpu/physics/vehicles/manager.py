@@ -54,6 +54,54 @@ VEHICLE_HOVER = 3
 
 MAX_WHEELS = 4
 
+# --- Drivetrain constants (Jolt 5.3 defaults: the reference builds its
+# WheeledVehicleController with default engine curve / transmission /
+# differential settings and only overrides MaxTorque + MaxRPM,
+# CarPhysics.cpp:188-216) ---
+GEAR_RATIOS = np.array([2.66, 1.78, 1.30, 1.0, 0.74], np.float32)
+REVERSE_GEAR_RATIO = -2.90
+DIFF_RATIO = 3.42              # VehicleDifferentialSettings::mDifferentialRatio
+LEFT_RIGHT_SPLIT = 0.5         # open differential torque split
+SHIFT_UP_RPM = 4000.0          # VehicleTransmissionSettings::mShiftUpRPM
+SHIFT_DOWN_RPM = 2000.0
+SHIFT_SWITCH_TIME = 0.5        # clutch disengaged while shifting (s)
+ENGINE_MIN_RPM = 1000.0
+# Bike drivetrain is HARDCODED in the reference regardless of script
+# settings (BikePhysics.cpp:211-222): 390 Nm engine ("approximately the
+# smallest value that allows wheelies"), 10000 max RPM, 6 bicycle-derived
+# gear ratios, 9000/5000 shift points, 0.2 s switch time.
+BIKE_ENGINE_TORQUE = 390.0
+BIKE_ENGINE_MAX_RPM = 10000.0
+BIKE_GEAR_RATIOS = np.array([2.27, 1.63, 1.30, 1.09, 0.96, 0.88], np.float32)
+BIKE_SHIFT_UP_RPM = 9000.0
+BIKE_SHIFT_DOWN_RPM = 5000.0
+BIKE_SHIFT_SWITCH_TIME = 0.2
+# Car gear table padded to the bike table's length so the per-type select
+# is a where over two same-shape constants.
+_CAR_GEARS_PAD = np.array([2.66, 1.78, 1.30, 1.0, 0.74, 0.74], np.float32)
+# Normalised engine torque curve points (VehicleEngineSettings default):
+# fraction-of-max-RPM -> torque fraction.
+ENGINE_CURVE_X = np.array([0.0, 0.66, 1.0], np.float32)
+ENGINE_CURVE_Y = np.array([0.8, 1.0, 0.8], np.float32)
+# Longitudinal slip-ratio friction curve Y values (WheelSettingsWV
+# default: peak 1.2 near 6% slip, sliding 1.0 past 20%); the script's
+# longitudinal_friction_factor scales these (CarPhysics.cpp:177-180).
+LONG_MU_PEAK = 1.2
+LONG_MU_SLIDE = 1.0
+# Bike tyres use ABSOLUTE longitudinal curve values 15/8/3
+# (BikePhysics.cpp:184-187 overwrites the points), modelled two-regime as
+# peak 8 (the optimal-slip point) / slide 3, and lateral default curve
+# scaled by (5, 3, 2) (BikePhysics.cpp:189-191).
+BIKE_LONG_MU_PEAK = 8.0
+BIKE_LONG_MU_SLIDE = 3.0
+# Lateral slip-angle curve (degrees -> mu), scaled by
+# lateral_friction_factor (CarPhysics.cpp:182-185).
+LAT_CURVE_DEG = np.array([0.0, 3.0, 20.0], np.float32)
+LAT_CURVE_MU = np.array([0.0, 1.2, 1.0], np.float32)
+BIKE_LAT_CURVE_MU = np.array([0.0, 3.6, 2.0], np.float32)
+WHEEL_INERTIA = 0.9            # WheelSettings::mInertia default (kg m^2)
+RPM_PER_RAD_S = 60.0 / (2.0 * np.pi)
+
 
 @dataclass
 class VehicleSettings:
@@ -75,11 +123,15 @@ class VehicleSettings:
     suspension_spring_freq: float = 2.0     # Hz (Jolt default 1.5-2)
     suspension_spring_damping: float = 0.5  # damping ratio
     max_steering_angle: float = 0.6         # rad
-    engine_max_torque: float = 500.0        # Nm at the wheel
+    engine_max_torque: float = 500.0        # Nm at the crank (Scripting.cpp:339)
+    engine_max_rpm: float = 6000.0          # rev limit (Scripting.cpp:340)
     max_brake_torque: float = 1500.0
     max_handbrake_torque: float = 4000.0
-    longitudinal_friction_factor: float = 1.2
-    lateral_friction_factor: float = 1.2
+    # Friction-curve SCALE FACTORS (CarPhysics.cpp:177-185 multiplies the Y
+    # values of Jolt's default slip curves by these; 1.0 = stock tyres,
+    # Scripting.cpp:346-347 defaults).
+    longitudinal_friction_factor: float = 1.0
+    lateral_friction_factor: float = 1.0
     steering_relax_rate: float = 3.0        # rad/s (CarPhysics steering relax)
     # Bike
     lean_spring: float = 30.0
@@ -111,6 +163,7 @@ class VehicleArrays:
     spring_damping: jnp.ndarray   # [V]
     max_steer: jnp.ndarray        # [V]
     engine_torque: jnp.ndarray    # [V]
+    engine_max_rpm: jnp.ndarray   # [V]
     brake_torque: jnp.ndarray     # [V]
     handbrake_torque: jnp.ndarray  # [V]
     mu_long: jnp.ndarray          # [V]
@@ -132,6 +185,9 @@ class VehicleArrays:
     unflip_time: jnp.ndarray      # [V] unflip window remaining
     righting_active: jnp.ndarray  # [V] bool
     wheel_contact: jnp.ndarray    # [V, 4] bool (for particles/audio)
+    gear: jnp.ndarray             # [V] i32 current forward gear (0-based)
+    shift_timer: jnp.ndarray      # [V] f32 clutch-disengaged time left
+    engine_rpm: jnp.ndarray       # [V] f32 (drives engine-audio pitch)
 
 
 def zero_vehicles(capacity: int = 32) -> VehicleArrays:
@@ -150,10 +206,11 @@ def zero_vehicles(capacity: int = 32) -> VehicleArrays:
         spring_damping=jnp.full((v,), 0.5, f),
         max_steer=jnp.full((v,), 0.6, f),
         engine_torque=jnp.full((v,), 500.0, f),
+        engine_max_rpm=jnp.full((v,), 6000.0, f),
         brake_torque=jnp.full((v,), 1500.0, f),
         handbrake_torque=jnp.full((v,), 4000.0, f),
-        mu_long=jnp.full((v,), 1.2, f),
-        mu_lat=jnp.full((v,), 1.2, f),
+        mu_long=jnp.full((v,), 1.0, f),
+        mu_lat=jnp.full((v,), 1.0, f),
         steer_relax=jnp.full((v,), 3.0, f),
         lean_spring=jnp.full((v,), 30.0, f),
         lean_damping=jnp.full((v,), 8.0, f),
@@ -170,6 +227,9 @@ def zero_vehicles(capacity: int = 32) -> VehicleArrays:
         unflip_time=jnp.zeros((v,), f),
         righting_active=jnp.zeros((v,), bool),
         wheel_contact=jnp.zeros((v, 4), bool),
+        gear=jnp.zeros((v,), jnp.int32),
+        shift_timer=jnp.zeros((v,), f),
+        engine_rpm=jnp.full((v,), ENGINE_MIN_RPM, f),
     )
 
 
@@ -240,11 +300,12 @@ def _vehicle_update_one(vt, active, body_pos, body_quat, body_lin, body_ang,
                         inp_brake, inp_handbrake,
                         y_fwd_quat, wheel_attach, wheel_radius, n_wheels,
                         sus_min, sus_max, spring_freq, spring_damping,
-                        max_steer, engine_torque, brake_torque, handbrake_torque,
+                        max_steer, engine_torque, engine_max_rpm,
+                        brake_torque, handbrake_torque,
                         mu_long, mu_lat, steer_relax, lean_spring, lean_damping,
                         thrust_force, propellor_os, rudder_factor, thrust_lateral,
                         areas, steering, prev_sus_len, wheel_omega, wheel_rot,
-                        unflip_time, righting_active,
+                        unflip_time, righting_active, gear, shift_timer,
                         wheel_hit_t, wheel_hit_n, wheel_hit_ok,
                         water_z, dt):
     """Per-vehicle force computation (scalar over one vehicle; vmapped).
@@ -320,12 +381,75 @@ def _vehicle_update_one(vt, active, body_pos, body_quat, body_lin, body_ang,
     v_long = jnp.sum(v_cp * wfl, -1)
     v_lat = jnp.sum(v_cp * wlat, -1)
 
-    # Drive / brake forces (engine torque / wheel radius on driven wheels).
-    driven = jnp.where(vt == VEHICLE_BIKE, wheel_idx == 1, wheel_on)
-    f_drive = jnp.where(driven & hit, inp_fwd * engine_torque / wheel_radius, 0.0)
-    braking = inp_brake | (jnp.abs(inp_fwd) < 0.01)
+    # --- Drivetrain: engine curve -> auto transmission -> differential
+    # (CarPhysics.cpp:188-216; Jolt 5.3 default ratios/curves, module
+    # constants above).  Front-wheel drive for cars (mDifferentials[0] =
+    # wheels 0,1, CarPhysics.cpp:195-198); rear wheel for bikes. ---
+    driven = jnp.where(vt == VEHICLE_BIKE, wheel_idx == 1, wheel_idx < 2)
+    # Transmission sees the CHASSIS forward speed through the ratio, not
+    # spun-up wheel omega or contact-point velocity — wheelspin (or
+    # suspension-settle pitch bounce at the contact offsets) feeding the
+    # shift logic causes phantom upshift/clutch-out/downshift cycling;
+    # Jolt avoids it with a separate clutch-coupled engine ODE, we avoid
+    # it kinematically.
+    speed_fwd_body = jnp.sum(body_lin * fwd_w)
+    omega_avg = jnp.abs(speed_fwd_body) / wheel_radius
+    in_reverse = (inp_fwd < -0.01) & (speed_fwd_body < 0.5)
+    # Reverse input while rolling forward = brake, not reverse drive.
+    brake_from_input = (inp_fwd < -0.01) & (speed_fwd_body >= 0.5)
+
+    # Per-type transmission constants (the bike table is hardcoded in the
+    # reference, BikePhysics.cpp:218-222).
+    is_bike = vt == VEHICLE_BIKE
+    gear_table = jnp.where(is_bike, jnp.asarray(BIKE_GEAR_RATIOS),
+                           jnp.asarray(_CAR_GEARS_PAD))
+    max_gear = jnp.where(is_bike, BIKE_GEAR_RATIOS.shape[0] - 1,
+                         GEAR_RATIOS.shape[0] - 1)
+    shift_up_rpm = jnp.where(is_bike, BIKE_SHIFT_UP_RPM, SHIFT_UP_RPM)
+    shift_down_rpm = jnp.where(is_bike, BIKE_SHIFT_DOWN_RPM, SHIFT_DOWN_RPM)
+    switch_time = jnp.where(is_bike, BIKE_SHIFT_SWITCH_TIME, SHIFT_SWITCH_TIME)
+
+    ratio_fwd = jnp.sum(jax.nn.one_hot(gear, BIKE_GEAR_RATIOS.shape[0])
+                        * gear_table)             # no dynamic [ax] under vmap
+    ratio = jnp.where(in_reverse, REVERSE_GEAR_RATIO, ratio_fwd) * DIFF_RATIO
+    rpm_raw = jnp.abs(omega_avg) * jnp.abs(ratio) * RPM_PER_RAD_S
+    new_rpm = jnp.clip(rpm_raw, ENGINE_MIN_RPM, engine_max_rpm)
+
+    # Auto shift with clutch time (mShiftUpRPM/mShiftDownRPM/mSwitchTime).
+    can_shift = shift_timer <= 0.0
+    shift_up = (can_shift & ~in_reverse & (rpm_raw > shift_up_rpm)
+                & (gear < max_gear))
+    shift_down = can_shift & ~in_reverse & (rpm_raw < shift_down_rpm) & (gear > 0)
+    new_gear = gear + shift_up.astype(jnp.int32) - shift_down.astype(jnp.int32)
+    new_shift_timer = jnp.where(shift_up | shift_down, switch_time,
+                                jnp.maximum(shift_timer - dt, 0.0))
+    clutch_engaged = shift_timer <= 0.0
+
+    throttle = jnp.abs(inp_fwd)
+    t_norm = jnp.interp(new_rpm / jnp.maximum(engine_max_rpm, 1.0),
+                        jnp.asarray(ENGINE_CURVE_X), jnp.asarray(ENGINE_CURVE_Y))
+    t_norm = jnp.where(rpm_raw >= engine_max_rpm, 0.0, t_norm)  # rev limiter
+    t_engine = engine_torque * t_norm * throttle
+    # Per driven wheel: crank torque through gear+diff, split left/right.
+    t_wheel = t_engine * ratio * jnp.where(vt == VEHICLE_BIKE, 1.0,
+                                           LEFT_RIGHT_SPLIT)
+    driving = clutch_engaged & ~brake_from_input & (throttle > 0.01)
+    f_drive = jnp.where(driven & hit & driving, t_wheel / wheel_radius, 0.0)
+
+    # Brakes only on brake input (space; CarPhysics.cpp:312 — releasing
+    # the throttle does NOT brake).  Coasting applies engine braking
+    # through the drivetrain instead: drag torque = engine angular damping
+    # x engine inertia x engine omega (Jolt VehicleEngineSettings defaults
+    # 0.2 / 0.5), through the gear ratio to the driven wheels.
+    braking = inp_brake | brake_from_input
+    coasting = (jnp.abs(inp_fwd) < 0.01) & clutch_engaged
+    engine_omega = new_rpm / RPM_PER_RAD_S
+    f_eng_brake_cap = jnp.where(driven & coasting,
+                                0.2 * 0.5 * engine_omega * jnp.abs(ratio)
+                                / wheel_radius, 0.0)
     f_brake_cap = jnp.where(inp_handbrake & (wheel_idx >= 2), handbrake_torque,
-                            jnp.where(braking, brake_torque * 0.3, 0.0)) / wheel_radius
+                            jnp.where(braking, brake_torque, 0.0)) / wheel_radius
+    f_brake_cap = f_brake_cap + f_eng_brake_cap
     # Brake force opposes rolling, capped so it kills v_long at most.
     f_brake = -jnp.sign(v_long) * jnp.minimum(f_brake_cap,
                                               jnp.abs(v_long) * m_quarter / dt)
@@ -333,11 +457,24 @@ def _vehicle_update_one(vt, active, body_pos, body_quat, body_lin, body_ang,
     # Lateral: impulse to kill sideways contact velocity.
     f_lat_want = -v_lat * m_quarter / dt
 
-    # Friction circle clamp.
-    f_long_max = mu_long * load
-    f_lat_max = mu_lat * load
+    # --- Tyre friction curves (WheelSettingsWV defaults, Y values scaled
+    # by the script factors — CarPhysics.cpp:177-185).  Longitudinal:
+    # two-regime slip-ratio curve (peak grip 1.2 until demand exceeds it,
+    # then sliding at 1.0); lateral: slip-angle curve in degrees. ---
+    mu_pk = jnp.where(is_bike, BIKE_LONG_MU_PEAK, LONG_MU_PEAK * mu_long)
+    mu_sl = jnp.where(is_bike, BIKE_LONG_MU_SLIDE, LONG_MU_SLIDE * mu_long)
+    f_peak = mu_pk * load
+    f_slide = mu_sl * load
+    spinning = jnp.abs(f_long_want) > f_peak
+    f_long_max = jnp.where(spinning, f_slide, f_peak)
     f_long = jnp.clip(f_long_want, -f_long_max, f_long_max)
-    f_lat = jnp.clip(f_lat_want, -f_lat_max, f_lat_max)
+    slip_angle_deg = jnp.degrees(jnp.arctan2(
+        jnp.abs(v_lat), jnp.maximum(jnp.abs(v_long), 0.3)))
+    lat_mu_curve = jnp.where(is_bike, jnp.asarray(BIKE_LAT_CURVE_MU),
+                             jnp.asarray(LAT_CURVE_MU) * mu_lat)
+    mu_lat_eff = jnp.interp(slip_angle_deg, jnp.asarray(LAT_CURVE_DEG),
+                            lat_mu_curve)
+    f_lat = jnp.clip(f_lat_want, -mu_lat_eff * load, mu_lat_eff * load)
 
     def wheel_forces(dv, dw):
         for wi in range(MAX_WHEELS):
@@ -435,14 +572,26 @@ def _vehicle_update_one(vt, active, body_pos, body_quat, body_lin, body_ang,
                                    inv_inertia_w, y_fwd_quat, dt)
     dw = dw + jnp.where(righting_active & is_wheeled, dw_right, 0.0)
 
-    # Wheel spin state for graphics/audio (roll rate from ground speed).
-    new_omega = jnp.where(hit, v_long / wheel_radius, wheel_omega * 0.95)
+    # Wheel spin state: rolls with the ground while gripping; spins up from
+    # excess drive torque past the friction peak (wheelspin); relaxes in
+    # the air.  Capped at the rev limit through the current total ratio.
+    excess_tau = jnp.maximum(jnp.abs(f_long_want) - f_slide, 0.0) * wheel_radius
+    omega_spin = wheel_omega + jnp.sign(f_long_want) * excess_tau / WHEEL_INERTIA * dt
+    omega_cap = (engine_max_rpm / RPM_PER_RAD_S) / jnp.maximum(jnp.abs(ratio), 0.1)
+    omega_spin = jnp.clip(omega_spin, -omega_cap, omega_cap)
+    new_omega = jnp.where(hit & spinning & driven, omega_spin,
+                          jnp.where(hit, v_long / wheel_radius,
+                                    wheel_omega * 0.95))
     new_rot = wheel_rot + new_omega * dt
+    new_gear = jnp.where(is_wheeled & active, new_gear, gear)
+    new_shift_timer = jnp.where(is_wheeled, new_shift_timer, shift_timer)
+    new_rpm = jnp.where(is_wheeled, new_rpm, 0.0)
 
     gate = active | (vt == VEHICLE_HOVER) | is_wheeled  # wheels settle even riderless
     dv = jnp.where(gate, dv, 0.0)
     dw = jnp.where(gate, dw, 0.0)
-    return (dv, dw, new_steering, sus_len, new_omega, new_rot, new_unflip, hit)
+    return (dv, dw, new_steering, sus_len, new_omega, new_rot, new_unflip,
+            hit, new_gear, new_shift_timer, new_rpm)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -485,25 +634,29 @@ def vehicles_update(veh: VehicleArrays, inputs: VehicleInputs, body: BodyState,
     hit_n = hits.normal.reshape(v, 4, 3)
     hit_ok = hits.hit.reshape(v, 4) & has_body[:, None]
 
-    outs = jax.vmap(_vehicle_update_one, in_axes=tuple([0] * 44 + [None, None]))(
+    outs = jax.vmap(_vehicle_update_one, in_axes=tuple([0] * 47 + [None, None]))(
         veh.vtype, veh.active, pos, quat, lin, ang, mass, iw,
         inputs.forward, inputs.right, inputs.up, inputs.brake, inputs.handbrake,
         veh.y_fwd_quat, veh.wheel_attach, veh.wheel_radius, veh.n_wheels,
         veh.sus_min, veh.sus_max, veh.spring_freq, veh.spring_damping,
-        veh.max_steer, veh.engine_torque, veh.brake_torque, veh.handbrake_torque,
+        veh.max_steer, veh.engine_torque, veh.engine_max_rpm,
+        veh.brake_torque, veh.handbrake_torque,
         veh.mu_long, veh.mu_lat, veh.steer_relax, veh.lean_spring, veh.lean_damping,
         veh.thrust_force, veh.propellor_os, veh.rudder_factor, veh.thrust_lateral,
         veh.areas, veh.steering, veh.prev_sus_len, veh.wheel_omega, veh.wheel_rot,
-        veh.unflip_time, veh.righting_active,
+        veh.unflip_time, veh.righting_active, veh.gear, veh.shift_timer,
         hit_t, hit_n, hit_ok,
         params.water_z, dt)
-    dv, dw, steering, sus_len, omega, rot, unflip, contact = outs
+    (dv, dw, steering, sus_len, omega, rot, unflip, contact, gear,
+     shift_timer, engine_rpm) = outs
     ok = has_body[:, None]
     dv = jnp.where(ok, dv, 0.0)
     dw = jnp.where(ok, dw, 0.0)
     new_veh = veh.replace(steering=steering, prev_sus_len=sus_len,
                           wheel_omega=omega, wheel_rot=rot,
-                          unflip_time=unflip, wheel_contact=contact)
+                          unflip_time=unflip, wheel_contact=contact,
+                          gear=gear, shift_timer=shift_timer,
+                          engine_rpm=engine_rpm)
     return new_veh, dv, dw, veh.body_slot
 
 
@@ -554,6 +707,7 @@ class VehicleManager:
             spring_damping=self.veh.spring_damping.at[i].set(s.suspension_spring_damping),
             max_steer=self.veh.max_steer.at[i].set(s.max_steering_angle),
             engine_torque=self.veh.engine_torque.at[i].set(s.engine_max_torque),
+            engine_max_rpm=self.veh.engine_max_rpm.at[i].set(s.engine_max_rpm),
             brake_torque=self.veh.brake_torque.at[i].set(s.max_brake_torque),
             handbrake_torque=self.veh.handbrake_torque.at[i].set(s.max_handbrake_torque),
             mu_long=self.veh.mu_long.at[i].set(s.longitudinal_friction_factor),
@@ -686,6 +840,15 @@ class CarPhysics(VehiclePhysicsBase):
 
 class BikePhysics(VehiclePhysicsBase):
     vehicle_type = VEHICLE_BIKE
+
+    def __init__(self, manager, body_ob, settings=None):
+        # The reference hardcodes the bike engine regardless of script
+        # settings (BikePhysics.cpp:211-213): 390 Nm ("approximately the
+        # smallest value that allows wheelies"), 10000 max RPM.
+        settings = settings or VehicleSettings(vehicle_type=VEHICLE_BIKE)
+        settings.engine_max_torque = BIKE_ENGINE_TORQUE
+        settings.engine_max_rpm = BIKE_ENGINE_MAX_RPM
+        super().__init__(manager, body_ob, settings)
 
 
 class BoatPhysics(VehiclePhysicsBase):
