@@ -98,7 +98,24 @@ def scene_hull_on_hull():
     return [lo, hi], 200
 
 
+def scene_box_across_ridge():
+    # Edge-regime oracle scene (VERDICT r3 item 6): a heavy wedge (a cube
+    # rotated 45 deg about y, resting on its edge with the opposite edge
+    # up as a ridge along y) and a long slab dropped centered across the
+    # ridge.  The slab-wedge contact is the slab's bottom FACE against the
+    # wedge's top EDGE — no corner of either box inside the other, so the
+    # vertex-face manifold alone finds nothing; this is the classic
+    # edge-contact divergence case.
+    wedge = G.make_box_body([0.5, 0.5, 0.5], [0, 0, np.sqrt(2) * 0.5],
+                            density=4000.0)
+    s, c = np.sin(np.pi / 8), np.cos(np.pi / 8)
+    wedge.quat = np.array([0.0, s, 0.0, c])   # 45 deg about y
+    slab = G.make_box_body([0.8, 0.2, 0.05], [0, 0, 1.6])
+    return [wedge, slab], 240
+
+
 SCENES = {
+    "box_across_ridge": scene_box_across_ridge,
     "sphere_bounce": scene_sphere_bounce,
     "two_spheres": scene_two_spheres,
     "hull_drop": scene_hull_drop,

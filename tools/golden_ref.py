@@ -192,6 +192,137 @@ def _world_ends(b):
     return b.pos + (quat_to_mat(b.quat) @ b.verts.T).T
 
 
+def _box_edges(body):
+    """12 world-space edges of a box as (start [12,3], end [12,3])."""
+    r = quat_to_mat(body.quat)
+    he = body.half_extents
+    starts, ends = [], []
+    for ax in range(3):
+        u, v = (ax + 1) % 3, (ax + 2) % 3
+        for su in (-1, 1):
+            for sv in (-1, 1):
+                off = np.zeros(3)
+                off[u], off[v] = su * he[u], sv * he[v]
+                lo = off.copy()
+                hi = off.copy()
+                lo[ax], hi[ax] = -he[ax], he[ax]
+                starts.append(body.pos + r @ lo)
+                ends.append(body.pos + r @ hi)
+    return np.array(starts), np.array(ends)
+
+
+def _box_box_edge_contacts(bodies, i, j, margin):
+    """SAT edge-regime contacts for a box pair with NO contained corners:
+    full 15-axis SAT for the min-penetration axis; cross axis -> closest
+    points of the support edges; face axis -> the other box's support edge
+    clipped to the face rectangle (a box lying across another's edge)."""
+    a, b = bodies[i], bodies[j]
+    ra, rb = quat_to_mat(a.quat), quat_to_mat(b.quat)
+    d = a.pos - b.pos
+    axes = []
+    for k in range(3):
+        axes.append(("faceA", k, ra[:, k]))
+        axes.append(("faceB", k, rb[:, k]))
+    for u in range(3):
+        for v in range(3):
+            c = np.cross(ra[:, u], rb[:, v])
+            n = np.linalg.norm(c)
+            if n > 1e-6:
+                axes.append(("cross", (u, v), c / n))
+    best = None
+    for kind, which, L in axes:
+        proj_a = float(np.sum(a.half_extents * np.abs(ra.T @ L)))
+        proj_b = float(np.sum(b.half_extents * np.abs(rb.T @ L)))
+        overlap = proj_a + proj_b - abs(float(d @ L))
+        if overlap < -margin:
+            return []                       # separated
+        if best is None or overlap < best[0]:
+            best = (overlap, kind, which, L)
+    pen, kind, which, L = best
+    n = L if float(L @ d) >= 0 else -L      # points from j (b) to i (a)
+    out = []
+    if kind == "cross":
+        u, v = which
+        # Support edge of A along -n (nearest B), of B along +n.
+        off_a = np.zeros(3)
+        for k in range(3):
+            if k != u:
+                s = -np.sign(float(ra[:, k] @ n)) or 1.0
+                off_a[k] = s * a.half_extents[k]
+        off_b = np.zeros(3)
+        for k in range(3):
+            if k != v:
+                s = np.sign(float(rb[:, k] @ n)) or 1.0
+                off_b[k] = s * b.half_extents[k]
+        ca = a.pos + ra @ off_a
+        cb = b.pos + rb @ off_b
+        ea = ra[:, u] * a.half_extents[u]
+        eb = rb[:, v] * b.half_extents[v]
+        pa, pb = _closest_segment_segment(ca - ea, ca + ea, cb - eb, cb + eb)
+        out.append(_Contact(i, j, 0.5 * (pa + pb), n, pen,
+                            (i, j, 100 + 3 * u + v)))
+    else:
+        # Face regime without contained corners: an edge lies across the
+        # face.  Clip the incident box's support edge to the face rect.
+        if kind == "faceA":
+            fb, ob_, rf, ro = a, b, ra, rb     # face owner / other
+            fi, oi = i, j
+            n_face = n                          # outward from B toward A?
+        else:
+            fb, ob_, rf, ro = b, a, rb, ra
+            fi, oi = j, i
+        # Face normal oriented outward from the face owner toward the other.
+        n_out = L if float(L @ (ob_.pos - fb.pos)) >= 0 else -L
+        # Support EDGE of the other box along -n_out: the edge direction is
+        # the other box's axis most perpendicular to n_out among those
+        # whose sign is ambiguous; concretely pick the axis with the
+        # smallest |axis . n_out| and support-offset the other two.
+        dots = [abs(float(ro[:, k] @ n_out)) for k in range(3)]
+        eax = int(np.argmin(dots))
+        off = np.zeros(3)
+        for k in range(3):
+            if k != eax:
+                s = -np.sign(float(ro[:, k] @ n_out)) or 1.0
+                off[k] = s * ob_.half_extents[k]
+        ce = ob_.pos + ro @ off
+        ee = ro[:, eax] * ob_.half_extents[eax]
+        p0, p1 = ce - ee, ce + ee
+        # Clip segment to the face rectangle in the face owner's frame.
+        q0 = rf.T @ (p0 - fb.pos)
+        q1 = rf.T @ (p1 - fb.pos)
+        nl = rf.T @ n_out
+        fax = int(np.argmax(np.abs(nl)))
+        t0, t1 = 0.0, 1.0
+        for k in range(3):
+            if k == fax:
+                continue
+            lo, hi = -fb.half_extents[k], fb.half_extents[k]
+            dk = q1[k] - q0[k]
+            for bound, sign in ((lo, 1.0), (hi, -1.0)):
+                num = sign * (q0[k] - bound)
+                den = -sign * dk
+                if abs(den) < 1e-12:
+                    if num > 0:
+                        return out          # fully outside the face slab
+                else:
+                    t = num / den
+                    if den > 0:
+                        t0 = max(t0, t)
+                    else:
+                        t1 = min(t1, t)
+        if t0 > t1:
+            return out
+        face_h = fb.half_extents[fax]
+        for t in (t0, t1):
+            q = q0 + (q1 - q0) * t
+            p = float(face_h - abs(q[fax]))
+            if p > -margin:
+                pt = fb.pos + rf @ q
+                out.append(_Contact(oi, fi, pt, n_out, p,
+                                    (oi, fi, 200 + int(t * 100))))
+    return out
+
+
 def _collect_contacts(bodies, ground_z, margin=0.04):
     contacts = []
     for i, b in enumerate(bodies):
@@ -234,8 +365,8 @@ def _collect_contacts(bodies, ground_z, margin=0.04):
             elif a.half_extents is not None and b.half_extents is not None:
                 # Generic vertex-face manifold, both directions: corners of
                 # one box inside the other (covers aligned stacks AND
-                # rotated configurations; edge-edge regimes are outside
-                # this oracle's scope and excluded from golden scenes).
+                # rotated configurations).
+                n_before = len(contacts)
                 for (ai, bi) in ((i, j), (j, i)):
                     ba, bb = bodies[ai], bodies[bi]
                     ra = quat_to_mat(ba.quat)
@@ -254,6 +385,14 @@ def _collect_contacts(bodies, ground_z, margin=0.04):
                             contacts.append(_Contact(
                                 bi, ai, corners[k].copy(), n, pen,
                                 (bi, ai, int(k) + 1)))
+                # Edge regimes (VERDICT r3 item 6): when no corner is
+                # contained — a box resting across another's edge, or two
+                # edges crossing — the vertex-face pass finds nothing even
+                # though SAT overlaps.  Supplement with the SAT min-axis
+                # edge contact(s).
+                if len(contacts) == n_before:
+                    contacts.extend(_box_box_edge_contacts(
+                        bodies, i, j, margin))
             elif a.planes is not None and b.planes is not None:
                 # Hull-hull vertex-face manifold, both directions: each
                 # vertex of one hull tested against the other's face planes
