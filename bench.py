@@ -251,6 +251,15 @@ class RebuildScheduler:
 
 
 def main():
+    import sys
+
+    _T0 = time.perf_counter()
+
+    def mark(msg):
+        print(f"# bench: {msg} ({time.perf_counter() - _T0:.0f}s)",
+              file=sys.stderr, flush=True)
+
+    mark(f"devices: {jax.devices()}")
     from substrata_tpu.audio.mix import default_listener, mix_block
     from substrata_tpu.physics import broadphase
     from substrata_tpu.physics.character import character_update
@@ -353,10 +362,16 @@ def main():
         return out
 
     # Warm-up: compile all chunk variants + settle the dispatch queue.
+    # Progress marks go to stderr (the driver parses stdout's last line
+    # only) so a tunnel hang is distinguishable from a slow compile.
+    mark("warmup physics")
     drive(12)
+    mark("warmup physics+audio")
     drive(12, audio=True)
+    mark("warmup full tick")
     drive(12, audio=True, full=True)
     _ = float(np.asarray(state.pos)[0, 0])
+    mark("warmup done")
 
     # Window 1: physics only (continuity with rounds 1-2).
     chunks = 10 if _SMOKE else 40  # 120 ticks = two churn cycles timed
@@ -364,6 +379,7 @@ def main():
     drive(chunks)
     _ = float(np.asarray(state.pos)[0, 0])  # real sync
     phys_steps_per_sec = chunks * CHUNK / (time.perf_counter() - t0)
+    mark(f"window 1 done: {phys_steps_per_sec:.1f} steps/s")
 
     # Window 2: physics + audio (continuity with round 3).
     t0 = time.perf_counter()
@@ -371,6 +387,7 @@ def main():
     _ = float(np.asarray(state.pos)[0, 0])
     _ = float(np.asarray(out)[0, 0])
     pa_ticks_per_sec = chunks * CHUNK / (time.perf_counter() - t0)
+    mark(f"window 2 done: {pa_ticks_per_sec:.1f} ticks/s")
 
     # Window 3 (HEADLINE): the whole reference tick — vehicles + character
     # + physics + particles + Winter + audio (§3.1 order).

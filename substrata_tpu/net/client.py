@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from substrata_tpu.net import protocol as P
+from substrata_tpu.net import tls
 from substrata_tpu.net.snapshots import PhysicsOwnership, SnapshotRings
 from substrata_tpu.net.timesync import GlobalTimeSync
 from substrata_tpu.shared import guarded
@@ -127,7 +128,7 @@ class Client:
 
     def __init__(self, host: str, port: int, world_name: str = "",
                  capabilities: int = P.STREAMING_COMPRESSED_OBJECT_SUPPORT,
-                 tls_context=None, server_hostname: str | None = None,
+                 tls_context=tls.DEV_TLS, server_hostname: str | None = None,
                  sock=None):
         self.world_state = ClientWorldState()
         self.events = ClientEvents()
@@ -151,10 +152,13 @@ class Client:
         else:
             self.sock = socket.create_connection((host, port), timeout=5.0)
             self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            if tls_context is not None:
-                # TLS before the protocol handshake (reference: MySocket is
-                # wrapped in TLSSocket before CyberspaceHello is sent).
-                self.sock = tls_context.wrap_socket(
+            # TLS before the protocol handshake (reference: MySocket is
+            # wrapped in TLSSocket before CyberspaceHello is sent).  The
+            # DEFAULT is the dev-cert context (Server defaults to TLS too);
+            # tls_context=None is the explicit plaintext opt-out.
+            ctx = tls.resolve_client_context(tls_context)
+            if ctx is not None:
+                self.sock = ctx.wrap_socket(
                     self.sock, server_hostname=server_hostname or host)
         self.send_lock = threading.Lock()
         self._handshake(world_name, capabilities)
@@ -430,7 +434,11 @@ class Client:
     # ------------------------------------------------------------------
     def _read_loop(self):
         reader = P.MessageReader()
-        self.sock.settimeout(0.5)
+        try:
+            self.sock.settimeout(0.5)
+        except OSError:  # stop() closed the socket before the thread ran
+            self.connected = False
+            return
         while self.running:
             try:
                 data = self.sock.recv(65536)
@@ -741,9 +749,15 @@ class Client:
 # Dedicated resource-transfer connections (Protocol.h:70-76 connection types)
 # ---------------------------------------------------------------------------
 
-def _resource_handshake(host, port, conn_type, world_name=""):
+def _resource_handshake(host, port, conn_type, world_name="",
+                        tls_context=tls.DEV_TLS):
     sock = socket.create_connection((host, port), timeout=10.0)
     sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    # Same TLS-by-default as the updates plane: the reference wraps EVERY
+    # game-port connection type, including resource transfer.
+    ctx = tls.resolve_client_context(tls_context)
+    if ctx is not None:
+        sock = ctx.wrap_socket(sock, server_hostname=host)
     sock.sendall(struct.pack("<II", P.CYBERSPACE_HELLO,
                              P.CYBERSPACE_PROTOCOL_VERSION))
     buf = b""

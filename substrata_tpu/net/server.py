@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from substrata_tpu.net import protocol as P
+from substrata_tpu.net import tls
 from substrata_tpu.shared import guarded
 from substrata_tpu.shared.avatar import Avatar
 from substrata_tpu.shared.parcel import Parcel
@@ -899,11 +900,13 @@ class Server:
 
     def __init__(self, port: int = 0, udp_port: int = 0, db_path: str | None = None,
                  resource_dir: str | None = None, clock=time.monotonic,
-                 tls_context=None):
+                 tls_context=tls.DEV_TLS):
         # ``tls_context``: ssl.SSLContext to wrap every accepted game
-        # connection (reference: server always TLS-wraps, ListenerThread.cpp;
-        # plaintext stays available for tools/tests).
-        self.tls_context = tls_context
+        # connection.  The reference always TLS-wraps (ListenerThread.cpp),
+        # so the DEFAULT here is TLS with the shared dev certificate;
+        # pass ``tls_context=None`` for an explicit plaintext opt-out, or a
+        # real ssl context for production certs.
+        self.tls_context = tls.resolve_server_context(tls_context)
         self.worlds_state = ServerAllWorldsState(db_path)
         self.connections: list[WorkerConnection] = []
         self.conn_lock = threading.Lock()

@@ -56,11 +56,38 @@ def test_plaintext_client_rejected_by_tls_server():
     srv.start()
     try:
         try:
-            Client("127.0.0.1", srv.port)  # no TLS: handshake must fail
+            # Explicit plaintext opt-out against a TLS server: must fail.
+            Client("127.0.0.1", srv.port, tls_context=None)
             connected = True
         except (ConnectionError, OSError, TimeoutError):
             connected = False
         assert not connected
+    finally:
+        srv.stop()
+
+
+def test_tls_is_the_default_on_the_game_plane():
+    """VERDICT r3 item 10: Server() and Client() with no TLS arguments must
+    speak TLS (dev cert), like the reference's always-wrapped game plane
+    (ListenerThread.cpp); plaintext requires the explicit opt-out."""
+    srv = Server(port=0, udp_port=0)
+    srv.start()
+    try:
+        c = Client("127.0.0.1", srv.port)
+        assert isinstance(c.sock, ssl.SSLSocket)
+        # The dev-cert context VERIFIES (not CERT_NONE).
+        from substrata_tpu.net.tls import dev_client_context
+        assert dev_client_context().verify_mode == ssl.CERT_REQUIRED
+        c.start()
+        assert c.connected
+        c.stop()
+        # Plaintext opt-out cannot talk to the default (TLS) server.
+        try:
+            Client("127.0.0.1", srv.port, tls_context=None)
+            plain_ok = True
+        except (ConnectionError, OSError, TimeoutError):
+            plain_ok = False
+        assert not plain_ok
     finally:
         srv.stop()
 

@@ -6,6 +6,9 @@ drivable hovercar, drives it; client B replicates everything via snapshots;
 a map tile and a world backup are written at the end.
 
 Run: python tools/demo_networked_world.py   (CPU by default; add --tpu)
+
+The game plane runs TLS by default (dev cert, reference ListenerThread.cpp
+parity) — Server() and Client() defaults handle it.
 """
 
 from __future__ import annotations

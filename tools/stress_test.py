@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from substrata_tpu.net import tls
 from substrata_tpu.net.client import Client
 from substrata_tpu.net.server import Server
 from substrata_tpu.shared.avatar import Avatar
@@ -33,13 +34,15 @@ class BotThread(threading.Thread):
     transport path, net/websocket.py)."""
 
     def __init__(self, host: str, port: int, bot_id: int, duration: float,
-                 update_hz: float = 60.0, ws_port: int | None = None):
+                 update_hz: float = 60.0, ws_port: int | None = None,
+                 plaintext: bool = False):
         super().__init__(daemon=True)
         self.host, self.port = host, port
         self.bot_id = bot_id
         self.duration = duration
         self.update_hz = update_hz
         self.ws_port = ws_port
+        self.plaintext = plaintext
         self.sent = 0
         self.error: str | None = None
 
@@ -50,19 +53,17 @@ class BotThread(threading.Thread):
                                                  client_handshake)
         raw = _socket.create_connection((self.host, self.ws_port), timeout=10)
         client_handshake(raw, f"{self.host}:{self.ws_port}")
-        stream = ClientWebSocketStream(raw)
-        # Client with a pre-upgraded socket: bypass __init__'s TCP connect
-        # by grafting the stream in before the handshake.
-        c = Client.__new__(Client)
-        c.__dict__.update(Client("127.0.0.1", self.port).__dict__)             if False else None
-        return stream
+        return ClientWebSocketStream(raw)
 
     def run(self):
         try:
             if self.ws_port is not None:
                 c = Client(self.host, self.port, sock=self._connect_ws())
             else:
-                c = Client(self.host, self.port)
+                # Default = TLS with the dev cert (the server defaults to a
+                # TLS listener; reference parity, ListenerThread.cpp).
+                c = Client(self.host, self.port,
+                           tls_context=None if self.plaintext else tls.DEV_TLS)
             c.start()
             c.send_avatar_created(Avatar(name=f"bot{self.bot_id}"))
             t0 = time.monotonic()
@@ -80,14 +81,16 @@ class BotThread(threading.Thread):
 
 def run_stress_test(n_bots: int = 16, seconds: float = 5.0,
                     host: str = "127.0.0.1", port: int | None = None,
-                    ws_frac: float = 0.0):
+                    ws_frac: float = 0.0, plaintext: bool = False):
     """``ws_frac`` of the bots connect through the webserver's WebSocket
-    upgrade (the browser transport); the rest use raw TCP."""
+    upgrade (the browser transport); the rest use TCP+TLS (dev cert, the
+    default game plane) — ``plaintext=True`` is the explicit opt-out."""
     own_server = None
     own_web = None
     ws_port = None
     if port is None:
-        own_server = Server(port=0, udp_port=0)
+        own_server = Server(port=0, udp_port=0,
+                            tls_context=None if plaintext else tls.DEV_TLS)
         own_server.start()
         port = own_server.port
         if ws_frac > 0:
@@ -100,7 +103,8 @@ def run_stress_test(n_bots: int = 16, seconds: float = 5.0,
             ws_port = own_web.port
     n_ws = int(round(n_bots * ws_frac)) if ws_port is not None else 0
     bots = [BotThread(host, port, i, seconds,
-                      ws_port=(ws_port if i < n_ws else None))
+                      ws_port=(ws_port if i < n_ws else None),
+                      plaintext=plaintext)
             for i in range(n_bots)]
     t0 = time.monotonic()
     for b in bots:
@@ -135,8 +139,10 @@ if __name__ == "__main__":
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--ws-frac", type=float, default=0.0,
                     help="fraction of bots connecting over WebSocket")
+    ap.add_argument("--plaintext", action="store_true",
+                    help="explicit opt-out from the default TLS game plane")
     args = ap.parse_args()
     stats = run_stress_test(args.bots, args.seconds, args.host, args.port,
-                            ws_frac=args.ws_frac)
+                            ws_frac=args.ws_frac, plaintext=args.plaintext)
     for k, v in stats.items():
         print(f"{k}: {v}")
