@@ -89,8 +89,13 @@ def particles_step(ps: ParticleState, body: BodyState, world: StaticWorld,
     dirs = ps.vel / jnp.maximum(speed, 1e-9)[:, None]
     max_ts = speed * dt
 
+    # Particle motion rays are shorter than a broadphase cell (speed * dt),
+    # so the body march uses the single-midpoint fast path (body_steps=1)
+    # and skips duplicate masking — at 10k rays the dedup sort alone
+    # dominated the whole tick.
     hits = queries.trace_rays(ps.pos, dirs, jnp.maximum(max_ts, 1e-6), body,
-                              world, config, n_steps=n_ray_steps, table=table)
+                              world, config, n_steps=n_ray_steps, table=table,
+                              body_steps=1, dedup=False)
     hit = hits.hit & ps.alive & (max_ts > 1e-6)
     to_hit_dt = jnp.where(hit, hits.t / jnp.maximum(speed, 1e-9), 0.0)
     remaining = dt - to_hit_dt

@@ -65,8 +65,10 @@ def _ray_box(o, d, pb, qb, he):
     tmax = jnp.min(tmax_ax)
     ok = (tmax >= tmin) & (tmax >= 0.0)
     t = jnp.where(tmin >= 0.0, tmin, tmax)
-    ax = jnp.argmax(tmin_ax)
-    n_local = jnp.zeros(3).at[ax].set(-jnp.sign(dl[ax]) + (dl[ax] == 0))
+    # one_hot arithmetic, not dynamic [ax] indexing (slow under vmap).
+    oh = (jnp.arange(3) == jnp.argmax(tmin_ax)).astype(dl.dtype)
+    dax = jnp.sum(dl * oh)
+    n_local = oh * (-jnp.sign(dax) + (dax == 0))
     n = quatm.rotate_vec(qb, n_local)
     return jnp.where(ok, t, BIG), n
 
@@ -115,16 +117,30 @@ def _ray_capsule(o, d, pc, qc, r, hh):
 def _ray_hull(o, d, pos, q, hid, hull_planes, hull_n_faces):
     """Ray vs convex hull by half-space clipping of the hull's face planes
     (replaces the round-1 OBB proxy; reference rays hit the true Jolt
-    ConvexHullShape, PhysicsWorld.cpp:1668-1716).  Returns (t, normal)."""
+    ConvexHullShape, PhysicsWorld.cpp:1668-1716).  Returns (t, normal).
+
+    The RAY is transformed into hull-local space (two rotate_vec of one
+    vector each) instead of rotating every plane normal to world — the
+    per-plane work is then two dot products.  The world-plane version's
+    rotate_vec over [rays, candidates, 32 planes, 3] was ~60 ms of the 10k
+    particle tick (jnp.cross lowers to slices/concats that tile badly)."""
     from substrata_tpu.maths import quat as quatm
 
     hid = jnp.clip(hid.astype(jnp.int32), 0, hull_planes.shape[0] - 1)
     pl = hull_planes[hid]                                  # [F, 4] local
-    fmask = jnp.arange(pl.shape[0]) < hull_n_faces[hid]
-    n_w = quatm.rotate_vec(q[None, :], pl[:, :3])          # [F, 3]
-    d_w = pl[:, 3] + n_w @ pos
-    denom = n_w @ d                                        # [F]
-    dist = d_w - n_w @ o                                   # slack at t=0
+    return _ray_hull_planes(o, d, pos, q, pl, hull_n_faces[hid])
+
+
+def _ray_hull_planes(o, d, pos, q, pl, nf):
+    """_ray_hull with the plane block [F, 4] already gathered (batched
+    callers hoist the gather into one flat row gather of a 2-D bank)."""
+    from substrata_tpu.maths import quat as quatm
+
+    fmask = jnp.arange(pl.shape[0]) < nf
+    ol = quatm.inverse_rotate_vec(q, o - pos)              # ray, hull-local
+    dl = quatm.inverse_rotate_vec(q, d)
+    denom = pl[:, :3] @ dl                                 # [F]
+    dist = pl[:, 3] - pl[:, :3] @ ol                       # slack at t=0
     eps = 1e-9
     t_pl = dist / jnp.where(jnp.abs(denom) > eps, denom, eps)
     entering = fmask & (denom < -eps)
@@ -133,10 +149,12 @@ def _ray_hull(o, d, pos, q, hid, hull_planes, hull_n_faces):
     t_enter = jnp.max(jnp.where(entering, t_pl, 0.0))
     t_exit = jnp.min(jnp.where(exiting, t_pl, BIG))
     ok = ((t_enter <= t_exit) & ~jnp.any(parallel_out)
-          & (hull_n_faces[hid] > 0) & (t_enter > 0.0))
-    # Normal = the entering face that set t_enter.
+          & (nf > 0) & (t_enter > 0.0))
+    # Normal = the entering face that set t_enter, rotated back to world.
+    # one_hot selection, not pl[argmax] (dynamic gather is slow under vmap).
     score = jnp.where(entering, t_pl, -BIG)
-    n = n_w[jnp.argmax(score)]
+    oh = (jnp.arange(pl.shape[0]) == jnp.argmax(score)).astype(pl.dtype)
+    n = quatm.rotate_vec(q, oh @ pl[:, :3])
     return jnp.where(ok, t_enter, BIG), n
 
 
@@ -211,7 +229,8 @@ def _ray_trimesh_single(o, d, max_t, tm, n_steps: int, tri_cap: int):
 
 def _ray_bodies(origins, dirs, max_ts, body: BodyState, table,
                 config: SimConfig, n_steps: int, exclude: jnp.ndarray,
-                collidable_only: bool, hulls=None, k_cand: int = 16):
+                collidable_only: bool, hulls=None, k_cand: int = 16,
+                dedup: bool = True):
     """March the broadphase hash grid, test candidate bodies analytically.
 
     Two stages (the one-stage version gathered every candidate's full hull
@@ -233,7 +252,14 @@ def _ray_bodies(origins, dirs, max_ts, body: BodyState, table,
     r = origins.shape[0]
     num_buckets = config.grid_dim * config.grid_dim
     cap = config.cell_capacity
-    ts = jnp.linspace(0.0, 1.0, n_steps)[None, :] * max_ts[:, None]  # [R,S]
+    if n_steps == 1:
+        # Short-ray fast path (max_t <= cell_size, e.g. 10k particle motion
+        # rays): ONE sample at the ray midpoint — its 9-neighbourhood
+        # covers the whole segment, each nearby body appears exactly once
+        # (no duplicate masking needed; pass dedup=False to skip the sort).
+        ts = 0.5 * max_ts[:, None]                                   # [R,1]
+    else:
+        ts = jnp.linspace(0.0, 1.0, n_steps)[None, :] * max_ts[:, None]
     ps = origins[:, None, :] + dirs[:, None, :] * ts[..., None]      # [R,S,3]
     cells = jnp.floor(ps / config.cell_size).astype(jnp.int32)
     # Gather the 9 xy-neighbour cells at each step's z (covers diagonal
@@ -272,11 +298,18 @@ def _ray_bodies(origins, dirs, max_ts, body: BodyState, table,
     reach = (disc >= 0.0) & (-b + sq >= 0.0) & (t_in <= max_ts[:, None])
     key = jnp.where(okc & reach, t_in, BIG)
 
-    # Dedup: sort by slot id (stable), mask repeats (same body -> same key).
-    slot_s, key_s = jax.lax.sort((cand, key), dimension=1, num_keys=1)
-    dup = jnp.concatenate([jnp.zeros((r, 1), bool),
-                           slot_s[:, 1:] == slot_s[:, :-1]], axis=1)
-    key_s = jnp.where(dup, BIG, key_s)
+    if dedup:
+        # Sort by slot id (stable), mask repeats (same body -> same key).
+        # Needed when the march reads the same cell at several steps; the
+        # sort costs real time at 10k rays, so short-ray callers use the
+        # n_steps=1 path and skip it.
+        slot_s, key_s = jax.lax.sort((cand, key), dimension=1, num_keys=1)
+    else:
+        slot_s, key_s = cand, key
+    if dedup:
+        dup = jnp.concatenate([jnp.zeros((r, 1), bool),
+                               slot_s[:, 1:] == slot_s[:, :-1]], axis=1)
+        key_s = jnp.where(dup, BIG, key_s)
     negk, ti = jax.lax.top_k(-key_s, k)                              # [R,K]
     slotk = jnp.take_along_axis(slot_s, ti, axis=1)
     okk = negk > -BIG
@@ -290,13 +323,28 @@ def _ray_bodies(origins, dirs, max_ts, body: BodyState, table,
     kprm = g2[..., 7:11]
     kst = g2[..., 11].astype(jnp.int32)
 
-    def test_one(o, d, okc_i, st_i, prm_i, pos_i, q_i):
+    if hulls is not None:
+        # Hoisted hull-plane gather: one flat row gather of the 2-D
+        # [H, F*4] bank (the in-vmap hulls.planes[hid] point gather of a
+        # 3-D operand cost 11.6 ms at 10k rays), n_faces packed as an
+        # extra column so one gather serves both.
+        h_cap, f_cap = hulls.planes.shape[0], hulls.planes.shape[1]
+        bank = jnp.concatenate(
+            [hulls.planes.reshape(h_cap, f_cap * 4),
+             hulls.n_faces.astype(jnp.float32)[:, None]], axis=1)
+        hid = jnp.clip(kprm[..., 0].astype(jnp.int32), 0, h_cap - 1)
+        hrows = bank[hid.reshape(-1)].reshape(r, k, f_cap * 4 + 1)
+        kpl = hrows[..., :f_cap * 4].reshape(r, k, f_cap, 4)
+        knf = hrows[..., f_cap * 4]
+    else:
+        kpl = knf = None
+
+    def test_one(o, d, okc_i, st_i, prm_i, pos_i, q_i, pl_i, nf_i):
         t_s, n_s = _ray_sphere(o, d, pos_i, prm_i[0])
         t_b, n_b = _ray_box(o, d, pos_i, q_i, prm_i[:3])
         t_c, n_c = _ray_capsule(o, d, pos_i, q_i, prm_i[0], prm_i[1])
-        if hulls is not None:
-            t_h, n_h = _ray_hull(o, d, pos_i, q_i, prm_i[0],
-                                 hulls.planes, hulls.n_faces)
+        if pl_i is not None:
+            t_h, n_h = _ray_hull_planes(o, d, pos_i, q_i, pl_i, nf_i)
         else:  # no hull library: fall back to the principal OBB
             t_h, n_h = _ray_box(o, d, pos_i, q_i, prm_i[1:4])
         t = jnp.where(st_i == int(ShapeType.SPHERE), t_s,
@@ -307,10 +355,19 @@ def _ray_bodies(origins, dirs, max_ts, body: BodyState, table,
               jnp.where(st_i == int(ShapeType.CAPSULE), n_c, n_h)))
         return jnp.where(okc_i, t, BIG), n
 
-    t_all, n_all = jax.vmap(
-        lambda o, d, ok_r, st_r, prm_r, pos_r, q_r: jax.vmap(
-            partial(test_one, o, d))(ok_r, st_r, prm_r, pos_r, q_r)
-    )(origins, dirs, okk, kst, kprm, kpos, kq)
+    if kpl is not None:
+        t_all, n_all = jax.vmap(
+            lambda o, d, ok_r, st_r, prm_r, pos_r, q_r, pl_r, nf_r: jax.vmap(
+                partial(test_one, o, d))(ok_r, st_r, prm_r, pos_r, q_r,
+                                         pl_r, nf_r)
+        )(origins, dirs, okk, kst, kprm, kpos, kq, kpl, knf)
+    else:
+        t_all, n_all = jax.vmap(
+            lambda o, d, ok_r, st_r, prm_r, pos_r, q_r: jax.vmap(
+                lambda ok_i, st_i, prm_i, pos_i, q_i: test_one(
+                    o, d, ok_i, st_i, prm_i, pos_i, q_i, None, None)
+            )(ok_r, st_r, prm_r, pos_r, q_r)
+        )(origins, dirs, okk, kst, kprm, kpos, kq)
 
     best = jnp.argmin(t_all, axis=1)                                 # [R]
     flat = jnp.arange(r) * k + best       # multi-axis [i, best_i] flattened
@@ -320,11 +377,13 @@ def _ray_bodies(origins, dirs, max_ts, body: BodyState, table,
     return t_best, n_best, jnp.where(t_best < BIG, slot_best, -1)
 
 
-@partial(jax.jit, static_argnames=("config", "n_steps", "collidable_only"))
+@partial(jax.jit, static_argnames=("config", "n_steps", "collidable_only",
+                                   "k_cand", "dedup", "body_steps"))
 def trace_rays(origins, dirs, max_ts, body: BodyState, world: StaticWorld,
                config: SimConfig, n_steps: int = 16,
                exclude=None, collidable_only: bool = True,
-               table=None) -> RayHits:
+               table=None, k_cand: int = 16, dedup: bool = True,
+               body_steps: int | None = None) -> RayHits:
     """Batched traceRay: first hit among dynamic bodies, heightfield, trimesh.
 
     origins/dirs: [R, 3] (dirs unit), max_ts: [R]; exclude: [R] body slot to
@@ -341,7 +400,8 @@ def trace_rays(origins, dirs, max_ts, body: BodyState, world: StaticWorld,
         table, _, _ = broadphase.build_cell_table(body, config)
 
     tb, nb, bi = _ray_bodies(origins, dirs, max_ts, body, table, config,
-                             n_steps, exclude, collidable_only, world.hulls)
+                             body_steps or n_steps, exclude, collidable_only,
+                             world.hulls, k_cand=k_cand, dedup=dedup)
 
     th, nh = jax.vmap(
         lambda o, d, mt: _ray_heightfield_single(o, d, mt, world.heightfield, n_steps)
