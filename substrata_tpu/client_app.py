@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from substrata_tpu.audio.engine import AudioEngine, AudioSource
+from substrata_tpu.avatar_graphics import AvatarGraphicsManager, PoseConstraint
 from substrata_tpu.net.snapshots import (
     OWNERSHIP_PERIOD, SEND_PERIOD, SnapshotRings,
 )
@@ -113,6 +114,7 @@ class ClientApp:
         self.audio = AudioEngine() if enable_audio else None
         self.player = PlayerPhysics(self.physics_world, eye_pos=(0, 0, EYE_HEIGHT))
         self.vehicles = VehicleManager(self.physics_world)
+        self.avatar_graphics = AvatarGraphicsManager()
         self.script_vm = ScriptVM(world_interface=self._world_iface(), clock=clock)
         self.scripts = ObjectScriptsEvaluator()
 
@@ -519,6 +521,13 @@ class ClientApp:
                 p = ob.physics_object.pos
                 self.cam_pos = np.array([p[0], p[1], p[2] + 1.2, 1], np.float32)
 
+        # 7. Avatar graphics: per-avatar animation state machines + ONE
+        # batched skeletal pose evaluation for every remote avatar
+        # (updateAvatarGraphics, GUIClient.cpp:8235 ->
+        # AvatarGraphics::setOverallTransform -> anim/pose.py kernel).
+        if self.client is not None:
+            self._update_avatar_graphics(dt)
+
         # 8. Remote playback (snapshot insertion / interpolation).
         if self.client is not None:
             self._remote_object_playback(global_time, dt)
@@ -810,6 +819,58 @@ class ClientApp:
             if s.num_occlusions != n_occ:
                 s.num_occlusions = n_occ
                 self.audio.source_num_occlusions_updated(s)
+
+    def _update_avatar_graphics(self, dt: float):
+        """Animation state machines for every remote avatar, then one
+        batched pose kernel call; gestures sync from the replicated
+        Avatar.performing_gesture state."""
+        my_uid = self.client.avatar_uid
+        avs = self.world_state.avatars_snapshot()
+        for uid, av in avs.items():
+            if uid == my_uid:
+                continue   # first-person: own body not posed
+            g = self.avatar_graphics.by_uid.get(uid)
+            pg = getattr(av, "performing_gesture", "") or None
+            if g is not None and pg != g.gesture:
+                if pg is not None:
+                    g.perform_gesture(pg)
+                else:
+                    g.stop_gesture()
+            self.avatar_graphics.update_avatar(av, dt)
+            # Seat the avatar on its vehicle (seat space: +y forwards,
+            # +z up — PoseConstraint docs, AvatarGraphics.h:63).
+            if av.entered_vehicle_uid:
+                ob = self.objects.get(av.entered_vehicle_uid)
+                g = self.avatar_graphics.by_uid[uid]
+                if ob is not None:
+                    seat = np.eye(4, dtype=np.float32)
+                    seat[:3, 3] = np.asarray(ob.pos, np.float32) + [0, 0, 0.4]
+                    g.set_sitting(True, PoseConstraint(
+                        sitting=True, seat_to_world=seat,
+                        upper_body_rot_angle=0.1, upper_leg_rot_angle=1.3,
+                        lower_leg_rot_angle=-0.5))
+        for uid in list(self.avatar_graphics.by_uid):
+            if uid not in avs or uid == my_uid:
+                self.avatar_graphics.remove_avatar(uid)
+        if self.avatar_graphics.by_uid:
+            self.avatar_graphics.pose_all()
+
+    def get_avatar_bone_transform(self, avatar_uid: int, bone: str,
+                                  pre_transform=None):
+        """World transform of a named bone on a posed avatar — the gear
+        attachment path (EquippedGearGraphics / updateGearBones,
+        AvatarGraphics.h:88-101).  Bone names accept GearItem-style
+        lowercase ('head') or Mixamo ('Head')."""
+        g = self.avatar_graphics.by_uid.get(avatar_uid)
+        if g is None or g.joints_world is None:
+            return None
+        m = g.get_joint_world(bone) if g.get_joint_world(bone) is not None \
+            else g.get_joint_world(bone[:1].upper() + bone[1:])
+        if m is None:
+            return None
+        if pre_transform is not None:
+            m = m @ np.asarray(pre_transform, np.float32)
+        return m
 
     def _apply_network_events(self):
         ev = self.client.pop_events()

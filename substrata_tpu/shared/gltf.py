@@ -132,9 +132,10 @@ def _node_matrix(node) -> np.ndarray:
     return m
 
 
-def load_gltf(path_or_bytes, base_dir: str | None = None) -> GLTFModel:
-    """Load .gltf (JSON) or .glb (binary).  Node hierarchy is flattened into
-    world-space primitives."""
+def load_gltf_raw(path_or_bytes, base_dir: str | None = None):
+    """Parse .gltf/.glb/.vrm down to (gltf_json, buffers) without
+    flattening — skeleton/animation import (anim/gltf_import.py) needs the
+    raw node/skin/animation tables."""
     glb_bin = None
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
@@ -167,6 +168,13 @@ def load_gltf(path_or_bytes, base_dir: str | None = None) -> GLTFModel:
 
     buffers = [_read_buffer(b.get("uri"), base_dir, glb_bin)
                for b in gltf.get("buffers", [])]
+    return gltf, buffers
+
+
+def load_gltf(path_or_bytes, base_dir: str | None = None) -> GLTFModel:
+    """Load .gltf (JSON) or .glb (binary).  Node hierarchy is flattened into
+    world-space primitives."""
+    gltf, buffers = load_gltf_raw(path_or_bytes, base_dir)
 
     materials = []
     for m in gltf.get("materials", []):
