@@ -12,11 +12,21 @@ Formats handled here are implemented from their public specifications:
   coords + palette-derived materials, meshed with the same greedy mesher
   voxel objects use (ModelLoading.cpp:487 VoxLoading path).
 
+- Indigo igmesh (subset): the Indigo SDK's binary mesh
+  (ModelLoading.cpp:862 Indigo::Mesh::readFromFile).  The layout was
+  derived from the reference's own sample assets
+  (resources/models/{cone,wedge}.igmesh, written by
+  gui_client/MeshBuilding.cpp:755 `Indigo::Mesh::writeToFile(...,
+  use_compression=false)`): little-endian, magic 5456751, version, a
+  compression flag (only uncompressed handled), num_uv_mappings,
+  used-material names, then length-prefixed arrays of vert positions /
+  normals / colours / uv pairs / triangles (3 vert + 3 uv indices + mat)
+  / quads (4 + 4 + mat).  We decode the positions-and-faces subset —
+  enough for collision + LOD generation parity; quads fan into two tris.
+
 NOT handled (raise with a clear reason):
 
-- igmesh: the Indigo SDK's binary mesh; its reader lives in the external
-  Indigo dll (ModelLoading.cpp:862 Indigo::Mesh::readFromFile), not in the
-  reference tree, so there is no spec to implement from.
+- compressed igmesh streams (the flag is validated and rejected).
 - sog / subvox: Gaussian-splat and in-house packed-voxel renderer formats —
   renderer territory (SURVEY.md §7).
 
@@ -160,6 +170,109 @@ def load_vox(data: bytes, voxel_size: float = 1.0):
 
 
 # ---------------------------------------------------------------------------
+# Indigo igmesh (uncompressed subset)
+# ---------------------------------------------------------------------------
+
+_IGMESH_MAGIC = 5456751
+
+
+def load_igmesh(data: bytes):
+    """Decode an uncompressed Indigo .igmesh into (verts, tris, tri_mats).
+
+    Subset reader: positions, triangles and quads only (normals / colours /
+    uvs are parsed past, not returned) — what collision and LOD generation
+    need.  Every array is strictly bounds-checked and the parse must land
+    exactly on EOF, so truncated or compressed files fail loudly instead of
+    yielding garbage geometry.
+    """
+    n = len(data)
+    pos = 0
+
+    def u32():
+        nonlocal pos
+        if pos + 4 > n:
+            raise UnsupportedModelFormat("igmesh: truncated header")
+        (v,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        return v
+
+    def skip(nbytes, what):
+        nonlocal pos
+        if pos + nbytes > n:
+            raise UnsupportedModelFormat(f"igmesh: truncated {what}")
+        pos += nbytes
+
+    if u32() != _IGMESH_MAGIC:
+        raise UnsupportedModelFormat("igmesh: bad magic")
+    version = u32()
+    if not 1 <= version <= 4:
+        raise UnsupportedModelFormat(f"igmesh: unknown version {version}")
+    if version >= 4:
+        if u32() != 0:   # written by Mesh::writeToFile(use_compression=...)
+            raise UnsupportedModelFormat(
+                "igmesh: compressed streams not supported")
+    num_uv_mappings = u32()
+    del num_uv_mappings   # parsed for layout only; uvs are skipped below
+    n_mats = u32()
+    if n_mats > 4096:
+        raise UnsupportedModelFormat("igmesh: implausible material count")
+    for _ in range(n_mats):
+        slen = u32()
+        # Names in the sample assets are empty; non-empty ones are padded
+        # to the next 4-byte boundary (arrays after them stay aligned).
+        skip((slen + 3) & ~3, "material name")
+    n_expo = u32()   # legacy uv-set expositions; 0 in every v3/v4 file
+    if n_expo:
+        raise UnsupportedModelFormat(
+            f"igmesh: {n_expo} uv-set expositions not supported")
+
+    def f32_array(width, what):
+        cnt = u32()
+        nbytes = cnt * width * 4
+        if pos + nbytes > n:
+            raise UnsupportedModelFormat(f"igmesh: truncated {what}")
+        arr = np.frombuffer(data, dtype="<f4", count=cnt * width,
+                            offset=pos).reshape(cnt, width)
+        skip(nbytes, what)
+        return arr
+
+    verts = f32_array(3, "vert positions").astype(np.float32)
+    f32_array(3, "vert normals")
+    f32_array(3, "vert colours")
+    f32_array(2, "uv pairs")
+
+    def u32_array(width, what):
+        cnt = u32()
+        nbytes = cnt * width * 4
+        if pos + nbytes > n:
+            raise UnsupportedModelFormat(f"igmesh: truncated {what}")
+        arr = np.frombuffer(data, dtype="<u4", count=cnt * width,
+                            offset=pos).reshape(cnt, width)
+        skip(nbytes, what)
+        return arr
+
+    raw_tris = u32_array(7, "triangles")    # v0 v1 v2, uv0 uv1 uv2, mat
+    raw_quads = u32_array(9, "quads")       # v0..v3, uv0..uv3, mat
+    if pos != n:
+        raise UnsupportedModelFormat(
+            f"igmesh: {n - pos} trailing bytes after quads")
+
+    tris = [raw_tris[:, 0:3].astype(np.int64)]
+    mats = [raw_tris[:, 6].astype(np.int64)]
+    if len(raw_quads):
+        q = raw_quads[:, 0:4].astype(np.int64)
+        tris.append(np.stack([q[:, 0], q[:, 1], q[:, 2]], axis=1))
+        tris.append(np.stack([q[:, 0], q[:, 2], q[:, 3]], axis=1))
+        qm = raw_quads[:, 8].astype(np.int64)
+        mats.extend([qm, qm])
+    tris_arr = np.concatenate(tris, axis=0)
+    mats_arr = np.concatenate(mats, axis=0)
+    if len(tris_arr) and tris_arr.max(initial=0) >= len(verts):
+        raise UnsupportedModelFormat("igmesh: face index out of range")
+    return (verts, tris_arr.astype(np.int32), mats_arr.astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
@@ -179,8 +292,9 @@ def decode_model(url: str, data: bytes):
         return load_stl(data)
     if low.endswith(".vox"):
         return load_vox(data)
-    if low.endswith((".igmesh", ".sog", ".subvox")):
+    if low.endswith(".igmesh"):
+        return load_igmesh(data)
+    if low.endswith((".sog", ".subvox")):
         raise UnsupportedModelFormat(
-            f"{url}: format not supported (igmesh needs the external "
-            "Indigo SDK reader; sog/subvox are renderer formats)")
+            f"{url}: format not supported (sog/subvox are renderer formats)")
     raise UnsupportedModelFormat(f"{url}: unknown model format")

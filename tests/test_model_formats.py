@@ -7,8 +7,8 @@ import numpy as np
 import pytest
 
 from substrata_tpu.shared.model_formats import (UnsupportedModelFormat,
-                                                decode_model, load_obj,
-                                                load_stl, load_vox)
+                                                decode_model, load_igmesh,
+                                                load_obj, load_stl, load_vox)
 
 CUBE_OBJ = b"""
 # unit cube
@@ -103,9 +103,78 @@ def test_decode_model_dispatch():
     v, t, m = decode_model("thing.OBJ", CUBE_OBJ)
     assert len(t) == 12
     with pytest.raises(UnsupportedModelFormat):
-        decode_model("mesh.igmesh", b"xx")
+        decode_model("mesh.igmesh", b"xx")   # truncated header
     with pytest.raises(UnsupportedModelFormat):
         decode_model("mesh.wat", b"xx")
+
+
+def make_igmesh(verts, tris, quads, version=4, mats=(b"",),
+                compression=0, trailing=b""):
+    """Serialise an uncompressed v3/v4 igmesh (layout verified against
+    resources/models/{cone,wedge}.igmesh — see load_igmesh docstring)."""
+    out = [struct.pack("<II", 5456751, version)]
+    if version >= 4:
+        out.append(struct.pack("<I", compression))
+    out.append(struct.pack("<I", 1))              # num_uv_mappings
+    out.append(struct.pack("<I", len(mats)))
+    for mname in mats:
+        pad = (-len(mname)) % 4
+        out.append(struct.pack("<I", len(mname)) + mname + b"\0" * pad)
+    out.append(struct.pack("<I", 0))              # uv-set expositions
+    out.append(struct.pack("<I", len(verts)))
+    out.append(np.asarray(verts, "<f4").tobytes())
+    out.append(struct.pack("<III", 0, 0, 0))      # normals, colours, uvs
+    out.append(struct.pack("<I", len(tris)))
+    for t in tris:
+        out.append(struct.pack("<7I", t[0], t[1], t[2], 0, 0, 0, t[3]))
+    out.append(struct.pack("<I", len(quads)))
+    for q in quads:
+        out.append(struct.pack("<9I", q[0], q[1], q[2], q[3],
+                               0, 0, 0, 0, q[4]))
+    return b"".join(out) + trailing
+
+
+def test_igmesh_roundtrip_tris_and_quads():
+    verts = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0), (0, 0, 1)]
+    data = make_igmesh(verts, tris=[(0, 1, 4, 2)],
+                       quads=[(0, 1, 2, 3, 5)], mats=(b"brick", b""))
+    v, t, m = decode_model("wedge.igmesh", data)
+    assert v.shape == (5, 3) and v.dtype == np.float32
+    # 1 triangle + quad fanned into 2, with the quad's material on both.
+    assert t.tolist() == [[0, 1, 4], [0, 1, 2], [0, 2, 3]]
+    assert m.tolist() == [2, 5, 5]
+
+
+def test_igmesh_rejects_bad_input():
+    verts = [(0, 0, 0), (1, 0, 0), (1, 1, 0)]
+    good = make_igmesh(verts, tris=[(0, 1, 2, 0)], quads=[])
+    with pytest.raises(UnsupportedModelFormat):   # compressed stream
+        load_igmesh(make_igmesh(verts, [(0, 1, 2, 0)], [], compression=1))
+    with pytest.raises(UnsupportedModelFormat):   # truncated mid-array
+        load_igmesh(good[:-8])
+    with pytest.raises(UnsupportedModelFormat):   # trailing garbage
+        load_igmesh(good + b"\0\0\0\0")
+    with pytest.raises(UnsupportedModelFormat):   # out-of-range index
+        load_igmesh(make_igmesh(verts, tris=[(0, 1, 9, 0)], quads=[]))
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(
+    "/root/reference/resources/models/cone.igmesh"),
+    reason="reference assets not present")
+def test_igmesh_decodes_reference_samples():
+    """The reference's own generated primitives decode with the expected
+    topology (MeshBuilding.cpp:755 writes these via the Indigo SDK)."""
+    for name, nv, ntris in (("cone", 1440, 720), ("wedge", 6, 8)):
+        raw = open(f"/root/reference/resources/models/{name}.igmesh",
+                   "rb").read()
+        v, t, m = decode_model(f"{name}.igmesh", raw)
+        assert v.shape == (nv, 3)
+        assert t.shape == (ntris, 3)
+        assert t.max() < nv and t.min() >= 0
+        assert (m == 0).all()
+        # Sanity: wedge spans the unit cube around the origin.
+        if name == "wedge":
+            assert np.allclose(abs(v).max(), 0.5)
 
 
 @pytest.mark.slow
