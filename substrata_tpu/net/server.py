@@ -352,6 +352,12 @@ class WorkerConnection(threading.Thread):
         self.sock.sendall(struct.pack("<I", P.UPLOAD_ALLOWED))
         data = self._recv_exact(size)
         self.server.resources.store_resource(url, data)
+        # Kick compressed-texture LOD generation for image uploads
+        # (Server.cpp enqueues to MeshLODGenThread on new resources).
+        if self.server.lod_gen is not None:
+            from substrata_tpu.server_side.asset_pipeline import IMAGE_EXTS
+            if ext in IMAGE_EXTS:
+                self.server.lod_gen.enqueue_texture(url)
         # Tell every updates client the resource exists now
         # (NewResourceOnServer broadcast, Server.cpp new-resource path).
         self.server.broadcast(self.world_name,
@@ -919,6 +925,11 @@ class Server:
             import tempfile
             resource_dir = tempfile.mkdtemp(prefix="substrata_server_res_")
         self.resources = ResourceManager(resource_dir)
+        # Optional background LOD pipeline (server/MeshLODGenThread): when
+        # attached, uploaded textures get BC1/KTX2 LOD variants generated
+        # (see server_side/asset_pipeline.py); started lazily by callers
+        # that want it so unit-scale servers don't pay a worker thread.
+        self.lod_gen = None
         self.script_events: list = []
         self.unknown_messages: list = []
         # Server-side scripting (ServerSideScripting parity): user-event

@@ -47,11 +47,29 @@ def unpack_mesh(data: bytes):
 @dataclass
 class LODGenItem:
     model_url: str
+    kind: str = "mesh"          # "mesh" | "texture"
+
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".gif", ".webp", ".tga")
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Resource bytes -> RGB(A) uint8 array (ImageDecoding::decodeImage
+    counterpart; PIL supplies the codec set the reference links natively)."""
+    import io as _io
+
+    from PIL import Image
+    img = Image.open(_io.BytesIO(data))
+    if img.mode not in ("RGB", "RGBA"):
+        img = img.convert("RGB")
+    return np.asarray(img)
 
 
 class MeshLODGenThread(threading.Thread):
     """Background worker: for each queued model resource, generate lod1/lod2
-    meshes and store them as new resources (MeshLODGenThread parity)."""
+    meshes; for each texture resource, generate per-LOD-level BC1/KTX2
+    compressed textures (MeshLODGenThread parity — it drives both
+    computeLODModel and generateBasisTexture in the reference)."""
 
     def __init__(self, resource_manager: ResourceManager):
         super().__init__(daemon=True)
@@ -64,12 +82,17 @@ class MeshLODGenThread(threading.Thread):
     def enqueue(self, model_url: str):
         self.work.put(LODGenItem(model_url))
 
+    def enqueue_texture(self, tex_url: str):
+        self.work.put(LODGenItem(tex_url, kind="texture"))
+
     def stop(self):
         self._running = False
         self.work.put(None)
         self.join(timeout=5.0)
 
     def process_one(self, item: LODGenItem):
+        if item.kind == "texture":
+            return self.process_one_texture(item)
         data = self.resources.load_resource(item.model_url)
         verts, tris, tri_mats = unpack_mesh(data)
         lods = generate_lod_meshes(verts, tris, tri_mats)
@@ -78,6 +101,20 @@ class MeshLODGenThread(threading.Thread):
             if not self.resources.is_file_present(url):
                 v, t, m = lods[level]
                 self.resources.store_resource(url, pack_mesh(v, t, m))
+                self.generated.append(url)
+
+    def process_one_texture(self, item: LODGenItem):
+        """generateBasisTexture parity: base + _lod1 + _lod2 compressed
+        mipmapped textures, stored as .ktx2 resources."""
+        from substrata_tpu.shared.texture_compress import (
+            generate_compressed_texture, lod_texture_url)
+        img = decode_image_bytes(self.resources.load_resource(item.model_url))
+        for level in (0, 1, 2):
+            url = lod_texture_url(item.model_url, level)
+            if not self.resources.is_file_present(url):
+                ktx = generate_compressed_texture(
+                    img, lod_level=None if level == 0 else level)
+                self.resources.store_resource(url, ktx)
                 self.generated.append(url)
 
     def run(self):

@@ -1,0 +1,384 @@
+"""GPU block-compressed texture generation for the LOD pipeline.
+
+Parity with the reference's basis-universal texture path
+(shared/LODGeneration.cpp:265-404 generateBasisTexture +
+writeBasisUniversalFile; server MeshLODGenThread drives it;
+shared/WorldMaterial.cpp:44-90 derives `<root>_lodN.basis` URLs): every
+texture resource gets per-LOD-level GPU-compressed, mipmapped versions the
+client can upload directly.
+
+TPU-first redesign instead of a basisu port:
+
+- The encode target is BC1 (DXT1, 8 bytes per 4x4 block, 8:1 over RGBA) in
+  a standard KTX2 container (VK_FORMAT_BC1_*), readable by any KTX2 loader
+  — where the reference emits ETC1S inside .basis.  Both are fixed-rate GPU
+  block formats; BC1's per-block endpoint fit is embarrassingly parallel,
+  which is exactly what the MXU/VPU want.
+- The encoder is ONE jitted kernel over all 4x4 blocks of a mip level
+  ([nblocks, 16, 3] f32): principal-diagonal range fit, two least-squares
+  endpoint refinement passes, 565 quantisation, then exact palette
+  re-selection — no per-block Python, no data-dependent shapes.
+- The full mip chain is encoded in one batched call by packing every
+  level's blocks into a single [sum_nb, 16, 3] tensor (mip generation is a
+  box filter, also on device), so a texture costs one dispatch.
+
+The reference's per-LOD sizing rules are kept exactly
+(LODGeneration.cpp:270-276: base level 4096 max, lod0 1024, lod1 256,
+lod2 64; dimensions rounded up to a multiple of 4 for WebGL).
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+import zlib
+
+import numpy as np
+
+# Deferred jax import so pure container parsing works without a backend.
+
+
+# ---------------------------------------------------------------------------
+# BC1 block compression (jitted, batched over blocks)
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _bc1_kernel():
+    import jax
+    import jax.numpy as jnp
+
+    # Palette weights by index: fraction of c0 in the 4-colour mode
+    # (c0 > c1): idx 0 = c0, 1 = c1, 2 = 2/3 c0 + 1/3 c1, 3 = 1/3 + 2/3.
+    wts = jnp.array([1.0, 0.0, 2.0 / 3.0, 1.0 / 3.0], jnp.float32)
+
+    def encode(blocks):          # [nb, 16, 3] f32 in 0..255
+        mx = blocks.max(axis=1)  # [nb, 3] range-fit endpoints
+        mn = blocks.min(axis=1)
+
+        def refine(c0c1, _):
+            c0, c1 = c0c1
+            # Assign each pixel to its nearest palette entry, then solve
+            # the 2x2 least-squares system for new endpoints (the
+            # classic DXT "optimize colours" iteration).
+            pal = (wts[None, :, None] * c0[:, None, :]
+                   + (1.0 - wts)[None, :, None] * c1[:, None, :])  # [nb,4,3]
+            d = jnp.sum((blocks[:, :, None, :] - pal[:, None, :, :]) ** 2,
+                        axis=-1)                                   # [nb,16,4]
+            idx = jnp.argmin(d, axis=-1)                           # [nb,16]
+            w = wts[idx]                                           # [nb,16]
+            sww = jnp.sum(w * w, axis=1)
+            swv = jnp.sum(w * (1.0 - w), axis=1)
+            svv = jnp.sum((1.0 - w) * (1.0 - w), axis=1)
+            bw = jnp.einsum("np,npc->nc", w, blocks)
+            bv = jnp.einsum("np,npc->nc", 1.0 - w, blocks)
+            det = sww * svv - swv * swv
+            ok = jnp.abs(det) > 1e-6
+            inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            nc0 = (svv[:, None] * bw - swv[:, None] * bv) * inv[:, None]
+            nc1 = (sww[:, None] * bv - swv[:, None] * bw) * inv[:, None]
+            nc0 = jnp.where(ok[:, None], jnp.clip(nc0, 0.0, 255.0), c0)
+            nc1 = jnp.where(ok[:, None], jnp.clip(nc1, 0.0, 255.0), c1)
+            return (nc0, nc1), None
+
+        (c0, c1), _ = jax.lax.scan(refine, (mx, mn), None, length=2)
+
+        # Quantise to RGB565.
+        def q565(c):
+            r = jnp.clip(jnp.round(c[:, 0] * 31.0 / 255.0), 0, 31)
+            g = jnp.clip(jnp.round(c[:, 1] * 63.0 / 255.0), 0, 63)
+            b = jnp.clip(jnp.round(c[:, 2] * 31.0 / 255.0), 0, 31)
+            word = (r.astype(jnp.uint32) << 11) | (g.astype(jnp.uint32) << 5) \
+                | b.astype(jnp.uint32)
+            # Reconstructed 8-bit palette endpoints (bit-replication, the
+            # convention GPUs use to expand 565).
+            r8 = (r * 255.0 / 31.0)
+            g8 = (g * 255.0 / 63.0)
+            b8 = (b * 255.0 / 31.0)
+            return word, jnp.stack([r8, g8, b8], axis=-1)
+
+        w0, p0 = q565(c0)
+        w1, p1 = q565(c1)
+        # 4-colour mode needs word(c0) > word(c1): swap where violated.
+        swap = w0 < w1
+        w0, w1 = jnp.where(swap, w1, w0), jnp.where(swap, w0, w1)
+        p0, p1 = (jnp.where(swap[:, None], p1, p0),
+                  jnp.where(swap[:, None], p0, p1))
+        # Final index selection against the QUANTISED palette.
+        pal = (wts[None, :, None] * p0[:, None, :]
+               + (1.0 - wts)[None, :, None] * p1[:, None, :])
+        d = jnp.sum((blocks[:, :, None, :] - pal[:, None, :, :]) ** 2,
+                    axis=-1)
+        idx = jnp.argmin(d, axis=-1).astype(jnp.uint32)            # [nb,16]
+        # Equal endpoints would select 3-colour+transparent mode; force
+        # index 0 (exact c0) instead.
+        idx = jnp.where((w0 == w1)[:, None], jnp.uint32(0), idx)
+        shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, :]
+        bits = jnp.sum(idx << shifts, axis=1, dtype=jnp.uint32)    # pixel 0 = LSB
+        word_a = w0 | (w1 << 16)
+        return jnp.stack([word_a, bits], axis=1)                   # [nb, 2] u32
+
+    return jax.jit(encode)
+
+
+def _to_blocks(img: np.ndarray) -> np.ndarray:
+    """[H,W,3] -> [nb,16,3] f32, edge-clamp padded to multiples of 4."""
+    h, w = img.shape[:2]
+    ph, pw = (-h) % 4, (-w) % 4
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    h, w = img.shape[:2]
+    blocks = img.reshape(h // 4, 4, w // 4, 4, 3).transpose(0, 2, 1, 3, 4)
+    return blocks.reshape(-1, 16, 3).astype(np.float32)
+
+
+def bc1_compress(img: np.ndarray) -> bytes:
+    """Encode one RGB(A) uint8 image level to BC1 block bytes."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] > 3:
+        img = img[:, :, :3]
+    words = np.asarray(_bc1_kernel()(_to_blocks(img)))
+    return words.astype("<u4").tobytes()
+
+
+def decode_bc1(data: bytes, w: int, h: int) -> np.ndarray:
+    """Reference BC1 decoder (numpy, host) for tests/quality measurement."""
+    bw, bh = (w + 3) // 4, (h + 3) // 4
+    words = np.frombuffer(data, "<u4").reshape(bw * bh, 2)
+    c0w, c1w = words[:, 0] & 0xFFFF, words[:, 0] >> 16
+    bits = words[:, 1]
+
+    def expand(word):
+        r = ((word >> 11) & 31) * 255.0 / 31.0
+        g = ((word >> 5) & 63) * 255.0 / 63.0
+        b = (word & 31) * 255.0 / 31.0
+        return np.stack([r, g, b], axis=-1)
+
+    p0, p1 = expand(c0w), expand(c1w)
+    pal = np.stack([p0, p1, (2 * p0 + p1) / 3.0, (p0 + 2 * p1) / 3.0],
+                   axis=1)  # [nb,4,3] (c0>c1 mode; encoder guarantees it)
+    idx = (bits[:, None] >> (np.arange(16, dtype=np.uint32) * 2)) & 3
+    px = pal[np.arange(len(pal))[:, None], idx]          # [nb,16,3]
+    out = px.reshape(bh, bw, 4, 4, 3).transpose(0, 2, 1, 3, 4)
+    return out.reshape(bh * 4, bw * 4, 3)[:h, :w].astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Mip chain
+# ---------------------------------------------------------------------------
+
+def mip_chain(img: np.ndarray):
+    """Full power-of-two box-filter chain down to 1x1 (dims halve, min 1).
+    Returns [(level_img_uint8, w, h), ...] starting at level 0."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    img = img[:, :, :3].astype(np.float32)
+    out = [(img.astype(np.uint8), img.shape[1], img.shape[0])]
+    cur = img
+    w, h = img.shape[1], img.shape[0]
+    while w > 1 or h > 1:
+        # Pad odd dims by edge-clamp so the box filter stays 2x2.
+        hh, ww = cur.shape[:2]
+        cur2 = np.pad(cur, ((0, hh % 2), (0, ww % 2), (0, 0)), mode="edge")
+        cur = (cur2[0::2, 0::2] + cur2[1::2, 0::2]
+               + cur2[0::2, 1::2] + cur2[1::2, 1::2]) * 0.25
+        w, h = max(1, w // 2), max(1, h // 2)
+        cur = cur[:h, :w]
+        out.append((np.clip(np.round(cur), 0, 255).astype(np.uint8), w, h))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KTX2 container
+# ---------------------------------------------------------------------------
+
+KTX2_IDENTIFIER = b"\xabKTX 20\xbb\r\n\x1a\n"
+VK_FORMAT_BC1_RGB_UNORM = 131
+VK_FORMAT_BC1_RGB_SRGB = 132
+SUPERCOMPRESSION_NONE = 0
+SUPERCOMPRESSION_ZLIB = 3
+
+
+def _bc1_dfd(srgb: bool) -> bytes:
+    # One basic Khronos data-format descriptor block for BC1.
+    block = struct.pack(
+        "<IHH" + "B" * 16,
+        0,                      # vendor 0 / descriptor type 0
+        2, 40,                  # version, block size (24 + 1 sample * 16)
+        128,                    # colorModel KHR_DF_MODEL_BC1A
+        1,                      # colorPrimaries BT709
+        2 if srgb else 1,       # transferFunction SRGB / LINEAR
+        0,                      # flags (alpha straight)
+        3, 3, 0, 0,             # texel block dims - 1 (4x4x1x1)
+        8, 0, 0, 0, 0, 0, 0, 0,  # bytesPlane
+    )
+    sample = struct.pack("<HBBBBBBII",
+                         0, 63,          # bitOffset, bitLength-1 (64 bits)
+                         0,              # channelType 0 = colour
+                         0, 0, 0, 0,     # samplePosition
+                         0, 0xFFFFFFFF)  # sampleLower/Upper
+    body = block + sample
+    return struct.pack("<I", 4 + len(body)) + body
+
+
+def write_ktx2(mip_blocks: list, width: int, height: int,
+               srgb: bool = False, supercompress: bool = False) -> bytes:
+    """Assemble a KTX2 file from per-level BC1 block bytes (level 0 first).
+
+    Follows the KTX 2.0 spec: 80-byte header, level index, DFD, key/value
+    data, then level images stored smallest level FIRST; optional ZLIB
+    supercompression (scheme 3) applied per level.
+    """
+    nlev = len(mip_blocks)
+    dfd = _bc1_dfd(srgb)
+    kv_entry = b"KTXwriter\x00substrata_tpu ktx2 writer v1\x00"
+    kvd = struct.pack("<I", len(kv_entry)) + kv_entry
+    kvd += b"\x00" * ((-len(kvd)) % 4)
+
+    header_len = 80
+    index_len = nlev * 24
+    dfd_off = header_len + index_len
+    kvd_off = dfd_off + len(dfd)
+    data_start = kvd_off + len(kvd)
+
+    # Level payloads, stored smallest mip first.
+    stored = []
+    offsets = [0] * nlev
+    lengths = [0] * nlev
+    raw_lengths = [int(len(b)) for b in mip_blocks]
+    pos = data_start
+    for lev in range(nlev - 1, -1, -1):
+        payload = mip_blocks[lev]
+        if supercompress:
+            payload = zlib.compress(payload, 6)
+        else:
+            pad = (-pos) % 8     # mip padding: align to the 8-byte block
+            stored.append(b"\x00" * pad)
+            pos += pad
+        offsets[lev] = pos
+        lengths[lev] = len(payload)
+        stored.append(payload)
+        pos += len(payload)
+
+    header = KTX2_IDENTIFIER + struct.pack(
+        "<IIIIIIIII",
+        VK_FORMAT_BC1_RGB_SRGB if srgb else VK_FORMAT_BC1_RGB_UNORM,
+        1,                       # typeSize
+        width, height,
+        0, 0, 1,                 # depth, layerCount, faceCount
+        nlev,
+        SUPERCOMPRESSION_ZLIB if supercompress else SUPERCOMPRESSION_NONE,
+    ) + struct.pack("<IIII", dfd_off, len(dfd), kvd_off, len(kvd)) \
+      + struct.pack("<QQ", 0, 0)   # no supercompression global data
+    index = b"".join(struct.pack("<QQQ", offsets[i], lengths[i],
+                                 raw_lengths[i]) for i in range(nlev))
+    return header + index + dfd + kvd + b"".join(stored)
+
+
+def read_ktx2(data: bytes):
+    """Parse a KTX2 file back to (meta dict, [level block bytes]) — the
+    loader counterpart used by tests and the client texture path."""
+    if data[:12] != KTX2_IDENTIFIER:
+        raise ValueError("not a KTX2 file")
+    (vkfmt, type_size, w, h, depth, layers, faces, nlev, scheme) = \
+        struct.unpack_from("<IIIIIIIII", data, 12)
+    dfd_off, dfd_len, kvd_off, kvd_len = struct.unpack_from("<IIII", data, 48)
+    levels = []
+    for i in range(nlev):
+        off, ln, raw = struct.unpack_from("<QQQ", data, 80 + i * 24)
+        payload = data[off:off + ln]
+        if scheme == SUPERCOMPRESSION_ZLIB:
+            payload = zlib.decompress(payload)
+            if len(payload) != raw:
+                raise ValueError("ktx2: level size mismatch after inflate")
+        elif scheme != SUPERCOMPRESSION_NONE:
+            raise ValueError(f"ktx2: unsupported supercompression {scheme}")
+        levels.append(payload)
+    meta = dict(vk_format=vkfmt, width=w, height=h, levels=nlev,
+                scheme=scheme, faces=faces, type_size=type_size)
+    return meta, levels
+
+
+# ---------------------------------------------------------------------------
+# The LOD-pipeline entry point (generateBasisTexture parity)
+# ---------------------------------------------------------------------------
+
+_MAX_WH = {None: 4096, 0: 1024, 1: 256, 2: 64}   # LODGeneration.cpp:270-276
+
+
+def _resize_for_level(img: np.ndarray, lod_level, base_lod_level: int):
+    """The reference's sizing: clamp the long edge per level, keep aspect,
+    round dims UP to a multiple of 4 (LODGeneration.cpp:318-320)."""
+    key = None if lod_level == base_lod_level else lod_level
+    max_wh = _MAX_WH[key if key in _MAX_WH else 2]
+    h, w = img.shape[:2]
+    if w >= h:
+        nw = min(w, max_wh)
+        nh = max(1, int(round(nw * h / w)))
+    else:
+        nh = min(h, max_wh)
+        nw = max(1, int(round(nh * w / h)))
+    nw, nh = (nw + 3) & ~3, (nh + 3) & ~3
+    if (nw, nh) == (w, h):
+        return img
+    # Box-filter halvings to the nearest power-of-two scale, then a
+    # bilinear-ish final resample via linear index mapping.
+    cur = img.astype(np.float32)
+    while cur.shape[1] >= nw * 2 and cur.shape[0] >= nh * 2:
+        hh, ww = cur.shape[0] & ~1, cur.shape[1] & ~1
+        c = cur[:hh, :ww]
+        cur = (c[0::2, 0::2] + c[1::2, 0::2]
+               + c[0::2, 1::2] + c[1::2, 1::2]) * 0.25
+    yi = np.clip((np.arange(nh) + 0.5) * cur.shape[0] / nh - 0.5,
+                 0, cur.shape[0] - 1)
+    xi = np.clip((np.arange(nw) + 0.5) * cur.shape[1] / nw - 0.5,
+                 0, cur.shape[1] - 1)
+    y0 = np.floor(yi).astype(int); y1 = np.minimum(y0 + 1, cur.shape[0] - 1)
+    x0 = np.floor(xi).astype(int); x1 = np.minimum(x0 + 1, cur.shape[1] - 1)
+    fy = (yi - y0)[:, None, None]; fx = (xi - x0)[None, :, None]
+    out = (cur[y0][:, x0] * (1 - fy) * (1 - fx)
+           + cur[y1][:, x0] * fy * (1 - fx)
+           + cur[y0][:, x1] * (1 - fy) * fx
+           + cur[y1][:, x1] * fy * fx)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def generate_compressed_texture(img: np.ndarray, lod_level=None,
+                                base_lod_level: int = 0, srgb: bool = True,
+                                supercompress: bool = False) -> bytes:
+    """Resize per the reference's LOD rules, build the full mip chain,
+    BC1-encode every level in ONE batched device call, and wrap in KTX2.
+
+    This is the generateBasisTexture equivalent: the server asset pipeline
+    calls it for each texture resource and LOD level."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    img = img[:, :, :3]
+    if lod_level is not None:
+        img = _resize_for_level(img, lod_level, base_lod_level)
+    mips = mip_chain(img)
+    # One dispatch: pack every level's blocks into a single batch.
+    blocks = [_to_blocks(m) for m, _, _ in mips]
+    counts = [len(b) for b in blocks]
+    words = np.asarray(_bc1_kernel()(np.concatenate(blocks, axis=0)))
+    level_bytes = []
+    at = 0
+    for c in counts:
+        level_bytes.append(words[at:at + c].astype("<u4").tobytes())
+        at += c
+    return write_ktx2(level_bytes, mips[0][1], mips[0][2], srgb=srgb,
+                      supercompress=supercompress)
+
+
+def lod_texture_url(base_url: str, level: int) -> str:
+    """Texture URL scheme (WorldMaterial.cpp:44-90 with use_basis=true,
+    '.ktx2' standing in for '.basis'): base -> '<root>.ktx2', LOD N ->
+    '<root>_lodN.ktx2'."""
+    dot = base_url.rfind(".")
+    root = base_url[:dot] if dot >= 0 else base_url
+    if level <= 0:
+        return f"{root}.ktx2"
+    return f"{root}_lod{level}.ktx2"

@@ -56,6 +56,76 @@ def test_lod_gen_thread(tmp_path):
     assert len(t2_) <= len(t1) < len(t)
 
 
+def test_texture_lod_gen_thread(tmp_path):
+    """generateBasisTexture parity: one queued texture yields base/_lod1/
+    _lod2 .ktx2 resources at the reference's per-level sizes."""
+    import io
+
+    from PIL import Image
+
+    from substrata_tpu.shared.texture_compress import (lod_texture_url,
+                                                       read_ktx2)
+    rm = ResourceManager(str(tmp_path))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (300, 512, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    rm.store_resource("wall.png", buf.getvalue())
+    worker = MeshLODGenThread(rm)
+    worker.start()
+    worker.enqueue_texture("wall.png")
+    t0 = time.time()
+    while len(worker.generated) < 3 and time.time() - t0 < 30:
+        time.sleep(0.05)
+    worker.stop()
+    assert worker.errors == []
+    # Base level: source already <= 4096, rounded up to multiple of 4.
+    meta0, lv0 = read_ktx2(rm.load_resource(lod_texture_url("wall.png", 0)))
+    assert (meta0["width"], meta0["height"]) == (512, 300)
+    meta1, _ = read_ktx2(rm.load_resource(lod_texture_url("wall.png", 1)))
+    assert (meta1["width"], meta1["height"]) == (256, 152)  # long edge 256
+    meta2, _ = read_ktx2(rm.load_resource(lod_texture_url("wall.png", 2)))
+    assert (meta2["width"], meta2["height"]) == (64, 40)    # long edge 64
+    # Full mip chains, BC1 sizing: level0 of the base = ceil dims /4 blocks.
+    assert len(lv0[0]) == (512 // 4) * (300 // 4) * 8
+
+
+def test_server_upload_kicks_texture_pipeline(tmp_path):
+    """Uploading an image resource over connection type 501 enqueues
+    compressed-texture generation when a pipeline is attached (Server.cpp
+    new-resource -> MeshLODGenThread flow)."""
+    import io
+
+    from PIL import Image
+
+    from substrata_tpu.net.client import upload_resource
+    from substrata_tpu.net.server import Server
+    from substrata_tpu.shared.texture_compress import lod_texture_url
+    server = Server(port=0, udp_port=0, resource_dir=str(tmp_path))
+    server.lod_gen = MeshLODGenThread(server.resources)
+    server.lod_gen.start()
+    server.start()
+    try:
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[:16] = 200
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        code = upload_resource("127.0.0.1", server.port, "mural.png",
+                               buf.getvalue())
+        from substrata_tpu.net import protocol as P
+        assert code == P.UPLOAD_ALLOWED
+        t0 = time.time()
+        while len(server.lod_gen.generated) < 3 and time.time() - t0 < 30:
+            time.sleep(0.05)
+        assert server.lod_gen.errors == []
+        for level in (0, 1, 2):
+            assert server.resources.is_file_present(
+                lod_texture_url("mural.png", level))
+    finally:
+        server.stop()
+        server.lod_gen.stop()
+
+
 def test_chunk_gen_thread(tmp_path):
     rm = ResourceManager(str(tmp_path))
     v, t, m = grid_mesh(8)
