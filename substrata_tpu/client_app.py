@@ -161,6 +161,7 @@ class ClientApp:
         self._last_reconnect_attempt = 0.0
         self.cam_pos = np.array([0, 0, EYE_HEIGHT, 1], np.float32)
         self.last_physics_sim_time = 0.0    # diagnostics (GUIClient.cpp:6509)
+        self.phase_ms: dict[str, float] = {}  # per-phase tick attribution
         self.log_messages: list[str] = []
 
     def _world_iface(self):
@@ -419,6 +420,17 @@ class ClientApp:
     # ------------------------------------------------------------------
     def timer_event(self, dt: float, inp: PlayerInput | None = None):
         inp = inp or PlayerInput()
+        # Per-phase wall-time attribution (DiagnosticsWidget analogue,
+        # gui_client diagnostics pane): refreshed every tick, ~µs overhead.
+        phase_ms: dict[str, float] = {}
+        _t_mark = time.perf_counter()
+
+        def mark(name):
+            nonlocal _t_mark
+            t = time.perf_counter()
+            phase_ms[name] = phase_ms.get(name, 0.0) + (t - _t_mark) * 1e3
+            _t_mark = t
+
         now = self.clock()
         global_time = (self.world_state.global_time()
                        if self.world_state is not None else now)
@@ -437,6 +449,7 @@ class ClientApp:
         self.script_vm.update(now)
         if self.client is not None:
             self._apply_network_events()
+        mark("events")
 
         # 2. Player input -> desired velocity (camera-relative simplified to
         #    world axes; a CameraController hook can replace this).
@@ -483,14 +496,19 @@ class ClientApp:
                 if inp.jump:
                     self.player.process_jump(now)
                     inp.jump = False
+            mark("controllers")
             self.vehicles.update(sub_dt)
+            mark("vehicles")
             if not driving:
                 campos, jumped = self.player.update(sub_dt, cur_time=now)
                 self.cam_pos = campos
+            mark("player")
             # d. world step.
             self.physics_world.think(sub_dt)
+            mark("think")
             # e. player contact events -> ownership claims + touch events.
             self._process_player_contacts(global_time, now)
+            mark("contacts")
         self.last_physics_sim_time = time.perf_counter() - t_phys0
 
         # 3f. Portal traversal (GUIClient.cpp:6514-6516): handle the URL a
@@ -511,8 +529,11 @@ class ClientApp:
 
         # 5-6. Readback: sync transforms of awake bodies to world objects +
         # audio sources; owned dynamic objects stage snapshots.
+        _t_mark = time.perf_counter()
         self.physics_world.sync_transforms()
+        mark("sync_transforms")
         self._readback_active_objects(global_time)
+        mark("readback")
 
         # Camera from the driven vehicle seat.
         if driving:
@@ -527,10 +548,12 @@ class ClientApp:
         # AvatarGraphics::setOverallTransform -> anim/pose.py kernel).
         if self.client is not None:
             self._update_avatar_graphics(dt)
+        mark("avatars")
 
         # 8. Remote playback (snapshot insertion / interpolation).
         if self.client is not None:
             self._remote_object_playback(global_time, dt)
+        mark("playback")
 
         # 9-10. Audio occlusion + head transform.
         if self.audio is not None:
@@ -539,7 +562,8 @@ class ClientApp:
             self.audio.set_head_transform(
                 self.cam_pos[:3],
                 np.array([0, 0, math.sin(yaw / 2), math.cos(yaw / 2)], np.float32),
-                vel=np.asarray(self.player.state.vel))
+                vel=self.player.get_velocity())
+        mark("audio")
 
         # 11. Winter scripts (batched) drive kinematic transforms.
         if self.scripts.scripted:
@@ -556,9 +580,11 @@ class ClientApp:
                         rot = np.array([0, 0, 0, 1], np.float32)
                     pos = np.asarray(ob.pos, np.float32) + trans[0]
                     self.physics_world.move_kinematic_object(phys, pos, rot, dt)
+        mark("scripts")
 
         # 12. Particles.
         self.particles.think(dt)
+        mark("particles")
 
         # 13. Send pass (~10 Hz physics snapshots, WorldObject send period).
         if self.client is not None and now - self._last_snapshot_send >= SEND_PERIOD:
@@ -573,6 +599,7 @@ class ClientApp:
                 [0.0, 0.0, 0.0], anim_state=0,
                 vehicle_uid=self.driven_vehicle_uid,
                 seat=self.cur_seat_index, input_bitflags=bitflags)
+        mark("send")
 
         # 14. Terrain/scatter/asset streaming around the camera
         #     (processLoading parity: closest-first downloads, a bounded
@@ -613,6 +640,8 @@ class ClientApp:
                     self._dl_done.append((u, data))
 
             threading.Thread(target=fetch, daemon=True).start()
+        mark("loading")
+        self.phase_ms = phase_ms
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------

@@ -437,6 +437,29 @@ def character_update(char: CharacterState, body: BodyState, world: StaticWorld,
     return new_char, campos, do_jump, touched
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _player_update_packed(char, body, world, move, jump_req, fly_mode,
+                          sitting, dt, params, config, exclude_body):
+    """character_update + ONE packed host-readback vector.
+
+    The host wrapper needs campos, jumped, on_ground, pos, vel, ground_vel
+    and the touched-body list every tick; reading them as separate arrays
+    cost ~8 device->host round trips per tick (remote runtimes charge ~ms
+    of latency each — the networked client tick was readback-bound).
+    Layout: [campos(4), jumped, on_ground, pos(3), vel(3), ground_vel(3),
+    touched(K)] as f32 (slot ids < 2^24 are exact in f32)."""
+    new_state, campos, jumped, touched = character_update(
+        char, body, world, move, jump_req, fly_mode, sitting, dt, params,
+        config, exclude_body)
+    packed = jnp.concatenate([
+        campos,
+        jnp.stack([jumped.astype(jnp.float32),
+                   new_state.on_ground.astype(jnp.float32)]),
+        new_state.pos, new_state.vel, new_state.ground_vel,
+        touched.astype(jnp.float32)])
+    return new_state, packed
+
+
 class PlayerPhysics:
     """Host wrapper: input accumulation + kinematic proxy body.
 
@@ -452,6 +475,9 @@ class PlayerPhysics:
 
         self.world = physics_world
         self.state = init_character_state(np.asarray(eye_pos, np.float32))
+        self._host_pos = None           # host mirrors (refreshed by update)
+        self._host_on_ground = False
+        self._host_vel = np.zeros(3, np.float32)
         self.move_desired_vel = np.zeros(3, np.float32)
         self.last_jump_time = -1.0
         self.fly_mode = False
@@ -467,8 +493,15 @@ class PlayerPhysics:
             userdata_type=USERDATA_AVATAR))
 
     def _capsule_center(self):
-        foot = np.asarray(self.state.pos)
+        foot = self._host_foot_pos()
         return foot + np.array([0, 0, SPHERE_RAD + CYLINDER_HEIGHT / 2], np.float32)
+
+    def _host_foot_pos(self):
+        """Foot position without a device readback when the host cache is
+        fresh (update() refreshes it; setters invalidate it)."""
+        if self._host_pos is None:
+            self._host_pos = np.asarray(self.state.pos)
+        return self._host_pos
 
     # Input processing (PlayerPhysics.cpp:159-217).
     def process_move(self, vec, runpressed=False):
@@ -492,37 +525,48 @@ class PlayerPhysics:
         w = self.world
         w._flush()
         jump_req = (cur_time - self.last_jump_time) < JUMP_PERIOD
-        new_state, campos, jumped, touched = character_update(
+        new_state, packed = _player_update_packed(
             self.state, w.state, w.static_world,
             jnp.asarray(self.move_desired_vel), jnp.array(bool(jump_req)),
             jnp.array(self.fly_mode), jnp.array(self.sitting),
             jnp.float32(dt), w.params, w.config, jnp.int32(self.proxy.slot))
         self.state = new_state
-        if bool(jumped):
+        pk = np.asarray(packed)          # the tick's ONE character readback
+        campos = pk[0:4].copy()
+        jumped = bool(pk[4] > 0.5)
+        self._host_on_ground = bool(pk[5] > 0.5)
+        self._host_pos = pk[6:9].copy()
+        v = pk[9:12]
+        gv = pk[12:15]
+        self._host_vel = v.copy()
+        if jumped:
             self.last_jump_time = -1.0
-        self.last_update_events_jumped = bool(jumped)
-        t = np.asarray(touched)
+        self.last_update_events_jumped = jumped
+        t = pk[15:].astype(np.int32)
         self.contacted_bodies = [w.objects[int(s)] for s in t[t >= 0]
                                  if int(s) in w.objects]
-        gv = np.asarray(new_state.ground_vel)
-        v = np.asarray(new_state.vel)
         self.last_xy_plane_vel_rel_ground = (
-            (v - gv) if bool(new_state.on_ground) else v) * np.array([1, 1, 0], np.float32)
+            (v - gv) if self._host_on_ground else v) * np.array([1, 1, 0], np.float32)
         # Drive the kinematic proxy.
         w.move_kinematic_object(self.proxy, self._capsule_center(),
                                 self.proxy.rot, dt)
         self.zero_move_desired_vel()
-        return np.asarray(campos), bool(jumped)
+        return campos, jumped
 
     @property
     def on_ground(self):
-        return bool(self.state.on_ground)
+        return self._host_on_ground
+
+    def get_velocity(self):
+        """Host-cached linear velocity (refreshed by update())."""
+        return self._host_vel
 
     def get_eye_position(self):
-        return np.asarray(self.state.pos) + np.array([0, 0, EYE_HEIGHT], np.float32)
+        return self._host_foot_pos() + np.array([0, 0, EYE_HEIGHT], np.float32)
 
     def set_position(self, eye_pos, linvel=None):
         foot = np.asarray(eye_pos, np.float32) - np.array([0, 0, EYE_HEIGHT], np.float32)
         self.state = self.state.replace(pos=jnp.asarray(foot))
+        self._host_pos = foot.copy()
         if linvel is not None:
             self.state = self.state.replace(vel=jnp.asarray(np.asarray(linvel, np.float32)))

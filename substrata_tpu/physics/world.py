@@ -18,6 +18,7 @@ StepEvents, mirroring the reference's activation listeners
 from __future__ import annotations
 
 import itertools
+import math
 from dataclasses import dataclass, field as dfield
 from functools import partial
 from typing import Any, Callable
@@ -501,10 +502,27 @@ class PhysicsWorld:
         pos = np.asarray(pos, np.float32)
         rot = np.asarray(rot, np.float32)
         ob.linvel = (pos - ob.pos) / max(dt, 1e-9)
-        # Angular velocity from delta quaternion.
-        dq = np.asarray(quatm.mul(jnp.asarray(rot), quatm.conjugate(jnp.asarray(ob.rot))))
-        axis, angle = quatm.to_axis_angle(jnp.asarray(dq))
-        ob.angvel = np.asarray(axis) * float(angle) / max(dt, 1e-9)
+        # Angular velocity from the delta quaternion rot * conj(ob.rot).
+        # Pure host numpy: this runs once per scripted kinematic object per
+        # tick, and a jnp round trip here cost ~3 device dispatches + a
+        # readback PER OBJECT (~1,600/tick at 12k objects — the networked
+        # tick was 0.7 s/tick of transfer latency before this).
+        r, c = rot, ob.rot
+        cx, cy, cz, cw = -c[0], -c[1], -c[2], c[3]
+        dq = np.array([
+            r[3] * cx + r[0] * cw + r[1] * cz - r[2] * cy,
+            r[3] * cy - r[0] * cz + r[1] * cw + r[2] * cx,
+            r[3] * cz + r[0] * cy - r[1] * cx + r[2] * cw,
+            r[3] * cw - r[0] * cx - r[1] * cy - r[2] * cz], np.float32)
+        if dq[3] < 0.0:
+            dq = -dq
+        sin_half = float(np.linalg.norm(dq[:3]))
+        angle = 2.0 * math.atan2(sin_half, float(dq[3]))
+        if sin_half < 1e-8:
+            axis = np.array([1.0, 0.0, 0.0], np.float32)
+        else:
+            axis = dq[:3] / sin_half
+        ob.angvel = axis * np.float32(angle / max(dt, 1e-9))
         ob.pos = pos
         ob.rot = rot
         self._dirty[ob.slot] = (ob, True)

@@ -111,6 +111,7 @@ def main():
     rng = np.random.default_rng(1)
 
     n_ticks = 30 if _SMOKE else 150
+    phase_acc: dict[str, float] = {}
     t0 = time.perf_counter()
     for tick in range(n_ticks):
         # ~10 Hz snapshot stream: every tick, 1/3 of dynamic objects update.
@@ -124,6 +125,8 @@ def main():
                 uid, pos, np.array([0, 0, 0, 1], np.float32),
                 np.zeros(3, np.float32), np.zeros(3, np.float32))
         app.timer_event(1 / TICK_HZ)
+        for k, v in app.phase_ms.items():
+            phase_acc[k] = phase_acc.get(k, 0.0) + v
     wall = time.perf_counter() - t0
     ticks_per_sec = n_ticks / wall
 
@@ -133,6 +136,9 @@ def main():
         "unit": "ticks/s",
         "vs_baseline": round(ticks_per_sec / BASELINE_TICK_HZ, 3),
         "replicated_objects": viewer.world_state.num_objects(),
+        "phase_ms": {k: round(v / n_ticks, 2)
+                     for k, v in sorted(phase_acc.items(),
+                                        key=lambda kv: -kv[1])},
     }))
 
     viewer.stop()
