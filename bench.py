@@ -60,7 +60,11 @@ from substrata_tpu.physics.world import PhysicsObject, PhysicsWorld
 _SMOKE = os.environ.get("SUBSTRATA_BENCH_SMOKE", "") not in ("", "0")
 N_BODIES = 400 if _SMOKE else 10_000
 N_SOURCES = 16 if _SMOKE else 256
-N_PARTICLES = 256 if _SMOKE else 10_000
+# Particle workload: reference parity is 2048 (the reference's own hard cap,
+# ParticleManager.cpp:88 MAX_NUM_PARTICLES = 2048).  The earlier 10k figure
+# was a 5x stress tier; set SUBSTRATA_BENCH_PARTICLES to re-run it.
+N_PARTICLES = 256 if _SMOKE else int(
+    os.environ.get("SUBSTRATA_BENCH_PARTICLES", "2048"))
 N_VEHICLES = 8                 # 2 each: car/bike/boat/hovercar
 N_WINTER = 32 if _SMOKE else 512  # scripted-object instances per eval batch
 TICK_FRAMES = 800              # 48 kHz / 60 Hz: one tick of audio per step

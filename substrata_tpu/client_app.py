@@ -98,7 +98,8 @@ class PlayerInput:
 class ClientApp:
     def __init__(self, client=None, config: SimConfig | None = None,
                  clock=time.monotonic, enable_audio: bool = True,
-                 pin_all_shape_types: bool = False):
+                 pin_all_shape_types: bool = False,
+                 pipeline_depth: int = 0):
         self.client = client                  # net.client.Client or None
         self.clock = clock
         # pin_all_shape_types: interactive sessions can pre-pay the full
@@ -113,6 +114,16 @@ class ClientApp:
         self.particles = ParticleManager(self.physics_world)
         self.audio = AudioEngine() if enable_audio else None
         self.player = PlayerPhysics(self.physics_world, eye_pos=(0, 0, EYE_HEIGHT))
+        # Pipelined readbacks (runtime/readback.py): on remote TPU runtimes
+        # every synchronous device->host read costs the tunnel round trip
+        # (~40-55 ms measured), so the serving tick consumes step results
+        # depth ticks late instead (render/replication mirrors only — the
+        # on-device sim state stays exact).  depth=0 keeps everything
+        # synchronous (the default; tests and offline tools use this).
+        self.pipeline_depth = int(pipeline_depth)
+        if self.pipeline_depth > 0:
+            self.physics_world.set_pipelined(self.pipeline_depth)
+            self.player.set_pipelined(self.pipeline_depth)
         self.vehicles = VehicleManager(self.physics_world)
         self.avatar_graphics = AvatarGraphicsManager()
         self.script_vm = ScriptVM(world_interface=self._world_iface(), clock=clock)
@@ -152,6 +163,12 @@ class ClientApp:
         # need a new connection, which the embedding frontend owns.
         self.portal_connect_hook = None
 
+        # Per-tick object-scan caches: lists rebuilt only when membership
+        # or motion types change (a 12k-object world pays ~30 ms/tick just
+        # iterating every object otherwise).
+        self._nonstatic_wobs: list | None = None
+        self._dyn_playback: list | None = None
+
         self._time_accum = 0.0
         self._last_touch_event_time: dict[int, float] = {}
         self._last_snapshot_send = 0.0
@@ -185,12 +202,17 @@ class ClientApp:
     def world_state(self):
         return self.client.world_state if self.client is not None else None
 
+    def _invalidate_object_caches(self):
+        self._nonstatic_wobs = None
+        self._dyn_playback = None
+
     def create_object(self, ob: WorldObject) -> WorldObject:
         """Local object creation; sends ObjectCreated when connected."""
         if ob.uid == 0:
             ob.uid = self._next_local_uid
             self._next_local_uid += 1
         self.objects[ob.uid] = ob
+        self._invalidate_object_caches()
         self._load_object(ob)
         if self.client is not None:
             self.client.send_create_object(ob)
@@ -294,6 +316,7 @@ class ClientApp:
             self.physics_world.remove_static_mesh_instance(ob.mesh_instance_id)
             ob.mesh_instance_id = None
         ob.pos = np.asarray(pos, np.float32)
+        self._invalidate_object_caches()
         self._load_physics_for_object(ob)
         if vel is not None and ob.physics_object is not None:
             self.physics_world.set_linear_and_angular_vel(
@@ -330,6 +353,8 @@ class ClientApp:
             fp = spec.get("follow_path")
             if fp is not None and ob.physics_object is not None:
                 ob.physics_object.motion_type = int(MotionType.KINEMATIC)
+                self.physics_world.note_motion_type_changed(ob.physics_object)
+                self._invalidate_object_caches()
                 self.physics_world._dirty[ob.physics_object.slot] = (ob.physics_object, True)
                 pc = ObjectPathController(
                     ob.physics_object, fp["waypoints"],
@@ -354,6 +379,8 @@ class ClientApp:
                 self.scripts.add(ob, ob.script)
                 if ob.physics_object is not None:
                     ob.physics_object.motion_type = int(MotionType.KINEMATIC)
+                    self.physics_world.note_motion_type_changed(ob.physics_object)
+                    self._invalidate_object_caches()
                     self.physics_world._dirty[ob.physics_object.slot] = (ob.physics_object, True)
             except Exception as e:
                 self.log(f"winter script error on {ob.uid}: {e}")
@@ -365,6 +392,7 @@ class ClientApp:
 
     def remove_object(self, ob: WorldObject):
         self.objects.pop(ob.uid, None)
+        self._invalidate_object_caches()
         if ob.physics_object is not None:
             self.physics_world.remove_object(ob.physics_object)
         if ob.mesh_instance_id is not None:
@@ -740,9 +768,15 @@ class ClientApp:
         78 s/tick at 12k objects before these rules)."""
         my_uid = self.client.avatar_uid if self.client is not None else 0
         push_audio = self.audio is not None
-        for ob in self.objects.values():
+        if self._nonstatic_wobs is None:
+            static = int(MotionType.STATIC)
+            self._nonstatic_wobs = [
+                ob for ob in self.objects.values()
+                if ob.physics_object is not None
+                and ob.physics_object.motion_type != static]
+        for ob in self._nonstatic_wobs:
             phys = ob.physics_object
-            if phys is None or phys.motion_type == int(MotionType.STATIC):
+            if phys is None:
                 continue
             if phys.shape.pose_is_identity():
                 mesh_pos, mesh_rot = phys.pos, phys.rot
@@ -781,16 +815,22 @@ class ClientApp:
         with smoothing; decay smoothing."""
         ws = self.world_state
         my_uid = self.client.avatar_uid
-        uids, slots = [], []
-        with ws.lock:
-            for uid, net_ob in ws.objects.items():
-                local = self.objects.get(uid)
-                if local is None or local.physics_object is None:
-                    continue
-                if not local.is_dynamic():
-                    continue
-                uids.append(uid)
-                slots.append(ws.slot_for(uid))
+        if self._dyn_playback is None:
+            pairs = []
+            with ws.lock:
+                for uid, net_ob in ws.objects.items():
+                    local = self.objects.get(uid)
+                    if local is None or local.physics_object is None:
+                        continue
+                    if not local.is_dynamic():
+                        continue
+                    pairs.append((uid, ws.slot_for(uid)))
+            self._dyn_playback = pairs
+        if self._dyn_playback:
+            uids = [u for u, _ in self._dyn_playback]
+            slots = [sl for _, sl in self._dyn_playback]
+        else:
+            uids, slots = [], []
         if slots:
             # Vectorised not-owned-by-me filter (owned_by per slot is a
             # Python call per object — this path scans every replicated
@@ -911,6 +951,7 @@ class ClientApp:
                 net_ob = ws.objects.get(uid)
             if net_ob is not None:
                 self.objects[uid] = net_ob
+                self._invalidate_object_caches()
                 self._load_object(net_ob)
         for uid in ev.objects_destroyed:
             ob = self.objects.get(uid)

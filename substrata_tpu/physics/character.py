@@ -478,6 +478,9 @@ class PlayerPhysics:
         self._host_pos = None           # host mirrors (refreshed by update)
         self._host_on_ground = False
         self._host_vel = np.zeros(3, np.float32)
+        self._pipeline = None           # set_pipelined
+        self._last_campos = np.array(
+            list(np.asarray(eye_pos, np.float32)) + [1.0], np.float32)
         self.move_desired_vel = np.zeros(3, np.float32)
         self.last_jump_time = -1.0
         self.fly_mode = False
@@ -520,6 +523,13 @@ class PlayerPhysics:
     def zero_move_desired_vel(self):
         self.move_desired_vel = np.zeros(3, np.float32)
 
+    def set_pipelined(self, depth: int):
+        """Pipelined host readback (see runtime/readback.py): update()
+        consumes the packed result dispatched ``depth`` ticks ago; the
+        on-device CharacterState chain stays exact."""
+        from substrata_tpu.runtime.readback import PipelinedReadback
+        self._pipeline = PipelinedReadback(depth) if depth > 0 else None
+
     def update(self, dt, cur_time=0.0):
         """Returns (campos [4], jumped)."""
         w = self.world
@@ -531,7 +541,17 @@ class PlayerPhysics:
             jnp.array(self.fly_mode), jnp.array(self.sitting),
             jnp.float32(dt), w.params, w.config, jnp.int32(self.proxy.slot))
         self.state = new_state
-        pk = np.asarray(packed)          # the tick's ONE character readback
+        if self._pipeline is not None:
+            pk = self._pipeline.push(packed)
+            if pk is None:
+                # Pipeline filling: host mirrors keep their last values;
+                # the proxy follows the last-known foot position.
+                w.move_kinematic_object(self.proxy, self._capsule_center(),
+                                        self.proxy.rot, dt)
+                self.zero_move_desired_vel()
+                return self._last_campos.copy(), False
+        else:
+            pk = np.asarray(packed)      # the tick's ONE character readback
         campos = pk[0:4].copy()
         jumped = bool(pk[4] > 0.5)
         self._host_on_ground = bool(pk[5] > 0.5)
@@ -551,6 +571,7 @@ class PlayerPhysics:
         w.move_kinematic_object(self.proxy, self._capsule_center(),
                                 self.proxy.rot, dt)
         self.zero_move_desired_vel()
+        self._last_campos = campos
         return campos, jumped
 
     @property

@@ -295,6 +295,35 @@ class PhysicsWorld:
         self.last_events = None
         self.last_diags = None
         self._steps = 0
+        self._nonstatic_objs = None      # lazy [(slot, ob)] cache
+
+        # Pipelined readback mode (remote-runtime serving): see
+        # runtime/readback.py.  depth=0 keeps every readback synchronous.
+        self._digest_pipeline = None
+        self._sync_pipeline = None
+        self._pending_events: list = []
+        self._mirror_skip: dict[int, int] = {}   # slot -> syncs to skip
+
+    def set_pipelined(self, depth: int):
+        """Enable depth-N pipelined readbacks (0 = synchronous).
+
+        In pipelined mode the host consumes each step's event digest and
+        transform block N steps late (their device->host copies start at
+        dispatch, so by consume time they are local).  Host-side event
+        bookkeeping (wake/sleep sets, listeners, tier switches) lags N
+        steps — dwarfed by the 100 ms network dejitter delay the serving
+        path already carries — and broadphase rebuilds run on the
+        config.pair_rebuild_interval cadence instead of the device-reported
+        window (mutation-driven invalidations still force rebuilds)."""
+        from substrata_tpu.runtime.readback import PipelinedReadback
+        if depth > 0:
+            self._digest_pipeline = PipelinedReadback(depth)
+            self._sync_pipeline = PipelinedReadback(depth)
+        else:
+            self._digest_pipeline = None
+            self._sync_pipeline = None
+        self._pending_events = []
+        self._mirror_skip = {}
 
     # ------------------------------------------------------------------
     # Water (PhysicsWorld.h water_z / water_buoyancy_enabled)
@@ -413,6 +442,8 @@ class PhysicsWorld:
         slot = self._free.pop()
         ob.slot = slot
         self.objects[slot] = ob
+        self._nonstatic_objs = None
+        self._note_host_write(slot)
         self._dirty[slot] = (ob, True)
         # Track which shape types exist (sticky — never shrinks, so jit
         # caches stay warm); absent combos get token narrowphase buckets.
@@ -430,6 +461,7 @@ class PhysicsWorld:
             return
         slot = ob.slot
         self.objects.pop(slot, None)
+        self._nonstatic_objs = None
         self.activated_obs.discard(ob)
         dead = PhysicsObject(shape=shape_factories.make_sphere(1e-4))
         dead.slot = slot
@@ -494,7 +526,19 @@ class PhysicsWorld:
             ob.shape = shape_factories.scaled(ob.shape, ob.scale)
             if ob.shape.shape_type == int(ShapeType.HULL) and ob.shape.hull_verts is not None:
                 ob.shape.params[0] = self._intern_hull(ob.shape)
+        self._note_host_write(ob.slot)
         self._dirty[ob.slot] = (ob, True)
+
+    def note_motion_type_changed(self, ob: PhysicsObject):
+        """Callers that flip ob.motion_type directly (script attach makes
+        an object kinematic) must invalidate the non-static mirror cache."""
+        self._nonstatic_objs = None
+
+    def _note_host_write(self, slot: int):
+        """Pipelined mode: protect a host-written mirror from being
+        regressed by stale in-flight transform blocks (see sync_transforms)."""
+        if self._sync_pipeline is not None:
+            self._mirror_skip[slot] = self._sync_pipeline.depth + 1
 
     def move_kinematic_object(self, ob: PhysicsObject, pos, rot, dt):
         """MoveKinematic parity (PhysicsWorld.cpp:707-722): set velocities so
@@ -525,12 +569,14 @@ class PhysicsWorld:
         ob.angvel = axis * np.float32(angle / max(dt, 1e-9))
         ob.pos = pos
         ob.rot = rot
+        self._note_host_write(ob.slot)
         self._dirty[ob.slot] = (ob, True)
 
     def set_linear_and_angular_vel(self, ob: PhysicsObject, linvel, angvel,
                                    activate: bool = True):
         ob.linvel = np.asarray(linvel, np.float32)
         ob.angvel = np.asarray(angvel, np.float32)
+        self._note_host_write(ob.slot)
         self._vel_dirty[ob.slot] = ob
 
     def activate_object(self, ob: PhysicsObject):
@@ -703,9 +749,30 @@ class PhysicsWorld:
         self.last_events = events
         self.last_diags = diags
         self._steps += 1
-        digest = np.asarray(_event_digest(events, diags.num_contacts,
-                                          diags.num_awake,
-                                          self.pair_cache.steps_left))
+        digest_dev = _event_digest(events, diags.num_contacts,
+                                   diags.num_awake,
+                                   self.pair_cache.steps_left)
+        if self._digest_pipeline is not None:
+            # Pipelined: consume the digest dispatched depth steps ago;
+            # rebuild cadence runs host-side on the config interval.
+            self._host_steps_left = (self.config.pair_rebuild_interval - 1
+                                     if rebuild else self._host_steps_left - 1)
+            self._pending_events.append(events)
+            dig = self._digest_pipeline.push(digest_dev)
+            if dig is not None:
+                past_events = self._pending_events.pop(0)
+                # Fully-asleep only counts once every in-flight step has
+                # confirmed zero awake bodies (no younger step can have
+                # woken anything without a host mutation).
+                self._world_asleep = (int(dig[199]) == 0
+                                      and not self._pending_events)
+                self._refresh_activation_sets(past_events, dig)
+                if self.auto_tier:
+                    self._update_tier_from_digest(dig)
+            else:
+                self.newly_activated_obs = set()
+            return events
+        digest = np.asarray(digest_dev)
         self._host_steps_left = int(digest[-1])
         self._world_asleep = int(digest[199]) == 0
         self._refresh_activation_sets(events, digest)
@@ -792,15 +859,41 @@ class PhysicsWorld:
         """Pull pos/rot/vel of all alive bodies into the host mirrors — the
         activated-objects readback of the client tick (GUIClient.cpp:6576-6692),
         batched into ONE packed DMA (five per-field reads cost five remote
-        round trips)."""
-        block = np.asarray(_transform_block(self.state))     # [N, 14]
+        round trips).
+
+        Pipelined mode consumes the block dispatched depth steps ago;
+        slots the host wrote since (adds, kinematic moves, snapshot
+        inserts) are skipped until the pipeline catches up, so
+        host-authoritative mirrors never regress to a stale device value.
+        """
+        block_dev = _transform_block(self.state)             # [N, 14]
+        if self._sync_pipeline is not None:
+            blk = self._sync_pipeline.push(block_dev)
+            if blk is None:
+                return
+            block = blk
+            if self._mirror_skip:
+                for slot in list(self._mirror_skip):
+                    left = self._mirror_skip[slot] - 1
+                    if left <= 0:
+                        del self._mirror_skip[slot]
+                    else:
+                        self._mirror_skip[slot] = left
+        else:
+            block = np.asarray(block_dev)
         pos = block[:, 0:3]
         rot = block[:, 3:7]
         lv = block[:, 7:10]
         av = block[:, 10:13]
         uw = block[:, 13]
-        for slot, ob in self.objects.items():
-            if ob.motion_type != int(MotionType.STATIC):
+        if self._nonstatic_objs is None:
+            static = int(MotionType.STATIC)
+            self._nonstatic_objs = [
+                (slot, ob) for slot, ob in self.objects.items()
+                if ob.motion_type != static]
+        skip = self._mirror_skip
+        for slot, ob in self._nonstatic_objs:
+            if slot not in skip:
                 ob.pos = pos[slot]
                 ob.rot = rot[slot]
                 ob.linvel = lv[slot]

@@ -241,3 +241,21 @@ def test_sub_url_parse_roundtrip():
     assert u2.parcel_uid == 10
     u3 = parse_sub_url(make_sub_url("h", "w", pos=(1, 2, 3), heading=7.0))
     assert (u3.hostname, u3.worldname) == ("h", "w") and u3.has_position
+
+
+def test_pipelined_tick_matches_world_state():
+    """pipeline_depth=3: host mirrors lag but converge — after settling,
+    the replica matches the device state; the player still walks."""
+    app = make_app(pipeline_depth=3)
+    ob = WorldObject(flags=DYNAMIC_FLAG | 1, pos=np.array([2.0, 0, 3.0]),
+                     mass=20.0)
+    app.create_object(ob)
+    for _ in range(150):
+        app.timer_event(DT, PlayerInput(forward=1.0))
+    # Mirrors are <= depth ticks stale; a settled box reads settled.
+    assert ob.pos[2] < 1.0, ob.pos
+    assert np.isfinite(ob.pos).all()
+    assert app.cam_pos[1] > 3.0, app.cam_pos
+    # Scripted kinematic mirrors stay host-authoritative (never regressed
+    # by stale blocks): drive one through the winter path.
+    assert app.player.on_ground

@@ -71,7 +71,13 @@ def build():
            if _SMOKE else
            SimConfig(capacity=12_288, max_pairs=16_384, grid_dim=96,
                      cell_size=4.0, solver_iters=7, pair_rebuild_interval=6))
-    app = ClientApp(client=viewer, config=cfg, enable_audio=False)
+    # Pipelined readbacks (depth 3): the serving configuration for remote
+    # TPU runtimes — host consumes step results 3 ticks (50 ms) late, far
+    # inside the 100 ms network dejitter delay.  SUBSTRATA_PIPELINE_DEPTH=0
+    # measures the synchronous path.
+    depth = int(os.environ.get("SUBSTRATA_PIPELINE_DEPTH", "3"))
+    app = ClientApp(client=viewer, config=cfg, enable_audio=False,
+                    pipeline_depth=depth)
 
     # Replicate WITHOUT stepping physics (each tick is a full 12k-body
     # device step; waiting on the wire needs none of that).
