@@ -168,6 +168,7 @@ class ClientApp:
         # iterating every object otherwise).
         self._nonstatic_wobs: list | None = None
         self._dyn_playback: list | None = None
+        self._snapshot_dirty: list = []
 
         self._time_accum = 0.0
         self._last_touch_event_time: dict[int, float] = {}
@@ -527,13 +528,23 @@ class ClientApp:
             mark("controllers")
             self.vehicles.update(sub_dt)
             mark("vehicles")
-            if not driving:
-                campos, jumped = self.player.update(sub_dt, cur_time=now)
-                self.cam_pos = campos
-            mark("player")
-            # d. world step.
-            self.physics_world.think(sub_dt)
-            mark("think")
+            if not driving and self.pipeline_depth > 0:
+                # Serving mode: player update + world step fused into ONE
+                # device program, results consumed via the readback
+                # pipeline (world.think_with_player).
+                mark("player")
+                self.physics_world.think_with_player(
+                    sub_dt, self.player, cur_time=now)
+                self.cam_pos = self.player._last_campos.copy()
+                mark("think")
+            else:
+                if not driving:
+                    campos, jumped = self.player.update(sub_dt, cur_time=now)
+                    self.cam_pos = campos
+                mark("player")
+                # d. world step.
+                self.physics_world.think(sub_dt)
+                mark("think")
             # e. player contact events -> ownership claims + touch events.
             self._process_player_contacts(global_time, now)
             mark("contacts")
@@ -774,33 +785,53 @@ class ClientApp:
                 ob for ob in self.objects.values()
                 if ob.physics_object is not None
                 and ob.physics_object.motion_type != static]
-        for ob in self._nonstatic_wobs:
+        obs = self._nonstatic_wobs
+        n = len(obs)
+        if not n:
+            return
+        # Quat -> axis-angle for EVERY object in one vectorised numpy pass
+        # (set_rotation_quat per object was ~25 us x 512 = 13 ms/tick).
+        P = np.empty((n, 3), np.float32)
+        R = np.empty((n, 4), np.float32)
+        for i, ob in enumerate(obs):
             phys = ob.physics_object
-            if phys is None:
-                continue
             if phys.shape.pose_is_identity():
-                mesh_pos, mesh_rot = phys.pos, phys.rot
+                P[i] = phys.pos
+                R[i] = phys.rot
             else:
-                mesh_pos, mesh_rot = phys.shape.mesh_pose_from_body(
-                    phys.pos, phys.rot)
-            ob.pos = mesh_pos
-            ob.set_rotation_quat(mesh_rot)
+                mp, mr = phys.shape.mesh_pose_from_body(phys.pos, phys.rot)
+                P[i] = mp
+                R[i] = mr
+        R /= np.maximum(np.linalg.norm(R, axis=1), 1e-9)[:, None]
+        sin_half = np.linalg.norm(R[:, :3], axis=1)
+        angles = 2.0 * np.arctan2(sin_half, R[:, 3])
+        axes = np.where(sin_half[:, None] > 1e-6,
+                        R[:, :3] / np.maximum(sin_half, 1e-6)[:, None],
+                        np.array([0, 0, 1], np.float32))
+        check_owned = self.client is not None
+        for i, ob in enumerate(obs):
+            phys = ob.physics_object
+            ob.pos = P[i]
+            ob.angle = float(angles[i])
+            ob.axis = axes[i]
             ob.linear_vel = phys.linvel
             ob.angular_vel = phys.angvel
             if push_audio and ob.audio_source is not None:
                 ob.audio_source.pos = np.asarray(phys.pos, np.float32)
                 ob.audio_source.vel = np.asarray(phys.linvel, np.float32)
                 self.audio.source_position_updated(ob.audio_source)
-            if (ob.is_dynamic() and self.client is not None
-                    and ob.physics_owner_id == my_uid):
+            if (check_owned and not ob.from_local_physics_dirty
+                    and ob.physics_owner_id == my_uid and ob.is_dynamic()):
                 ob.from_local_physics_dirty = True
+                self._snapshot_dirty.append(ob)
 
     def _send_dirty_snapshots(self, global_time):
         ws = self.world_state
-        for ob in self.objects.values():
-            if not ob.from_local_physics_dirty:
-                continue
+        dirty, self._snapshot_dirty = self._snapshot_dirty, []
+        for ob in dirty:
             ob.from_local_physics_dirty = False
+            if ob.uid not in self.objects:     # removed since marking
+                continue
             # Ownership renewal at half-period (docs:64-67).
             slot = ws.slot_for(ob.uid)
             if ws.ownership.needs_renewal(slot, global_time):

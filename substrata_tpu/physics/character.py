@@ -552,6 +552,20 @@ class PlayerPhysics:
                 return self._last_campos.copy(), False
         else:
             pk = np.asarray(packed)      # the tick's ONE character readback
+        jumped = self._consume_packed(pk)
+        # Drive the kinematic proxy.
+        w.move_kinematic_object(self.proxy, self._capsule_center(),
+                                self.proxy.rot, dt)
+        self.zero_move_desired_vel()
+        return self._last_campos.copy(), jumped
+
+    def _consume_packed(self, pk) -> bool:
+        """Refresh the host mirrors from one packed readback vector
+        (layout: _player_update_packed).  Called synchronously by update()
+        or depth ticks late by the readback pipeline / fused think."""
+        if pk is None:
+            return False
+        w = self.world
         campos = pk[0:4].copy()
         jumped = bool(pk[4] > 0.5)
         self._host_on_ground = bool(pk[5] > 0.5)
@@ -567,12 +581,8 @@ class PlayerPhysics:
                                  if int(s) in w.objects]
         self.last_xy_plane_vel_rel_ground = (
             (v - gv) if self._host_on_ground else v) * np.array([1, 1, 0], np.float32)
-        # Drive the kinematic proxy.
-        w.move_kinematic_object(self.proxy, self._capsule_center(),
-                                self.proxy.rot, dt)
-        self.zero_move_desired_vel()
         self._last_campos = campos
-        return campos, jumped
+        return jumped
 
     @property
     def on_ground(self):

@@ -132,6 +132,26 @@ def _think_step(body, static_world, hull_cv, dt, params, config,
                has_oversize=has_oversize)
 
 
+@partial(jax.jit, static_argnums=(5, 14, 15), donate_argnums=(0, 6, 7, 8))
+def _think_step_player(body, static_world, hull_cv, dt, params, config,
+                       solver_cache, pair_cache, char, move, jump_req,
+                       fly, sitting, exclude, rebuild_pairs=None,
+                       has_oversize=True):
+    """Fused serving substep: player character update THEN the world step
+    in one program (§3.1 steps 3c/3d) — halves the per-tick dispatch count
+    on remote runtimes.  Returns the packed player readback alongside the
+    step outputs (it rides the digest's pipeline entry)."""
+    from substrata_tpu.physics.character import _player_update_packed
+    from substrata_tpu.physics.step import physics_step as _ps
+    char2, packed = _player_update_packed(
+        char, body, static_world, move, jump_req, fly, sitting, dt, params,
+        config, exclude)
+    body2, sc, pc, events, diags = _ps(
+        body, static_world, hull_cv, dt, params, config, solver_cache,
+        pair_cache, rebuild_pairs=rebuild_pairs, has_oversize=has_oversize)
+    return body2, sc, pc, events, diags, char2, packed
+
+
 @jax.jit
 def _transform_block(state: BodyState):
     """Pack the per-tick transform readback into one [N, 14] f32 array
@@ -749,6 +769,16 @@ class PhysicsWorld:
         self.last_events = events
         self.last_diags = diags
         self._steps += 1
+        self._dispatch_digest(events, diags, rebuild)
+        return events
+
+    def _dispatch_digest(self, events, diags, rebuild,
+                         extra=None, on_extra=None):
+        """Shared tail of think()/think_with_player(): pack the event
+        digest, then either read it synchronously or push it through the
+        readback pipeline (consumed depth steps late).  ``extra`` rides the
+        same pipeline entry (its async copy overlaps the digest's);
+        ``on_extra(host_value)`` fires when it is consumed."""
         digest_dev = _event_digest(events, diags.num_contacts,
                                    diags.num_awake,
                                    self.pair_cache.steps_left)
@@ -757,10 +787,11 @@ class PhysicsWorld:
             # rebuild cadence runs host-side on the config interval.
             self._host_steps_left = (self.config.pair_rebuild_interval - 1
                                      if rebuild else self._host_steps_left - 1)
-            self._pending_events.append(events)
-            dig = self._digest_pipeline.push(digest_dev)
-            if dig is not None:
-                past_events = self._pending_events.pop(0)
+            self._pending_events.append((events, on_extra))
+            got = self._digest_pipeline.push((digest_dev, extra))
+            if got is not None:
+                dig, ex = got
+                past_events, past_cb = self._pending_events.pop(0)
                 # Fully-asleep only counts once every in-flight step has
                 # confirmed zero awake bodies (no younger step can have
                 # woken anything without a host mutation).
@@ -769,15 +800,60 @@ class PhysicsWorld:
                 self._refresh_activation_sets(past_events, dig)
                 if self.auto_tier:
                     self._update_tier_from_digest(dig)
+                if past_cb is not None:
+                    past_cb(ex)
             else:
                 self.newly_activated_obs = set()
-            return events
+            return
         digest = np.asarray(digest_dev)
         self._host_steps_left = int(digest[-1])
         self._world_asleep = int(digest[199]) == 0
         self._refresh_activation_sets(events, digest)
         if self.auto_tier:
             self._update_tier_from_digest(digest)
+        if on_extra is not None:
+            on_extra(None if extra is None else np.asarray(extra))
+
+    def think_with_player(self, dt: float, player, cur_time: float = 0.0):
+        """think() with the player character update FUSED into the same
+        device program (§3.1 order: player physics then the world step —
+        GUIClient.cpp:6418-6432).  One dispatch + one pipelined readback
+        entry per tick instead of two of each; the packed player readback
+        rides the digest's pipeline slot.
+
+        ``player`` is a physics.character.PlayerPhysics; its host mirrors
+        are refreshed via the same pipeline (depth ticks late in pipelined
+        mode, synchronously otherwise)."""
+        from substrata_tpu.physics.character import JUMP_PERIOD
+        had_mutations = bool(self._dirty or self._vel_dirty
+                             or self._wake_regions)
+        # No fully-asleep skip here: the player update must run every tick
+        # (gravity, input) even over a sleeping world.
+        self._flush()
+        if had_mutations:
+            self.invalidate_pairs()
+            self._world_asleep = False
+        rebuild = self._force_pair_rebuild or self._host_steps_left <= 0
+        self._force_pair_rebuild = False
+        jump_req = (cur_time - player.last_jump_time) < JUMP_PERIOD
+        (self.state, self.solver_cache, self.pair_cache, events, diags,
+         player.state, packed) = _think_step_player(
+            self.state, self.static_world, self._hull_contact_verts,
+            jnp.float32(dt), self.params, self.config, self.solver_cache,
+            self.pair_cache, player.state,
+            jnp.asarray(player.move_desired_vel),
+            jnp.array(bool(jump_req)), jnp.array(player.fly_mode),
+            jnp.array(player.sitting), jnp.int32(player.proxy.slot),
+            rebuild, bool(self._oversize_slots))
+        self.last_events = events
+        self.last_diags = diags
+        self._steps += 1
+        self._dispatch_digest(events, diags, rebuild, extra=packed,
+                              on_extra=player._consume_packed)
+        player.zero_move_desired_vel()
+        # Kinematic proxy follows the last-known foot position every tick.
+        self.move_kinematic_object(player.proxy, player._capsule_center(),
+                                   player.proxy.rot, dt)
         return events
 
     def _refresh_activation_sets(self, events, digest=None):

@@ -68,6 +68,8 @@ class PipelinedReadback:
 
     @staticmethod
     def _to_host(value):
+        if value is None:
+            return None
         if isinstance(value, tuple):
             return tuple(PipelinedReadback._to_host(v) for v in value)
         return np.asarray(value)
