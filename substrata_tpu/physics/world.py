@@ -316,6 +316,7 @@ class PhysicsWorld:
         self.last_diags = None
         self._steps = 0
         self._nonstatic_objs = None      # lazy [(slot, ob)] cache
+        self._structural_dirty = False   # mutations that invalidate pairs
 
         # Pipelined readback mode (remote-runtime serving): see
         # runtime/readback.py.  depth=0 keeps every readback synchronous.
@@ -463,6 +464,7 @@ class PhysicsWorld:
         ob.slot = slot
         self.objects[slot] = ob
         self._nonstatic_objs = None
+        self._structural_dirty = True
         self._note_host_write(slot)
         self._dirty[slot] = (ob, True)
         # Track which shape types exist (sticky — never shrinks, so jit
@@ -482,6 +484,7 @@ class PhysicsWorld:
         slot = ob.slot
         self.objects.pop(slot, None)
         self._nonstatic_objs = None
+        self._structural_dirty = True
         self.activated_obs.discard(ob)
         dead = PhysicsObject(shape=shape_factories.make_sphere(1e-4))
         dead.slot = slot
@@ -530,17 +533,29 @@ class PhysicsWorld:
     def set_new_ob_to_world_transform(self, ob: PhysicsObject, pos, rot,
                                       linvel=None, angvel=None, scale=None):
         old_pos = ob.pos
+        old_vel = ob.linvel
         ob.pos = np.asarray(pos, np.float32)
         ob.rot = np.asarray(rot, np.float32)
         # Teleports must wake sleeping bodies resting on the OLD location
         # (Jolt activates bodies in a removed/moved body's AABB); small
         # continuous moves are covered by ordinary contact wake propagation.
-        if np.linalg.norm(ob.pos - old_pos) > 0.5 * ob.shape.bound_radius + 0.1:
+        teleport = (np.linalg.norm(ob.pos - old_pos)
+                    > 0.5 * ob.shape.bound_radius + 0.1)
+        if teleport:
             self._wake_regions.append((old_pos, ob.shape.bound_radius))
         if linvel is not None:
             ob.linvel = np.asarray(linvel, np.float32)
         if angvel is not None:
             ob.angvel = np.asarray(angvel, np.float32)
+        # Pair-cache impact: a small positional correction with a small
+        # velocity delta stays inside the speed-scaled rebuild margins
+        # (broadphase._pairs_rebuild budgets each body's own travel over
+        # the reuse window), so the cached pair list stays valid — the
+        # dominant snapshot-insert case on the serving path.  Teleports and
+        # velocity jumps invalidate (rebuild next step).
+        if teleport or (linvel is not None
+                        and np.linalg.norm(ob.linvel - old_vel) > 2.0):
+            self._structural_dirty = True
         if scale is not None and not np.allclose(scale, ob.scale):
             ob.scale = np.asarray(scale, np.float32)
             ob.shape = shape_factories.scaled(ob.shape, ob.scale)
@@ -565,6 +580,10 @@ class PhysicsWorld:
         the body arrives at (pos, rot) after dt — contacts feel the motion."""
         pos = np.asarray(pos, np.float32)
         rot = np.asarray(rot, np.float32)
+        # Continuous kinematic motion (platforms, the character proxy) is
+        # covered by the rebuild margins; only jumps invalidate pairs.
+        if np.linalg.norm(pos - ob.pos) > 0.5 * ob.shape.bound_radius + 0.1:
+            self._structural_dirty = True
         ob.linvel = (pos - ob.pos) / max(dt, 1e-9)
         # Angular velocity from the delta quaternion rot * conj(ob.rot).
         # Pure host numpy: this runs once per scripted kinematic object per
@@ -596,6 +615,7 @@ class PhysicsWorld:
                                    activate: bool = True):
         ob.linvel = np.asarray(linvel, np.float32)
         ob.angvel = np.asarray(angvel, np.float32)
+        self._structural_dirty = True
         self._note_host_write(ob.slot)
         self._vel_dirty[ob.slot] = ob
 
@@ -751,8 +771,12 @@ class PhysicsWorld:
             return self.last_events
         self._flush()
         if had_mutations:
-            # Host moved/added/removed bodies: the cached pair list is stale.
-            self.invalidate_pairs()
+            # Structural changes (adds/removals/teleports/velocity jumps)
+            # invalidate the cached pair list; continuous moves are covered
+            # by the speed-scaled rebuild margins and keep the reuse cadence.
+            if self._structural_dirty:
+                self.invalidate_pairs()
+                self._structural_dirty = False
             self._world_asleep = False
         # Host-driven broadphase scheduling: pick the rebuild or reuse
         # compiled variant from the steps_left the previous step's digest
@@ -831,7 +855,9 @@ class PhysicsWorld:
         # (gravity, input) even over a sleeping world.
         self._flush()
         if had_mutations:
-            self.invalidate_pairs()
+            if self._structural_dirty:
+                self.invalidate_pairs()
+                self._structural_dirty = False
             self._world_asleep = False
         rebuild = self._force_pair_rebuild or self._host_steps_left <= 0
         self._force_pair_rebuild = False
