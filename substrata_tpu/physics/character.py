@@ -112,8 +112,16 @@ def _gather_capsule_candidates(foot_a, foot_b, cyl_h, body: BodyState, table,
     the substep lies within a cell of one of them), plus oversize bodies."""
     half_h = 0.5 * cyl_h
     num_buckets = config.grid_dim * config.grid_dim
+    centers = [foot_a, foot_b]
+    # Stick-to-floor scans probe down to foot-0.5 m: a maximal non-oversize
+    # body (diameter == cell_size) under that extreme is guaranteed gathered
+    # only when cell_size >= 2*(capsule half reach + 0.5).  Smaller cells add
+    # the stick-down extreme as a third gather center (compile-time gate —
+    # the serving configs run cell_size 4.0 and pay nothing).
+    if config.cell_size < 2.0 * (SPHERE_RAD + 0.5 * CYLINDER_HEIGHT + 0.5):
+        centers.append(foot_b - jnp.array([0.0, 0.0, 0.5], jnp.float32))
     cands = []
-    for foot in (foot_a, foot_b):
+    for foot in centers:
         center = foot + jnp.array([0.0, 0.0, SPHERE_RAD]) \
             + jnp.array([0.0, 0.0, 1.0]) * half_h
         cell = jnp.floor(center / config.cell_size).astype(jnp.int32)

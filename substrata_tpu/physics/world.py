@@ -547,14 +547,17 @@ class PhysicsWorld:
             ob.linvel = np.asarray(linvel, np.float32)
         if angvel is not None:
             ob.angvel = np.asarray(angvel, np.float32)
-        # Pair-cache impact: a small positional correction with a small
-        # velocity delta stays inside the speed-scaled rebuild margins
-        # (broadphase._pairs_rebuild budgets each body's own travel over
-        # the reuse window), so the cached pair list stays valid — the
-        # dominant snapshot-insert case on the serving path.  Teleports and
-        # velocity jumps invalidate (rebuild next step).
-        if teleport or (linvel is not None
-                        and np.linalg.norm(ob.linvel - old_vel) > 2.0):
+        # Pair-cache impact: a position SNAP is not travel — the rebuild
+        # margins (broadphase._pairs_rebuild: 0.08 m base + speed-at-rebuild
+        # * window * dt) budget velocity-predicted travel only, so any snap
+        # beyond the 8 cm base slack can outrun the cached pair list.
+        # Likewise a material speed-up exceeds the travel budgeted at
+        # rebuild time.  Sub-8cm corrections with near-unchanged speed (the
+        # dominant snapshot-insert case on the serving path) stay valid.
+        if (np.linalg.norm(ob.pos - old_pos) > 0.08
+                or (linvel is not None
+                    and np.linalg.norm(ob.linvel)
+                    > np.linalg.norm(old_vel) + 0.25)):
             self._structural_dirty = True
         if scale is not None and not np.allclose(scale, ob.scale):
             ob.scale = np.asarray(scale, np.float32)
@@ -580,11 +583,17 @@ class PhysicsWorld:
         the body arrives at (pos, rot) after dt — contacts feel the motion."""
         pos = np.asarray(pos, np.float32)
         rot = np.asarray(rot, np.float32)
-        # Continuous kinematic motion (platforms, the character proxy) is
-        # covered by the rebuild margins; only jumps invalidate pairs.
-        if np.linalg.norm(pos - ob.pos) > 0.5 * ob.shape.bound_radius + 0.1:
-            self._structural_dirty = True
+        # Continuous kinematic motion at steady speed is covered by the
+        # rebuild margins (which budget speed-at-rebuild * dt per step);
+        # invalidate on a jump beyond the per-step budget + the 8 cm base
+        # slack, or when the platform speeds up materially (accelerating
+        # from rest mid-window is NOT covered by margins built at rest).
+        prev_speed = float(np.linalg.norm(ob.linvel))
+        delta = float(np.linalg.norm(pos - ob.pos))
         ob.linvel = (pos - ob.pos) / max(dt, 1e-9)
+        if (delta > prev_speed * dt + 0.08
+                or float(np.linalg.norm(ob.linvel)) > prev_speed + 0.25):
+            self._structural_dirty = True
         # Angular velocity from the delta quaternion rot * conj(ob.rot).
         # Pure host numpy: this runs once per scripted kinematic object per
         # tick, and a jnp round trip here cost ~3 device dispatches + a

@@ -112,8 +112,12 @@ class MeshLODGenThread(threading.Thread):
         for level in (0, 1, 2):
             url = lod_texture_url(item.model_url, level)
             if not self.resources.is_file_present(url):
-                ktx = generate_compressed_texture(
-                    img, lod_level=None if level == 0 else level)
+                # Base level passes lod_level=0 (== base_lod_level) so the
+                # reference's 4096 long-edge clamp + round-up-to-multiple-of-4
+                # sizing applies (LODGeneration.cpp:271-320) — lod_level=None
+                # would skip sizing and let an untrusted 16k upload reach the
+                # BC1 kernel unclamped.
+                ktx = generate_compressed_texture(img, lod_level=level)
                 self.resources.store_resource(url, ktx)
                 self.generated.append(url)
 

@@ -18,15 +18,24 @@ Formats handled here are implemented from their public specifications:
   (resources/models/{cone,wedge}.igmesh, written by
   gui_client/MeshBuilding.cpp:755 `Indigo::Mesh::writeToFile(...,
   use_compression=false)`): little-endian, magic 5456751, version, a
-  compression flag (only uncompressed handled), num_uv_mappings,
-  used-material names, then length-prefixed arrays of vert positions /
-  normals / colours / uv pairs / triangles (3 vert + 3 uv indices + mat)
-  / quads (4 + 4 + mat).  We decode the positions-and-faces subset —
-  enough for collision + LOD generation parity; quads fan into two tris.
+  compression flag (version >= 4), num_uv_mappings, used-material names,
+  then length-prefixed arrays of vert positions / normals / colours /
+  uv pairs / triangles (3 vert + 3 uv indices + mat) / quads (4 + 4 +
+  mat).  We decode the positions-and-faces subset — enough for
+  collision + LOD generation parity; quads fan into two tris.
+  Compressed streams (flag == 1): the post-flag payload is a zstd frame
+  holding the same array layout; the Indigo SDK source is not in the
+  reference tree, so this layout is verified by round-trip against our
+  own writer (write_igmesh) and guarded by the same strict
+  lands-exactly-on-EOF check — a real-world file with a different
+  compressed chunking fails loudly instead of mis-parsing.
+  Material names: both sample assets carry empty names, where the
+  4-byte-padded and unpadded string layouts are byte-identical; the
+  parser tries padded first and falls back to unpadded (the strict EOF
+  check arbitrates).
 
 NOT handled (raise with a clear reason):
 
-- compressed igmesh streams (the flag is validated and rejected).
 - sog / subvox: Gaussian-splat and in-house packed-voxel renderer formats —
   renderer territory (SURVEY.md §7).
 
@@ -177,14 +186,67 @@ _IGMESH_MAGIC = 5456751
 
 
 def load_igmesh(data: bytes):
-    """Decode an uncompressed Indigo .igmesh into (verts, tris, tri_mats).
+    """Decode an Indigo .igmesh (uncompressed or zstd-compressed) into
+    (verts, tris, tri_mats).
 
     Subset reader: positions, triangles and quads only (normals / colours /
     uvs are parsed past, not returned) — what collision and LOD generation
     need.  Every array is strictly bounds-checked and the parse must land
-    exactly on EOF, so truncated or compressed files fail loudly instead of
-    yielding garbage geometry.
+    exactly on EOF, so truncated or layout-mismatched files fail loudly
+    instead of yielding garbage geometry.
     """
+    n = len(data)
+    if n < 8:
+        raise UnsupportedModelFormat("igmesh: truncated header")
+    magic, version = struct.unpack_from("<II", data, 0)
+    if magic != _IGMESH_MAGIC:
+        raise UnsupportedModelFormat("igmesh: bad magic")
+    if not 1 <= version <= 4:
+        raise UnsupportedModelFormat(f"igmesh: unknown version {version}")
+    body_at = 8
+    if version >= 4:
+        if n < 12:
+            raise UnsupportedModelFormat("igmesh: truncated header")
+        (flag,) = struct.unpack_from("<I", data, 8)
+        body_at = 12
+        if flag == 1:
+            # Compressed stream: the post-flag payload is one zstd frame
+            # over the uncompressed body (see module docstring — verified
+            # by round-trip against write_igmesh; a different real-world
+            # chunking fails the strict EOF check below).
+            try:
+                import zstandard
+            except ImportError as e:   # pragma: no cover - baked into image
+                raise UnsupportedModelFormat(
+                    "igmesh: compressed stream and no zstd available") from e
+            try:
+                body = zstandard.ZstdDecompressor().decompress(
+                    data[body_at:], max_output_size=1 << 30)
+            except zstandard.ZstdError as e:
+                raise UnsupportedModelFormat(
+                    f"igmesh: zstd decompress failed: {e}") from e
+            return _parse_igmesh_body(body)
+        if flag != 0:
+            raise UnsupportedModelFormat(
+                f"igmesh: unknown compression flag {flag}")
+    return _parse_igmesh_body(data[body_at:])
+
+
+def _parse_igmesh_body(body: bytes):
+    """Parse the igmesh body (everything after magic/version/compression
+    flag).  Material names: try the 4-byte-padded layout first, fall back
+    to unpadded — both sample assets have empty names (layouts identical),
+    and the strict lands-on-EOF check arbitrates for non-empty ones."""
+    try:
+        return _parse_igmesh_arrays(body, pad_names=True)
+    except UnsupportedModelFormat as first_err:
+        try:
+            return _parse_igmesh_arrays(body, pad_names=False)
+        except UnsupportedModelFormat:
+            raise first_err from None
+
+
+def _parse_igmesh_arrays(data: bytes, pad_names: bool):
     n = len(data)
     pos = 0
 
@@ -202,15 +264,6 @@ def load_igmesh(data: bytes):
             raise UnsupportedModelFormat(f"igmesh: truncated {what}")
         pos += nbytes
 
-    if u32() != _IGMESH_MAGIC:
-        raise UnsupportedModelFormat("igmesh: bad magic")
-    version = u32()
-    if not 1 <= version <= 4:
-        raise UnsupportedModelFormat(f"igmesh: unknown version {version}")
-    if version >= 4:
-        if u32() != 0:   # written by Mesh::writeToFile(use_compression=...)
-            raise UnsupportedModelFormat(
-                "igmesh: compressed streams not supported")
     num_uv_mappings = u32()
     del num_uv_mappings   # parsed for layout only; uvs are skipped below
     n_mats = u32()
@@ -218,9 +271,7 @@ def load_igmesh(data: bytes):
         raise UnsupportedModelFormat("igmesh: implausible material count")
     for _ in range(n_mats):
         slen = u32()
-        # Names in the sample assets are empty; non-empty ones are padded
-        # to the next 4-byte boundary (arrays after them stay aligned).
-        skip((slen + 3) & ~3, "material name")
+        skip((slen + 3) & ~3 if pad_names else slen, "material name")
     n_expo = u32()   # legacy uv-set expositions; 0 in every v3/v4 file
     if n_expo:
         raise UnsupportedModelFormat(
@@ -270,6 +321,43 @@ def load_igmesh(data: bytes):
     if len(tris_arr) and tris_arr.max(initial=0) >= len(verts):
         raise UnsupportedModelFormat("igmesh: face index out of range")
     return (verts, tris_arr.astype(np.int32), mats_arr.astype(np.int32))
+
+
+def write_igmesh(verts, tris, tri_mats=None, material_names=(""),
+                 compressed: bool = False, pad_names: bool = True) -> bytes:
+    """Encode (verts, tris, tri_mats) as a version-4 .igmesh — the
+    Indigo::Mesh::writeToFile equivalent (MeshBuilding.cpp:755 writes the
+    reference's sample assets through it).  UV indices are written as the
+    vert indices with zero uv mappings, matching the sample assets'
+    uv-free layout.  ``compressed`` wraps the body in one zstd frame
+    (load_igmesh's compressed read path round-trips it)."""
+    verts = np.asarray(verts, "<f4").reshape(-1, 3)
+    tris = np.asarray(tris, "<u4").reshape(-1, 3)
+    if tri_mats is None:
+        tri_mats = np.zeros(len(tris), "<u4")
+    tri_mats = np.asarray(tri_mats, "<u4").reshape(-1)
+    if isinstance(material_names, str):
+        material_names = (material_names,)
+    out = [struct.pack("<I", 0)]                 # num_uv_mappings
+    out.append(struct.pack("<I", len(material_names)))
+    for name in material_names:
+        raw = name.encode("utf-8")
+        out.append(struct.pack("<I", len(raw)))
+        out.append(raw + (b"\0" * ((-len(raw)) % 4) if pad_names else b""))
+    out.append(struct.pack("<I", 0))             # uv-set expositions
+    out.append(struct.pack("<I", len(verts)) + verts.tobytes())
+    out.append(struct.pack("<I", 0))             # normals
+    out.append(struct.pack("<I", 0))             # colours
+    out.append(struct.pack("<I", 0))             # uv pairs
+    tri_rows = np.concatenate(
+        [tris, tris, tri_mats[:, None]], axis=1).astype("<u4")
+    out.append(struct.pack("<I", len(tri_rows)) + tri_rows.tobytes())
+    out.append(struct.pack("<I", 0))             # quads
+    body = b"".join(out)
+    if compressed:
+        import zstandard
+        body = zstandard.ZstdCompressor(level=9).compress(body)
+    return struct.pack("<III", _IGMESH_MAGIC, 4, 1 if compressed else 0) + body
 
 
 # ---------------------------------------------------------------------------

@@ -382,3 +382,40 @@ def lod_texture_url(base_url: str, level: int) -> str:
     if level <= 0:
         return f"{root}.ktx2"
     return f"{root}_lod{level}.ktx2"
+
+
+# ---------------------------------------------------------------------------
+# Unified texture read path (client side)
+# ---------------------------------------------------------------------------
+
+def decode_texture(url: str, data: bytes, level: int = 0) -> "np.ndarray":
+    """Decode texture resource bytes to RGBA8 [h, w, 4] by URL extension —
+    the client-side read dispatcher (TextureLoading parity): `.basis`
+    (reference-server-emitted ETC1S, shared/LODGeneration.cpp:265-404) via
+    basis_transcode, `.ktx2` (our own BC1 pipeline output) via
+    read_ktx2+decode_bc1, everything else via PIL."""
+    low = url.lower()
+    if low.endswith(".basis"):
+        from substrata_tpu.shared.basis_transcode import \
+            transcode_basis_to_rgba
+        return transcode_basis_to_rgba(data, level)
+    if low.endswith(".ktx2"):
+        meta, levels = read_ktx2(data)
+        if not 0 <= level < len(levels):
+            raise ValueError(f"ktx2: level {level} of {len(levels)}")
+        w = max(1, meta["width"] >> level)
+        h = max(1, meta["height"] >> level)
+        rgb = decode_bc1(levels[level], w, h)
+        return np.concatenate(
+            [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)], axis=2)
+    import io
+    from PIL import Image
+    img = Image.open(io.BytesIO(data)).convert("RGBA")
+    out = np.asarray(img)
+    if level > 0:
+        for _ in range(level):
+            hh, ww = out.shape[0] & ~1, out.shape[1] & ~1
+            c = out[:hh, :ww].astype(np.float32)
+            out = ((c[0::2, 0::2] + c[1::2, 0::2] + c[0::2, 1::2]
+                    + c[1::2, 1::2]) * 0.25).astype(np.uint8)
+    return out

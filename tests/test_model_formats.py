@@ -148,7 +148,7 @@ def test_igmesh_roundtrip_tris_and_quads():
 def test_igmesh_rejects_bad_input():
     verts = [(0, 0, 0), (1, 0, 0), (1, 1, 0)]
     good = make_igmesh(verts, tris=[(0, 1, 2, 0)], quads=[])
-    with pytest.raises(UnsupportedModelFormat):   # compressed stream
+    with pytest.raises(UnsupportedModelFormat):   # flag=1 but not zstd data
         load_igmesh(make_igmesh(verts, [(0, 1, 2, 0)], [], compression=1))
     with pytest.raises(UnsupportedModelFormat):   # truncated mid-array
         load_igmesh(good[:-8])
@@ -156,6 +156,45 @@ def test_igmesh_rejects_bad_input():
         load_igmesh(good + b"\0\0\0\0")
     with pytest.raises(UnsupportedModelFormat):   # out-of-range index
         load_igmesh(make_igmesh(verts, tris=[(0, 1, 9, 0)], quads=[]))
+    with pytest.raises(UnsupportedModelFormat):   # unknown compression flag
+        load_igmesh(make_igmesh(verts, [(0, 1, 2, 0)], [], compression=7))
+
+
+def test_igmesh_compressed_roundtrip():
+    """Compressed igmesh path (ModelLoading.cpp:862 reads any igmesh via
+    the Indigo SDK; live Indigo assets are typically written compressed):
+    write_igmesh(compressed=True) -> load_igmesh round-trips exactly, and
+    the compressed file is smaller than the uncompressed one."""
+    from substrata_tpu.shared.model_formats import write_igmesh
+    rng = np.random.default_rng(0)
+    verts = rng.uniform(-1, 1, (256, 3)).astype(np.float32)
+    tris = rng.integers(0, 256, (300, 3)).astype(np.int32)
+    mats = rng.integers(0, 4, 300).astype(np.int32)
+    plain = write_igmesh(verts, tris, mats, compressed=False)
+    comp = write_igmesh(verts, tris, mats, compressed=True)
+    assert len(comp) < len(plain)
+    for blob in (plain, comp):
+        v, t, m = load_igmesh(blob)
+        np.testing.assert_array_equal(v, verts)
+        np.testing.assert_array_equal(t, tris)
+        np.testing.assert_array_equal(m, mats)
+    # Corrupted zstd frame fails loudly.
+    with pytest.raises(UnsupportedModelFormat):
+        load_igmesh(comp[:-4])
+
+
+def test_igmesh_material_name_layouts():
+    """Non-empty material names parse under BOTH the 4-byte-padded and the
+    unpadded length-prefixed layout (the sample assets can't arbitrate —
+    their names are empty; the strict EOF check picks the right variant)."""
+    from substrata_tpu.shared.model_formats import write_igmesh
+    verts = np.eye(3, dtype=np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    for pad in (True, False):
+        blob = write_igmesh(verts, tris, material_names=("brick", "x", ""),
+                            pad_names=pad)
+        v, t, m = load_igmesh(blob)
+        np.testing.assert_array_equal(t, tris)
 
 
 @pytest.mark.skipif(not __import__("os").path.exists(
