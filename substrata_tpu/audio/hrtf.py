@@ -1,14 +1,22 @@
 """HRIR bank for binaural spatialisation.
 
 The reference spatialises through Resonance Audio's kBinauralHighQuality
-HRTF path (audio/AudioEngine.cpp:857-868).  No measured-HRIR dataset ships
-in this image, so the bank is synthesised from the standard spherical-head
-model (Brown & Duda 1998): per-ear fractional interaural time delay
-(Woodworth) + head-shadow one-pole/one-zero magnitude response + a mild
-elevation shelf, rendered to short FIR taps by frequency sampling.  That
-yields the two things the round-1 pan+LPF path lacked — true interaural
-TIME difference and per-direction spectral shaping — while staying a pure
-gather + small-FIR convolution in the mix kernel.
+HRTF path (audio/AudioEngine.cpp:857-868), whose filters come from the
+SADIE binaural measurement database (Subject_002, spherical-harmonic
+domain — resonance-audio/third_party/SADIE_hrtf_database, Apache-2.0).
+
+This module renders that same MEASURED dataset to a direction-grid FIR
+bank: the order-3 ACN/SN3D SH HRIRs (16 channels x 256 taps, 48 kHz,
+extracted once by tools/extract_sadie.py into audio/assets/) are projected
+onto each grid direction with real spherical harmonics; the right ear uses
+the left-right symmetry fold (negate the sin-azimuth SH terms), exactly as
+Resonance's symmetric binaural decoder does.  Conventions verified
+empirically: +90 deg AmbiX azimuth renders ~10 dB louder in the left ear
+with the mirror image at -90 (tests/test_hrtf_properties.py).
+
+When the asset is missing the bank falls back to the analytic
+spherical-head model (Brown & Duda 1998: Woodworth ITD + head-shadow
+magnitude + elevation shelf) used in earlier rounds.
 
 Bank layout: [N_AZ, N_EL, 2 ears, TAPS] f32, azimuth quantised over the
 full circle (0 = front, positive = right), elevation over [-45, +45] deg.
@@ -16,19 +24,29 @@ full circle (0 = front, positive = right), elevation over [-45, +45] deg.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 N_AZ = 16
 N_EL = 3
-TAPS = 48
 HEAD_RADIUS = 0.0875       # m (average human head)
 SPEED_OF_SOUND = 343.0
 RATE = 48_000
 
+_ASSET = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "assets", "sadie_sh_hrir.npz")
+_HAS_MEASURED = os.path.exists(_ASSET)
+# Measured responses carry real interaural delay + pinna tails: 64 taps
+# hold >= 99% of the rendered energy (window [8, 72) of the 256-tap SH
+# HRIRs).  The analytic fallback keeps its original 48.
+TAPS = 64 if _HAS_MEASURED else 48
+_MEASURED_WINDOW_START = 8
+
 
 def _ear_response(az: float, el: float, ear_sign: float) -> np.ndarray:
-    """FIR taps for one ear via frequency sampling of the spherical-head
-    model.  az/el radians; ear_sign +1 = right ear, -1 = left."""
+    """Analytic-fallback FIR taps for one ear via frequency sampling of the
+    spherical-head model.  az/el radians; ear_sign +1 = right ear, -1 = left."""
     # Angle between the source direction and this ear's axis.
     ear_az = ear_sign * np.pi / 2.0
     cos_inc = np.cos(el) * np.cos(az - ear_az)
@@ -66,20 +84,70 @@ def _ear_response(az: float, el: float, ear_sign: float) -> np.ndarray:
     return (taps * win).astype(np.float32)
 
 
+def _sh_ambix_order3(az: float, el: float) -> np.ndarray:
+    """Real spherical harmonics, ACN order / SN3D normalisation (AmbiX),
+    through order 3.  az counter-clockwise from front (+ = left), el up."""
+    ca, sa = np.cos(az), np.sin(az)
+    ce, se = np.cos(el), np.sin(el)
+    return np.array([
+        1.0,
+        sa * ce, se, ca * ce,
+        np.sqrt(3) / 2 * np.sin(2 * az) * ce * ce,
+        np.sqrt(3) / 2 * sa * np.sin(2 * el),
+        0.5 * (3 * se * se - 1),
+        np.sqrt(3) / 2 * ca * np.sin(2 * el),
+        np.sqrt(3) / 2 * np.cos(2 * az) * ce * ce,
+        np.sqrt(5 / 8) * np.sin(3 * az) * ce ** 3,
+        np.sqrt(15) / 2 * np.sin(2 * az) * se * ce * ce,
+        np.sqrt(3 / 8) * sa * ce * (5 * se * se - 1),
+        0.5 * se * (5 * se * se - 3),
+        np.sqrt(3 / 8) * ca * ce * (5 * se * se - 1),
+        np.sqrt(15) / 2 * np.cos(2 * az) * se * ce * ce,
+        np.sqrt(5 / 8) * np.cos(3 * az) * ce ** 3,
+    ], np.float32)
+
+
+# Left->right mirror: negate the sin-azimuth (m < 0) SH components.
+_MIRROR = np.array([1, -1, 1, 1, -1, -1, 1, 1, 1,
+                    -1, -1, -1, 1, 1, 1, 1], np.float32)
+
+
+def _measured_bank() -> np.ndarray:
+    d = np.load(_ASSET)
+    sh = d["sh_hrir"].astype(np.float32)          # [16, 256]
+    assert int(d["rate"]) == RATE, "SADIE asset must be 48 kHz"
+    w0 = _MEASURED_WINDOW_START
+    bank = np.zeros((N_AZ, N_EL, 2, TAPS), np.float32)
+    azs = np.linspace(0, 2 * np.pi, N_AZ, endpoint=False)   # + = RIGHT (ours)
+    els = np.linspace(-np.pi / 4, np.pi / 4, N_EL)
+    for i, az in enumerate(azs):
+        for j, el in enumerate(els):
+            y = _sh_ambix_order3(-az, el)         # AmbiX + = left
+            left = (y[:, None] * sh).sum(0)
+            right = ((y * _MIRROR)[:, None] * sh).sum(0)
+            bank[i, j, 0] = left[w0:w0 + TAPS]
+            bank[i, j, 1] = right[w0:w0 + TAPS]
+    return bank
+
+
 _BANK = None
 
 
 def hrir_bank() -> np.ndarray:
-    """[N_AZ, N_EL, 2, TAPS] FIR bank (built once, ~12 KB)."""
+    """[N_AZ, N_EL, 2, TAPS] FIR bank (built once; measured SADIE data when
+    the asset ships, analytic spherical-head fallback otherwise)."""
     global _BANK
     if _BANK is None:
-        bank = np.zeros((N_AZ, N_EL, 2, TAPS), np.float32)
-        azs = np.linspace(0, 2 * np.pi, N_AZ, endpoint=False)
-        els = np.linspace(-np.pi / 4, np.pi / 4, N_EL)
-        for i, az in enumerate(azs):
-            for j, el in enumerate(els):
-                bank[i, j, 0] = _ear_response(az, el, -1.0)  # left
-                bank[i, j, 1] = _ear_response(az, el, +1.0)  # right
+        if _HAS_MEASURED:
+            bank = _measured_bank()
+        else:
+            bank = np.zeros((N_AZ, N_EL, 2, TAPS), np.float32)
+            azs = np.linspace(0, 2 * np.pi, N_AZ, endpoint=False)
+            els = np.linspace(-np.pi / 4, np.pi / 4, N_EL)
+            for i, az in enumerate(azs):
+                for j, el in enumerate(els):
+                    bank[i, j, 0] = _ear_response(az, el, -1.0)  # left
+                    bank[i, j, 1] = _ear_response(az, el, +1.0)  # right
         # Normalise overall energy so HRTF on/off is level-matched.
         rms = np.sqrt((bank ** 2).sum(axis=-1, keepdims=True).mean())
         _BANK = bank / max(rms, 1e-6) * 0.7071

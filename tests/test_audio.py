@@ -266,12 +266,19 @@ def test_hrtf_itd_and_ild():
         pos=src.pos.at[0].set(jnp.array([3.0, 0.0, 0.0])))  # hard right
     _, out = mix_block(src, pool, default_listener(), use_hrtf=True)
     out = np.asarray(out)
-    l, r = np.abs(out[:, 0]), np.abs(out[:, 1])
-    assert r.max() > 0
-    t_r = int(np.argmax(r > 0.1 * r.max()))
-    t_l = int(np.argmax(l > 0.1 * max(l.max(), 1e-9))) if l.max() > 1e-6 else 256
-    assert t_r < t_l, (t_r, t_l)          # right ear leads
-    assert r.max() > 3.0 * max(l.max(), 1e-9)  # and is much louder
+    l, r = out[:, 0], out[:, 1]
+    assert np.abs(r).max() > 0
+    # ITD via low-passed cross-correlation (ITD is a low-frequency cue;
+    # onset thresholds lock onto pinna colouration of measured HRIRs).
+    n = len(l)
+    freq = np.fft.rfftfreq(4 * n, 1.0 / 48_000)
+    keep = (freq < 1500.0).astype(float)
+    lf = np.fft.irfft(np.fft.rfft(l, 4 * n) * keep)[:n]
+    rf = np.fft.irfft(np.fft.rfft(r, 4 * n) * keep)[:n]
+    corr = np.correlate(lf, rf, mode="full")      # lag of RIGHT vs LEFT
+    lag = int(np.argmax(corr)) - (n - 1)
+    assert lag > 0, lag                   # right ear leads
+    assert np.abs(r).max() > 2.5 * max(np.abs(l).max(), 1e-9)  # and louder
 
 
 def test_room_reverb_tail():

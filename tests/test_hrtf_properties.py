@@ -1,18 +1,20 @@
-"""Psychoacoustic property checks for the synthesised HRIR bank
-(audio/hrtf.py) against EXTERNAL analytic references — the closest
-available stand-in for a measured-HRIR comparison in a zero-egress image
-(VERDICT r2 'HRIR bank is synthesised... no test compares against any
-external binaural reference').
+"""Psychoacoustic property checks for the HRIR bank (audio/hrtf.py) —
+the MEASURED SADIE Subject_002 bank when the extracted asset is present,
+the analytic spherical-head fallback otherwise — against EXTERNAL
+analytic references.
 
 References used:
 - Woodworth & Schlosberg's spherical-head ITD model,
   ITD(az) = (a/c)(sin az + az) for |az| <= 90 deg — the standard
-  closed-form fit to measured interaural delays (Kuhn 1977 reports it
-  within ~10% of KEMAR measurements at high frequency).
+  closed-form fit to measured interaural delays.  Kuhn (1977) shows
+  MEASURED low-frequency ITD exceeds the Woodworth (high-frequency)
+  value by up to ~50% (3(a/c)sin az vs 2(a/c)sin az asymptotics), so
+  the measured-bank comparison uses a matching tolerance band.
 - ILD lateralisation: the ear nearer the source receives MORE energy,
   monotonically in |az| up to the shadow maximum near +-90 deg.
-- Duplex symmetry: mirrored azimuths swap ears exactly (the head model
-  is left/right symmetric).
+- Duplex symmetry: mirrored azimuths swap ears exactly (SADIE's SH bank
+  is decoded through Resonance's symmetric fold; the head model is
+  symmetric by construction).
 """
 
 import numpy as np
@@ -25,9 +27,19 @@ EL0 = N_EL // 2   # horizontal plane
 
 
 def _itd_samples(left: np.ndarray, right: np.ndarray) -> float:
-    """Interaural delay via cross-correlation peak with parabolic
-    sub-sample refinement (positive = right ear leads)."""
+    """Interaural delay via LOW-PASSED cross-correlation peak with
+    parabolic sub-sample refinement (positive = right ear leads).
+
+    ITD is a low-frequency cue: raw broadband xcorr locks onto pinna
+    colouration of measured responses (at 90 deg it reports ~26 us
+    against a true ~700 us delay); low-passing below ~1.5 kHz before
+    correlating is the standard estimator fix."""
     n = len(left)
+    nfft = 4 * n
+    freq = np.fft.rfftfreq(nfft, 1.0 / RATE)
+    keep = (freq < 1500.0).astype(float)
+    left = np.fft.irfft(np.fft.rfft(left, nfft) * keep)[:n]
+    right = np.fft.irfft(np.fft.rfft(right, nfft) * keep)[:n]
     corr = np.correlate(left, right, mode="full")   # lag of RIGHT vs LEFT
     lags = np.arange(-n + 1, n)
     k = int(np.argmax(corr))
@@ -42,8 +54,11 @@ def _itd_samples(left: np.ndarray, right: np.ndarray) -> float:
 
 
 def test_itd_matches_woodworth():
-    """Measured bank ITD tracks the Woodworth model within half the
-    azimuth quantisation error (the bank quantises to 22.5 deg)."""
+    """Bank ITD tracks the Woodworth model.  Tolerance: measured
+    low-frequency ITD runs up to ~50% above the Woodworth high-frequency
+    fit (Kuhn 1977), and the bank quantises azimuth to 22.5 deg — so
+    accept within 40% relative (60 us absolute floor near the median
+    plane)."""
     bank = hrir_bank()
     azs = np.linspace(0, 2 * np.pi, N_AZ, endpoint=False)
     a_over_c = HEAD_RADIUS / SPEED_OF_SOUND
@@ -57,7 +72,7 @@ def test_itd_matches_woodworth():
         # Source on the right (+rel): LEFT ear is delayed.
         if abs(rel) > 0.3:
             assert (got > 0) == (rel > 0), (np.degrees(rel), got)
-        assert abs(got_s - expect_s) < 1.2e-4, (
+        assert abs(got_s - expect_s) < max(0.4 * expect_s, 6e-5), (
             f"az={np.degrees(rel):.0f}deg: ITD {got_s*1e6:.0f}us vs "
             f"Woodworth {expect_s*1e6:.0f}us")
 
@@ -88,10 +103,18 @@ def test_ild_sign_and_monotonicity():
         rel = (az + np.pi) % (2 * np.pi) - np.pi
         if 0.3 < abs(rel) < np.pi - 0.3:
             assert (ild_db(i) > 0) == (rel > 0), (np.degrees(rel), ild_db(i))
-    # Monotone growth from front to side over the quantised front-right arc.
+    # Growth from front to side over the quantised front-right arc.
+    # Measured HRTFs are NOT strictly monotone here: diffraction focuses
+    # energy at the contralateral ear near 90 deg (the acoustic "bright
+    # spot"), dipping ILD a couple of dB off its ~70 deg peak — so allow
+    # each step to fall up to 3 dB below the running maximum instead of
+    # demanding monotonicity (which only the analytic model satisfies).
     front_right = [i for i, az in enumerate(azs) if 0 <= az <= np.pi / 2]
     ilds = [ild_db(i) for i in front_right]
-    assert all(b >= a - 0.2 for a, b in zip(ilds, ilds[1:])), ilds
+    run_max = -np.inf
+    for v in ilds:
+        assert v >= run_max - 3.0, ilds
+        run_max = max(run_max, v)
     assert ilds[-1] > 2.0, f"side ILD too weak: {ilds[-1]:.2f} dB"
 
 
