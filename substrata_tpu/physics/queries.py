@@ -178,7 +178,20 @@ def _ray_triangle(o, d, v0, v1, v2):
 
 
 def _ray_heightfield_single(o, d, max_t, hf, n_steps: int):
-    """Fixed-step march + bisection refine."""
+    """Fixed-step march + bisection refine; flat heightfields (ground-plane
+    worlds — compile-time Heightfield.is_flat) take the analytic plane hit
+    instead (the march + 10-iteration bisection was ~0.5 ms/tick of
+    sequential small gathers at 2048 particle rays)."""
+    if hf.is_flat:
+        z0 = hf.heights[0, 0]
+        dz = jnp.where(jnp.abs(d[2]) > 1e-9, d[2], 1e-9)
+        t = (z0 - o[2]) / dz
+        start_below = o[2] < z0
+        ok = start_below | ((t >= 0.0) & (t <= max_t) & (d[2] < 0.0))
+        t = jnp.where(start_below, 0.0, t)
+        return (jnp.where(ok, t, BIG),
+                jnp.array([0.0, 0.0, 1.0], jnp.float32))
+
     def above(t):
         p = o + d * t
         return p[2] - hf.sample(p[:2])

@@ -149,15 +149,28 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
 
 def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
                    config: SimConfig, cache: SolverCache | None = None):
-    """Returns (linvel, angvel, lambda_n per contact, table, sign, cache')."""
+    """Returns (linvel, angvel, lambda_n per contact, table, sign, cache').
+
+    Contact-buffer layout contract (compact_contacts_partitioned): rows
+    [0, config.static_contact_cap) are static-world contacts (valid rows
+    have b == -1), the rest are body pairs.  The static partition has no
+    b side at all, so every b-side gather, cross and einsum below runs on
+    the PAIR SLICE only — at 10k bodies static rows are ~half the buffer,
+    and the per-iteration gathers are the step's dominant cost (measured
+    6 ms/step of gather at 10k, ~5.2 ms of it in the solver loop).
+    """
     n_bodies = body.capacity
     cpb = config.contacts_per_body
+    s_cap = config.static_contact_cap
     a = contacts.a
-    b = contacts.b
-    static_b = b < 0
-    bs = jnp.maximum(b, 0)
+    b_pair = jnp.maximum(contacts.b[s_cap:], 0)       # [P] pair-partition b
     valid = contacts.valid
     validf = valid.astype(jnp.float32)
+
+    def bside(x_pair):
+        """Pad a pair-partition array with zeros for the static rows."""
+        shape = (s_cap,) + x_pair.shape[1:]
+        return jnp.concatenate([jnp.zeros(shape, x_pair.dtype), x_pair])
 
     table, sign, counts = build_incidence(contacts, n_bodies, cpb)
 
@@ -176,44 +189,44 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         body.pos, body.quat, inv_mass[:, None], inv_inertia,
         counts[:, None],
     ], axis=1)  # [N, 12]
-    va = bview[a]
-    vb = bview[bs]
+    va = bview[a]                                     # [C, 12]
+    vb = bview[b_pair]                                # [P, 12]
     im_a = va[:, 7]
-    im_b = jnp.where(static_b, 0.0, vb[:, 7])
-    iw_a = tmath.world_inv_inertia(va[:, 3:7], va[:, 8:11])               # [C,3,3]
-    iw_b = tmath.world_inv_inertia(vb[:, 3:7], vb[:, 8:11])
-    iw_b = jnp.where(static_b[:, None, None], 0.0, iw_b)
+    iw_a = tmath.world_inv_inertia(va[:, 3:7], va[:, 8:11])         # [C,3,3]
+    iw_b = tmath.world_inv_inertia(vb[:, 3:7], vb[:, 8:11])         # [P,3,3]
 
     r_a = contacts.point - va[:, :3]
-    r_b = contacts.point - vb[:, :3]
+    r_b = contacts.point[s_cap:] - vb[:, :3]          # [P, 3]
 
     nrm = contacts.normal
     t1, t2 = _tangent_basis(nrm)
 
     c_a = jnp.maximum(va[:, 11], 1.0)
-    c_b = jnp.maximum(jnp.where(static_b, 1.0, vb[:, 11]), 1.0)
+    c_b = jnp.maximum(vb[:, 11], 1.0)                 # [P]
 
     # Effective masses + angular application vectors for all 3 basis
     # directions in TWO batched einsums (was 12 [C,3,3]x[C,3] dot_generals;
-    # ang_app recomputed exactly eff_mass's products).
+    # ang_app recomputed exactly eff_mass's products).  b-side terms exist
+    # only on the pair slice.
     d_all = jnp.stack([nrm, t1, t2], axis=1)               # [C, 3dir, 3]
     ra_x = jnp.cross(r_a[:, None, :], d_all)               # [C, 3dir, 3]
-    rb_x = jnp.cross(r_b[:, None, :], d_all)
+    rb_x = jnp.cross(r_b[:, None, :], d_all[s_cap:])       # [P, 3dir, 3]
     term_a = jnp.einsum("cij,cdj->cdi", iw_a, ra_x)        # Iw_a (r_a x d)
-    term_b = jnp.einsum("cij,cdj->cdi", iw_b, rb_x)
-    k_all = ((im_a * c_a + im_b * c_b)[:, None]
+    term_b = jnp.einsum("cij,cdj->cdi", iw_b, rb_x)        # [P, 3dir, 3]
+    k_all = ((im_a * c_a + bside(vb[:, 7] * c_b))[:, None]
              + jnp.sum(ra_x * term_a, -1) * c_a[:, None]
-             + jnp.sum(rb_x * term_b, -1) * c_b[:, None])
+             + bside(jnp.sum(rb_x * term_b, -1) * c_b[:, None]))
     k_all = jnp.maximum(k_all, 1e-9)
     kn, kt1, kt2 = k_all[:, 0], k_all[:, 1], k_all[:, 2]
 
     pen = contacts.penetration
 
     c_cap = contacts.capacity
-    ab = jnp.concatenate([a, bs])  # both sides' gather indices, hoisted
+    ab = jnp.concatenate([a, b_pair])  # a sides [C] + pair b sides [P]
 
     def rel_vel(linvel, angvel):
-        # ONE packed [2C]-row gather for both contact sides per iteration.
+        # ONE packed [C+P]-row gather for both contact sides per iteration
+        # (the static partition's b side is the immovable world — no rows).
         # Payloads travel as bf16 (gather cost on TPU scales with bytes;
         # velocities only need ~3 significant digits inside an iteration —
         # the carried body state stays f32) and upcast after.
@@ -221,9 +234,8 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         w = vview[ab].astype(jnp.float32)
         wa, wb = w[:c_cap], w[c_cap:]
         v_a = wa[:, :3] + jnp.cross(wa[:, 3:], r_a)
-        v_b = jnp.where(static_b[:, None], 0.0,
-                        wb[:, :3] + jnp.cross(wb[:, 3:], r_b))
-        return v_a - v_b
+        v_b = wb[:, :3] + jnp.cross(wb[:, 3:], r_b)
+        return v_a - bside(v_b)
 
     v0 = rel_vel(body.linvel, body.angvel)
     vn0 = jnp.sum(v0 * nrm, -1)
@@ -252,7 +264,8 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
 
     # Per-contact angular application vectors — the SAME products as the
     # effective-mass terms above (dω = dln*An + dlt1*At1 + dlt2*At2 where
-    # A*_side = Iw_side (r_side × d)).
+    # A*_side = Iw_side (r_side × d)).  The b-side ones exist only for the
+    # pair slice [P].
     an_a, at1_a, at2_a = term_a[:, 0], term_a[:, 1], term_a[:, 2]
     an_b, at1_b, at2_b = term_b[:, 0], term_b[:, 1], term_b[:, 2]
 
@@ -273,7 +286,9 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         # ONE packed gather per iteration: [imp | ang_a | ang_b] -> [C, 9].
         imp = dln[:, None] * nrm + dlt1[:, None] * t1 + dlt2[:, None] * t2  # [C,3]
         ang_c_a = dln[:, None] * an_a + dlt1[:, None] * at1_a + dlt2[:, None] * at2_a
-        ang_c_b = dln[:, None] * an_b + dlt1[:, None] * at1_b + dlt2[:, None] * at2_b
+        ang_c_b = bside(dln[s_cap:, None] * an_b
+                        + dlt1[s_cap:, None] * at1_b
+                        + dlt2[s_cap:, None] * at2_b)
         block = ((jnp.concatenate([imp, ang_c_a, ang_c_b], axis=1)
                   * validf[:, None]).astype(jnp.bfloat16))
         g = block[tbl].reshape(n_bodies, cpb, 3, 3)         # [N,CPB,3seg,3]
@@ -377,11 +392,15 @@ def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,
     Uses the velocity solve's incidence table; rotation is left untouched
     (translation-only NGS is the stable cheap variant).
     """
+    s_cap = config.static_contact_cap
     a = contacts.a
-    bs = jnp.maximum(contacts.b, 0)
-    static_b = contacts.b < 0
+    b_pair = jnp.maximum(contacts.b[s_cap:], 0)    # partitioned layout
     validf = contacts.valid.astype(jnp.float32)
     nrm = contacts.normal
+
+    def bside(x_pair):
+        shape = (s_cap,) + x_pair.shape[1:]
+        return jnp.concatenate([jnp.zeros(shape, x_pair.dtype), x_pair])
 
     tbl = jnp.maximum(table, 0)
     tbl_valid = (table >= 0).astype(jnp.float32)[..., None]
@@ -389,17 +408,17 @@ def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,
     im_per_body = (body.inv_mass * body.awake)[:, None]
     # ONE packed per-side gather (pos3 | inv_mass) for both the initial
     # reference positions and the inverse masses — standalone [C] scalar
-    # gathers from [N] cost as much as a full row gather.
+    # gathers from [N] cost as much as a full row gather.  b side exists
+    # only on the pair slice.
     view0 = jnp.concatenate([pos, im_per_body], axis=1)    # [N, 4]
     va0 = view0[a]
-    vb0 = view0[bs]
+    vb0 = view0[b_pair]                                    # [P, 4]
     pos0_a, im_a = va0[:, :3], va0[:, 3]
     pos0_b = vb0[:, :3]
-    im_b = jnp.where(static_b, 0.0, vb0[:, 3])
-    w_sum = jnp.maximum(im_a + im_b, 1e-9)
+    w_sum = jnp.maximum(im_a + bside(vb0[:, 3]), 1e-9)
 
     c_cap = a.shape[0]
-    ab = jnp.concatenate([a, bs])
+    ab = jnp.concatenate([a, b_pair])
 
     def it(first, pos):
         if first:
@@ -407,9 +426,9 @@ def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,
             # skip the two per-side position gathers of iteration 0.
             pen_res = contacts.penetration
         else:
-            pab = pos[ab]                 # ONE [2C]-row gather for both sides
+            pab = pos[ab]               # ONE [C+P]-row gather for both sides
             dp = ((pab[:c_cap] - pos0_a)
-                  - jnp.where(static_b[:, None], 0.0, pab[c_cap:] - pos0_b))
+                  - bside(pab[c_cap:] - pos0_b))
             pen_res = contacts.penetration - jnp.sum(dp * nrm, -1)
         push = jnp.maximum(pen_res - params.contact_slop, 0.0) * beta
         # Per-contact positional impulse along the normal, shared by inv mass.

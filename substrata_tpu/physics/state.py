@@ -178,9 +178,17 @@ class Heightfield:
     heights: jnp.ndarray  # [HX, HY] f32, z-up
     origin: jnp.ndarray   # [2] world xy of heights[0, 0]
     cell_w: jnp.ndarray   # [] spacing in x and y
+    # COMPILE-TIME flatness flag (ground-plane worlds, the common case):
+    # samples collapse to heights[0, 0] / normal (0,0,1), deleting the
+    # per-point patch gathers (81,920 rows/step at the 10k bench world) and
+    # letting ray queries use the analytic plane hit instead of a
+    # march+bisection loop.
+    is_flat: bool = flax.struct.field(pytree_node=False, default=False)
 
     def sample(self, xy):
         """Bilinear height at world xy [..., 2]; clamps at borders."""
+        if self.is_flat:
+            return jnp.broadcast_to(self.heights[0, 0], xy.shape[:-1])
         hx, hy = self.heights.shape
         u = (xy[..., 0] - self.origin[0]) / self.cell_w
         v = (xy[..., 1] - self.origin[1]) / self.cell_w
@@ -203,6 +211,11 @@ class Heightfield:
         (elementwise rolls, no gathers) so the per-point lookup is a single
         gather instead of four; the normal is the analytic gradient of the
         bilinear patch.  TPU gathers are the cost here."""
+        if self.is_flat:
+            h = jnp.broadcast_to(self.heights[0, 0], xy.shape[:-1])
+            n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                                 xy.shape[:-1] + (3,))
+            return h, n
         hx, hy = self.heights.shape
         u = (xy[..., 0] - self.origin[0]) / self.cell_w
         v = (xy[..., 1] - self.origin[1]) / self.cell_w
@@ -243,6 +256,7 @@ def flat_heightfield(extent: float = 1000.0, z: float = 0.0, res: int = 8) -> He
         heights=jnp.full((res, res), z, jnp.float32),
         origin=jnp.array([-extent / 2, -extent / 2], jnp.float32),
         cell_w=jnp.float32(extent / (res - 1)),
+        is_flat=True,
     )
 
 
@@ -412,6 +426,7 @@ class SimConfig:
         max_tri_candidates: int = 16,
         contacts_per_body: int = 16,
         max_active_contacts: int = 0,
+        static_contact_cap: int = 0,
         pairs_per_body: int = 8,
         pair_rebuild_interval: int = 4,
         present_shape_types: tuple = (True, True, True, True),
@@ -458,6 +473,22 @@ class SimConfig:
                 f"for capacity={capacity}: the solver packs body and contact "
                 f"ids into one uint32 sort key (<= {contact_budget} contacts "
                 f"at this capacity)")
+        # The compacted contact buffer is PARTITIONED: rows [0, S) hold
+        # static-world contacts (b == -1), rows [S, max_active) hold body
+        # pairs.  The solver exploits the static layout to skip every b-side
+        # gather/einsum on static rows (they collide with the immovable
+        # world) — at 10k bodies roughly half of all contact rows, so the
+        # per-iteration gather traffic drops accordingly.  0 = auto: enough
+        # for the full static emission, capped at half the buffer.
+        if static_contact_cap:
+            if static_contact_cap >= self.max_active_contacts:
+                raise ValueError(
+                    "static_contact_cap must leave room for pair contacts")
+            self.static_contact_cap = static_contact_cap
+        else:
+            self.static_contact_cap = min(
+                capacity * static_contacts_per_body,
+                self.max_active_contacts // 2)
         # Broadphase temporal reuse: rebuild the pair list at most every this
         # many steps (1 = every step); the cached rebuild enlarges the pair
         # margin to cover worst-case motion over the window and PhysicsWorld

@@ -120,12 +120,13 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     pair_cts, pair_touching, bucket_overflow = narrowphase.pair_contacts(
         body, pair_a, pair_b, pair_valid, config, world.hulls)
     static_cts = narrowphase.static_contacts(body, world, hull_contact_verts, config)
-    # Static (ground) contacts FIRST: if the compacted buffer overflows, the
-    # dropped rows must be body-body extras — never the world contacts, or
-    # bodies fall through the ground during pile collapses.
-    contacts = narrowphase.concat_contacts(static_cts, pair_cts)
-    contacts, contact_overflow = narrowphase.compact_contacts(
-        contacts, config.max_active_contacts)
+    # Partitioned compaction: static (ground) contacts own rows
+    # [0, static_contact_cap) so pair overflow can never evict them (bodies
+    # would fall through the ground during pile collapses), and the solver
+    # skips all b-side work on the static partition.
+    contacts, contact_overflow = narrowphase.compact_contacts_partitioned(
+        static_cts, pair_cts, config.static_contact_cap,
+        config.max_active_contacts - config.static_contact_cap)
 
     # 4. Solve velocity constraints (warm-started when a cache is threaded).
     linvel, angvel, lambda_n, inc_table, inc_sign, new_cache = solver.solve_contacts(

@@ -368,9 +368,13 @@ class PhysicsWorld:
     # Static environment
     # ------------------------------------------------------------------
     def set_heightfield(self, heights, origin, cell_w):
-        hf = Heightfield(heights=jnp.asarray(heights, jnp.float32),
+        h = np.asarray(heights, np.float32)
+        # Constant heightfields compile the fast ground-plane paths (also
+        # keeps snapshot round-trips of set_ground_plane worlds fast).
+        hf = Heightfield(heights=jnp.asarray(h),
                          origin=jnp.asarray(origin, jnp.float32),
-                         cell_w=jnp.float32(cell_w))
+                         cell_w=jnp.float32(cell_w),
+                         is_flat=bool(h.size) and bool(np.all(h == h.flat[0])))
         self.static_world = self.static_world.replace(
             heightfield=hf, has_heightfield=jnp.array(True))
 
@@ -744,6 +748,12 @@ class PhysicsWorld:
             cfg.max_pairs = max(512, self._base_config.max_pairs // div)
             cfg.max_active_contacts = max(
                 1024, self._base_config.max_active_contacts // div)
+            # Keep the static partition proportional (and always leave pair
+            # room): calm worlds emit few static rows — sleeping bodies
+            # produce none — so the quartered cap is safe.
+            cfg.static_contact_cap = min(
+                max(256, self._base_config.static_contact_cap // div),
+                cfg.max_active_contacts // 2)
         return cfg
 
     def _switch_tier(self, tier: int):

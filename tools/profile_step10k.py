@@ -72,8 +72,9 @@ def main():
     timed("static contacts", scf, body)
 
     pair_cts, _, _ = npf(body, pair_a, pair_b, pair_valid)
-    cc = jax.jit(lambda s, p: narrowphase.compact_contacts(
-        narrowphase.concat_contacts(s, p), cfg.max_active_contacts))
+    cc = jax.jit(lambda s, p: narrowphase.compact_contacts_partitioned(
+        s, p, cfg.static_contact_cap,
+        cfg.max_active_contacts - cfg.static_contact_cap))
     contacts, _ = cc(static_cts, pair_cts)
     timed("concat+compact", cc, static_cts, pair_cts)
     print("   contacts valid:", int(jnp.sum(contacts.valid)))
