@@ -345,60 +345,105 @@ def character_update(char: CharacterState, body: BodyState, world: StaticWorld,
     # --- Collide and slide ---
     was_supported = supported
     old_foot = foot
+    # Jolt's WalkStairs compares achieved motion against desired_velocity
+    # captured BEFORE the collide-and-slide (CharacterVirtual::ExtendedUpdate
+    # order): the slide cancels velocity into the blocking face, so the
+    # post-slide velocity is ~zero exactly when stairs are needed.
+    desired_vel_pre = vel
     foot = foot + vel * dt
 
-    def slide_iter(_, carry):
-        foot, vel = carry
+    def slide_iter(foot, vel):
         n, pen, pt, bid, cvel, ok = _capsule_probe(foot, cyl_h, cands,
                                                    world, config)
         deep = jnp.where(ok, pen, -1e9)
         di = jnp.argmax(deep)
         push = jnp.where(deep[di] > 0.0, n[di] * deep[di], jnp.zeros(3))
         foot = foot + push
-        # Cancel velocity into touching contacts (relative to contact velocity).
-        def cancel(vel, k):
-            touching = ok[k] & (pen[k] > -0.01)
-            rel = vel - cvel[k]
-            vn = jnp.dot(rel, n[k])
-            return jnp.where(touching & (vn < 0.0), vel - n[k] * vn, vel)
-        vel = jax.lax.fori_loop(0, n.shape[0], lambda k, v: cancel(v, k), vel)
+        # Cancel velocity into touching contacts, most-violating first.
+        # The old per-candidate fori_loop was K (~hundreds) SEQUENTIAL
+        # scalar iterations — on TPU each one lowers to a while-body of
+        # dynamic_slices and was the character update's dominant cost
+        # (~1 ms/tick of dynamic_slice alone at the bench world).  Up to 4
+        # active constraint planes (floor + 2 walls + step) is what the
+        # slide geometry can present; cancelling the most-violating plane
+        # per pass converges in <= 4 vectorised passes.
+        touching = ok & (pen > -0.01)
+        for _ in range(4):
+            vn = n @ vel - jnp.sum(n * cvel, -1)   # relative normal speed
+            viol = jnp.where(touching, -vn, -1e9)
+            k = jnp.argmax(viol)
+            oh = jax.nn.one_hot(k, n.shape[0], dtype=n.dtype)
+            nk = oh @ n
+            vnk = jnp.dot(oh, vn)
+            vel = jnp.where(viol[k] > 0.0, vel - nk * vnk, vel)
         return foot, vel
 
-    foot, vel = jax.lax.fori_loop(0, 3, slide_iter, (foot, vel))
+    for _ in range(3):
+        foot, vel = slide_iter(foot, vel)
 
-    # --- Stair walk (step-up 0.4) ---
-    desired_h = (vel * dt) * jnp.array([1.0, 1.0, 0.0])
+    # --- Stair walk (step-up 0.4; Jolt CharacterVirtual::WalkStairs
+    # semantics, the algorithm PlayerPhysics.cpp:344-446 runs) ---
+    desired_h = (desired_vel_pre * dt) * jnp.array([1.0, 1.0, 0.0])
     desired_len = jnp.linalg.norm(desired_h)
     achieved_h = (foot - old_foot) * jnp.array([1.0, 1.0, 0.0])
     fwd = desired_h / jnp.maximum(desired_len, 1e-9)
     achieved_len = jnp.maximum(jnp.dot(achieved_h, fwd), 0.0)
     blocked = (desired_len > 1e-5) & (achieved_len + 1e-4 < desired_len * 0.5)
 
+    # mWalkStairsMinStepForward = 0.02: at high tick rates the per-tick step
+    # is tiny, so the landing starts ON the step edge (a steep contact) and
+    # the climb converges over a handful of ticks — exactly like Jolt.
     step_fwd = fwd * jnp.maximum(desired_len - achieved_len, 0.02)
     up_foot = foot + jnp.array([0.0, 0.0, STAIR_STEP_UP]) + step_fwd
-    n2, pen2, pt2, _, _, ok2 = _capsule_probe(up_foot, cyl_h, cands,
-                                              world, config)
-    clear_up = ~jnp.any(ok2 & (pen2 > 0.01))
-    # Sweep down to find the step surface.
-    def down_probe(zoff):
-        p = up_foot + jnp.array([0.0, 0.0, -zoff])
-        n3, pen3, pt3, _, v3, ok3 = _capsule_probe(p, cyl_h, cands,
-                                                   world, config)
-        sup, gn3, gv3, steep3 = _support_info(p, n3, pen3, pt3, v3, ok3)
-        deep = jnp.max(jnp.where(ok3, pen3, -1e9))
-        return p, sup & ~steep3, deep
-
-    # Fixed scan of 5 drop depths; take the first supported, barely-penetrating one.
-    best_foot = foot
-    found = jnp.array(False)
-    for zoff in (0.1, 0.2, 0.3, 0.4, 0.45):
-        p, sup, deep = down_probe(jnp.float32(zoff))
-        take = (~found) & sup & (deep < 0.05)
-        best_foot = jnp.where(take, p + jnp.array([0.0, 0.0, jnp.maximum(deep, 0.0)]), best_foot)
-        found = found | take
-    do_stairs = blocked & clear_up & found & was_supported & ~fly_mode
     pre_stair_z = foot[2]
-    foot = jnp.where(do_stairs, best_foot, foot)
+    ez = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    # Jolt's down shape-cast is approximated by a dense vmapped drop scan
+    # (0.05 resolution); the landing is the FIRST depth with any contact.
+    # A steep landing (the step edge) is accepted when Jolt's forward test
+    # probe (mWalkStairsStepForwardTest = 0.15 ahead) finds non-steep floor.
+    # The whole scan lives under lax.cond: zero probe cost unless blocked.
+    zoffs9 = (jnp.arange(1, 10, dtype=jnp.float32) * 0.05)   # 0.05..0.45
+
+    def stair_branch(foot):
+        n2, pen2, pt2, _, _, ok2 = _capsule_probe(up_foot, cyl_h, cands,
+                                                  world, config)
+        clear_up = ~jnp.any(ok2 & (pen2 > 0.01))
+
+        def dscan(p):
+            n3, pen3, pt3, _, v3, ok3 = _capsule_probe(p, cyl_h, cands,
+                                                       world, config)
+            # First-touch approximation of the shape cast: a grid point
+            # deeper than the 0.05 grid step means the cast skipped INTO
+            # geometry (started colliding / tunneled a thin feature) — not
+            # a landing.
+            deep = jnp.max(jnp.where(ok3, pen3, -1e9))
+            contact = (deep > 0.0) & (deep < 0.08)
+            sup, _, _, steep3 = _support_info(p, n3, pen3, pt3, v3, ok3)
+            return contact, deep, sup, steep3
+
+        probe_land = up_foot[None, :] - zoffs9[:, None] * ez
+        cont, deep_s, sup_s, steep_s = jax.vmap(dscan)(probe_land)
+        found = jnp.any(cont)
+        k = jnp.argmax(cont)                  # first contacting depth
+        oh = jax.nn.one_hot(k, zoffs9.shape[0], dtype=jnp.float32)
+        land_p = oh @ probe_land
+        land_deep = jnp.dot(oh, deep_s)
+        land_flat = jnp.dot(oh, (sup_s & ~steep_s).astype(jnp.float32)) > 0.5
+        # Forward test column: non-steep supported floor 0.15 ahead.  Like
+        # Jolt's test cast, it only counts when its START is clear — a test
+        # column starting inside a too-tall step must not validate it.
+        tn, tpen, _, _, _, tok = _capsule_probe(up_foot + fwd * 0.15, cyl_h,
+                                                cands, world, config)
+        tclear = ~jnp.any(tok & (tpen > 0.01))
+        tcont, _, tsup, tsteep = jax.vmap(dscan)(probe_land + fwd * 0.15)
+        test_ok = tclear & jnp.any(tcont & tsup & ~tsteep)
+        did = clear_up & found & (land_flat | test_ok)
+        new_foot = land_p + ez * jnp.maximum(land_deep, 0.0)
+        return jnp.where(did, new_foot, foot), did
+
+    stair_pred = blocked & was_supported & ~fly_mode
+    foot, do_stairs = jax.lax.cond(
+        stair_pred, stair_branch, lambda f: (f, jnp.array(False)), foot)
 
     # --- Stick to floor (step-down 0.5) ---
     n4, pen4, pt4, bid4, v4, ok4 = _capsule_probe(foot, cyl_h, cands,
@@ -406,20 +451,30 @@ def character_update(char: CharacterState, body: BodyState, world: StaticWorld,
     sup_now, gn_now, gv_now, _ = _support_info(foot, n4, pen4, pt4, v4, ok4)
     moving_up = (foot[2] - old_foot[2]) / jnp.maximum(dt, 1e-9) > 1e-6
     want_stick = was_supported & ~sup_now & ~moving_up & ~fly_mode & ~do_jump
-    # Probe straight down for a floor within the step-down distance.
-    stick_foot = foot
-    stick_found = jnp.array(False)
-    for zoff in (0.1, 0.25, 0.5):
-        p = foot + jnp.array([0.0, 0.0, -zoff])
-        n5, pen5, pt5, _, v5, ok5 = _capsule_probe(p, cyl_h, cands,
-                                                   world, config)
-        sup5, _, _, steep5 = _support_info(p, n5, pen5, pt5, v5, ok5)
-        deep5 = jnp.max(jnp.where(ok5, pen5, -1e9))
-        take = (~stick_found) & sup5 & ~steep5
-        stick_foot = jnp.where(take, p + jnp.array([0.0, 0.0, jnp.maximum(deep5, 0.0)]),
-                               stick_foot)
-        stick_found = stick_found | take
-    foot = jnp.where(want_stick & stick_found, stick_foot, foot)
+
+    # Probe straight down for a floor within the step-down distance — one
+    # vmapped pass over the 3 drop depths, under lax.cond (zero probe cost
+    # unless the character just walked off a support).
+    def stick_branch(foot):
+        def stick_probe(p):
+            n5, pen5, pt5, _, v5, ok5 = _capsule_probe(p, cyl_h, cands,
+                                                       world, config)
+            sup5, _, _, steep5 = _support_info(p, n5, pen5, pt5, v5, ok5)
+            deep5 = jnp.max(jnp.where(ok5, pen5, -1e9))
+            return sup5 & ~steep5, deep5
+
+        zoffs3 = jnp.array([0.1, 0.25, 0.5], jnp.float32)
+        probe3 = foot[None, :] - zoffs3[:, None] * ez
+        sup3, deep3 = jax.vmap(stick_probe)(probe3)
+        stick_found = jnp.any(sup3)
+        first3 = jnp.argmax(sup3)
+        oh3 = jax.nn.one_hot(first3, 3, dtype=jnp.float32)
+        stick_foot = (oh3 @ probe3
+                      + ez * jnp.maximum(jnp.dot(oh3, deep3), 0.0))
+        return jnp.where(stick_found, stick_foot, foot), stick_found
+
+    foot, stuck = jax.lax.cond(
+        want_stick, stick_branch, lambda f: (f, jnp.array(False)), foot)
 
     # Final ground state.
     n6, pen6, pt6, bid6, v6, ok6 = _capsule_probe(foot, cyl_h, cands,
@@ -431,7 +486,7 @@ def character_update(char: CharacterState, body: BodyState, world: StaticWorld,
     dz = foot[2] - pre_stair_z
     cz = char.campos_z_delta - 20.0 * dt * char.campos_z_delta
     cz = jnp.where(jnp.abs(cz) < 1e-5, 0.0, cz)
-    cz = jnp.clip(cz + jnp.where(do_stairs | (want_stick & stick_found), dz, 0.0), -0.3, 0.3)
+    cz = jnp.clip(cz + jnp.where(do_stairs | stuck, dz, 0.0), -0.3, 0.3)
 
     campos = jnp.array([foot[0], foot[1], foot[2] + EYE_HEIGHT, 1.0]) - jnp.array([0, 0, 1.0, 0]) * cz
 

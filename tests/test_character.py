@@ -91,6 +91,45 @@ def test_steps_up_stairs():
     assert max_z > EYE_HEIGHT + 0.7, (max_z, eye)
 
 
+def test_steps_up_tall_single_step():
+    """A single 0.35 m step — taller than the capsule-edge roll-over that
+    masks low steps but inside Jolt's 0.4 mWalkStairsStepUp
+    (PlayerPhysics.cpp:346).  The landing at min-step-forward is the steep
+    step EDGE; Jolt validates it via the 0.15 m forward test probe and the
+    climb converges over a few ticks.  This drove the r5 WalkStairs
+    redesign: the previous flat-landing-only scan could not climb any step
+    taller than ~0.25 m."""
+    w = make_world()
+    w.add_object(PhysicsObject(
+        shape=shapes.make_box([1.0, 1.0, 0.175]),
+        pos=np.array([1.5, 0, 0.175], np.float32),
+        motion_type=int(MotionType.STATIC)))
+    p = PlayerPhysics(w, eye_pos=(0, 0, EYE_HEIGHT))
+    for i in range(180):
+        p.process_move([1, 0, 0])
+        p.update(DT, cur_time=i * DT)
+    eye = p.get_eye_position()
+    assert eye[0] > 2.6, eye          # walked up and across the step
+
+
+def test_step_above_limit_blocks():
+    """A 0.45 m step exceeds mWalkStairsStepUp = 0.4: the character must be
+    BLOCKED (the forward-test cast starts inside the step face and cannot
+    validate the steep landing)."""
+    w = make_world()
+    w.add_object(PhysicsObject(
+        shape=shapes.make_box([1.0, 1.0, 0.225]),
+        pos=np.array([1.5, 0, 0.225], np.float32),
+        motion_type=int(MotionType.STATIC)))
+    p = PlayerPhysics(w, eye_pos=(0, 0, EYE_HEIGHT))
+    for i in range(180):
+        p.process_move([1, 0, 0])
+        p.update(DT, cur_time=i * DT)
+    eye = p.get_eye_position()
+    assert eye[0] < 0.5, eye
+    assert eye[2] < EYE_HEIGHT + 0.2, eye
+
+
 def test_blocked_by_wall():
     w = make_world()
     w.add_object(PhysicsObject(
