@@ -116,6 +116,9 @@ def build_world():
         pairs_per_body=10,
         pair_rebuild_interval=6,
         max_active_contacts=4_096 if _SMOKE else 36_864,
+        # Static partition sized from measured demand (~19.3k valid static
+        # rows at 10k bodies churning): 20,480 static + 16,384 pair rows.
+        static_contact_cap=0 if _SMOKE else 20_480,
         contacts_per_body=12,
     )
     w = PhysicsWorld(cfg)
@@ -408,6 +411,8 @@ def main():
     contacts = np.array([int(np.asarray(d.num_contacts)) for d, _ in log[::4]])
     pairs = np.array([int(np.asarray(d.num_pairs)) for d, _ in log[::4]])
     overflow = np.array([int(np.asarray(ov)) for _, ov in log[::4]])
+    max_pen = np.array([float(np.asarray(d.max_penetration))
+                        for d, _ in log[::4]])
     n_dyn = N_BODIES
     n_alive_particles = int(np.asarray(jnp.sum(ps.alive)))
 
@@ -429,16 +434,23 @@ def main():
         "awake_frac_mean": round(float(awake.mean()) / n_dyn, 3),
         "awake_frac_min": round(float(awake.min()) / n_dyn, 3),
         "contacts_mean": int(contacts.mean()),
-        # Pair DEMAND vs capacity: this scene's dense piles want ~26k pairs
-        # against a 16,384 buffer; dropped pairs are the proximity-ranked
-        # shallowest.  overflow counts only definite losses (inradius-
-        # overlapping pairs + touching contact rows dropped).  Reference
-        # parity: Jolt caps at 10,240 contact manifolds TOTAL
-        # (PhysicsWorld.cpp:506) and would shed ~2.5x more here.
+        # Pair DEMAND vs capacity.  Honest comparison: Jolt's PAIR queue is
+        # 65,536 (PhysicsWorld.cpp:502) and would drop none of this demand;
+        # its 10,240 cap is contact MANIFOLDS of up to 4 points
+        # (PhysicsWorld.cpp:505-506), comparable to our contact-row buffer.
+        # Shed pairs here are the proximity-ranked shallowest; overflow
+        # counts definite losses (inradius-overlapping pairs + touching
+        # contact rows dropped).  max_penetration_* is the quality check
+        # that the shedding does not degrade the sim (bodies do not sink).
         "pairs_demand_mean": int(pairs.mean()),
         "pairs_capacity": int(cfg.max_pairs),
         "overflow_per_step_mean": round(float(overflow.mean()) / CHUNK, 1),
-        "ref_jolt_manifold_cap": 10240,
+        "max_penetration_mean_m": round(float(max_pen.mean()), 4),
+        "max_penetration_max_m": round(float(max_pen.max()), 4),
+        # Winter scale note: 512 instances of 2 one-expression scripts is a
+        # coupling proof, far below the reference's "thousands of scripted
+        # objects" per tick (Scripting.cpp:735-821).
+        "winter_instances": N_WINTER,
     }))
 
 
