@@ -34,7 +34,8 @@ jax.config.update("jax_platforms", "cpu")
 # sharing one dir produced intermittent SIGSEGV at cache-read
 # (cpu_aot_loader "machine feature ... not supported ... SIGILL" warnings
 # are the benign tail of the same mismatch).
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+from substrata_tpu.runtime.jax_cache import cpu_cache_dir
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -17,7 +17,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+from substrata_tpu.runtime.jax_cache import cpu_cache_dir
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 
 import numpy as np
 
