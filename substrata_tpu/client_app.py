@@ -309,9 +309,14 @@ class ClientApp:
         pos, vel, angvel = ob.pos, None, None
         if old is not None:
             if old.motion_type == int(MotionType.DYNAMIC):
-                self.physics_world.sync_transforms()
-                mesh_pos, _ = old.shape.mesh_pose_from_body(old.pos, old.rot)
-                pos, vel, angvel = mesh_pos, old.linvel, old.angvel
+                # LIVE single-slot read: in pipelined mode sync_transforms()
+                # is depth-ticks stale and consumes a pipeline entry (the
+                # rebuilt body would inherit old pos/vel and skew the
+                # per-tick sync cadence).
+                bpos, brot, blv, bav = \
+                    self.physics_world.read_object_state(old)
+                mesh_pos, _ = old.shape.mesh_pose_from_body(bpos, brot)
+                pos, vel, angvel = mesh_pos, blv, bav
             self.physics_world.remove_object(old)
         if getattr(ob, "mesh_instance_id", None) is not None:
             self.physics_world.remove_static_mesh_instance(ob.mesh_instance_id)

@@ -1021,6 +1021,17 @@ class PhysicsWorld:
                 ob.angvel = av[slot]
                 ob.underwater = bool(uw[slot] > 0)
 
+    def read_object_state(self, ob: PhysicsObject):
+        """Synchronous LIVE device read of one body's (pos, rot, linvel,
+        angvel) — for rare mid-tick consumers (shape reloads on content
+        stream-in) that must not consume a pipelined sync entry: in
+        pipelined mode sync_transforms() is depth-ticks stale and each call
+        burns one pipeline slot, so a rebuilt body would inherit old state
+        AND skew the per-tick pipeline cadence."""
+        self._flush()
+        blk = np.asarray(_transform_block(self.state)[ob.slot])
+        return blk[0:3], blk[3:7], blk[7:10], blk[10:13]
+
     # ------------------------------------------------------------------
     # Queries (PhysicsWorld.cpp:1668-1725)
     # ------------------------------------------------------------------
