@@ -115,10 +115,11 @@ def build_world():
         solver_iters=7,
         pairs_per_body=10,
         pair_rebuild_interval=6,
+        # BODY-PAIR contact rows only: static (ground) contacts live in
+        # their own overflow-proof body-blocked buffer (40,960 rows at this
+        # capacity) that the solver handles densely — see
+        # solver.solve_contacts (r5 redesign).
         max_active_contacts=4_096 if _SMOKE else 36_864,
-        # Static partition sized from measured demand (~19.3k valid static
-        # rows at 10k bodies churning): 20,480 static + 16,384 pair rows.
-        static_contact_cap=0 if _SMOKE else 20_480,
         contacts_per_body=12,
     )
     w = PhysicsWorld(cfg)

@@ -103,7 +103,7 @@ def integrate_positions(body: BodyState, linvel, angvel, dt):
 def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
                     contact_impulse, contact_valid, incidence_table,
                     incidence_sign, dt, params: SimParams,
-                    contact_pen=None):
+                    contact_pen=None, extra_deep=None):
     """Velocity-threshold sleeping with contact-driven waking.
 
     Mirrors the activation behaviour backing the reference's
@@ -163,6 +163,10 @@ def update_sleeping(body: BodyState, linvel, angvel, contact_a, contact_b,
     # contacts — the bad position would be locked in forever.  Staying
     # awake keeps depenetration (bias + position solve) working on it.
     body_deep = jnp.any(tbl_ok & (g[..., 4] > 0), axis=1)
+    if extra_deep is not None:
+        # Deep STATIC penetration (dense [N] reduce computed by the caller
+        # from the body-blocked static buffer) must also block sleeping.
+        body_deep = body_deep | extra_deep
 
     dyn = body.dynamic & body.alive
     timer = jnp.where(slow & ~wake_hit & ~body_deep,

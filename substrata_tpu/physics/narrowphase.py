@@ -960,22 +960,6 @@ def concat_contacts(*batches: Contacts) -> Contacts:
                                 "valid", "friction", "restitution", "key")])
 
 
-def compact_contacts_partitioned(static_cts: Contacts, pair_cts: Contacts,
-                                 s_cap: int, p_cap: int):
-    """Compact static-world and body-pair contacts into a PARTITIONED buffer:
-    rows [0, s_cap) static (b == -1), rows [s_cap, s_cap + p_cap) pairs.
-
-    The layout invariant lets the solver skip all b-side work on the static
-    partition (solver.solve_contacts).  Same total scatter rows as one
-    merged compaction; each class keeps its own touching-first priority,
-    and static (ground) contacts can never be evicted by pair overflow —
-    the property the old static-first concat ordering provided.
-    """
-    cs, ov_s = compact_contacts(static_cts, s_cap)
-    cp, ov_p = compact_contacts(pair_cts, p_cap)
-    return concat_contacts(cs, cp), ov_s + ov_p
-
-
 def compact_contacts(contacts: Contacts, max_active: int):
     """Stream-compact valid contacts into a fixed smaller buffer so the
     solver iterates over ~actual contacts instead of the padded capacity

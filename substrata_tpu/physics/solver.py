@@ -66,8 +66,13 @@ def empty_solver_cache(size: int = 1 << 17) -> SolverCache:
 
 
 def cache_size_for(config: "SimConfig") -> int:
+    # Both contact classes warm-start from this table: the body-blocked
+    # static buffer (capacity * static_contacts_per_body rows) plus the
+    # compacted pair buffer, at ~2x load headroom.
+    rows = (config.capacity * config.static_contacts_per_body
+            + config.max_active_contacts)
     size = 1
-    while size < 2 * config.max_active_contacts:
+    while size < 2 * rows:
         size <<= 1
     return size
 
@@ -147,32 +152,44 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
     return table, sign, counts
 
 
-def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
-                   config: SimConfig, cache: SolverCache | None = None):
-    """Returns (linvel, angvel, lambda_n per contact, table, sign, cache').
+def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
+                   dt, params: SimParams, config: SimConfig,
+                   cache: SolverCache | None = None):
+    """Two-class contact solve (TPU layout redesign, r5).
 
-    Contact-buffer layout contract (compact_contacts_partitioned): rows
-    [0, config.static_contact_cap) are static-world contacts (valid rows
-    have b == -1), the rest are body pairs.  The static partition has no
-    b side at all, so every b-side gather, cross and einsum below runs on
-    the PAIR SLICE only — at 10k bodies static rows are ~half the buffer,
-    and the per-iteration gathers are the step's dominant cost (measured
-    6 ms/step of gather at 10k, ~5.2 ms of it in the solver loop).
+    ``static_cts`` is the RAW body-blocked static-world buffer
+    (narrowphase.static_contacts: rows n*K..n*K+K-1 belong to body n, K =
+    static_contacts_per_body) — NEVER compacted, so ground contacts cannot
+    overflow (dropping them made bodies sink; the r4 bench pinned
+    max_penetration at the 0.5 clamp).  The blocked layout means the
+    static half of the solve needs NO gathers and NO scatters at all:
+    body state broadcasts to its K rows by reshape, and impulse
+    accumulation is a sum over the K axis — where the previous design
+    spent ~half its per-iteration gather bytes on static rows.
+
+    ``pair_cts`` is the compacted body-pair buffer [P]; it keeps the
+    incidence-table gather/apply machinery.
+
+    Returns (linvel, angvel, pair lambda_n [P], pair table, pair sign,
+    static lambda_n [N, K], cache').
     """
     n_bodies = body.capacity
     cpb = config.contacts_per_body
-    s_cap = config.static_contact_cap
-    a = contacts.a
-    b_pair = jnp.maximum(contacts.b[s_cap:], 0)       # [P] pair-partition b
-    valid = contacts.valid
-    validf = valid.astype(jnp.float32)
+    K = static_cts.capacity // n_bodies
+    P = pair_cts.capacity
 
-    def bside(x_pair):
-        """Pad a pair-partition array with zeros for the static rows."""
-        shape = (s_cap,) + x_pair.shape[1:]
-        return jnp.concatenate([jnp.zeros(shape, x_pair.dtype), x_pair])
+    a_p = pair_cts.a
+    b_p = jnp.maximum(pair_cts.b, 0)
+    valid_p = pair_cts.valid
+    validf_p = valid_p.astype(jnp.float32)
+    valid_s = static_cts.valid.reshape(n_bodies, K)
+    validf_s = valid_s.astype(jnp.float32)
 
-    table, sign, counts = build_incidence(contacts, n_bodies, cpb)
+    table, sign, pair_counts = build_incidence(pair_cts, n_bodies, cpb)
+    static_count = jnp.sum(validf_s, axis=1)
+    # Mass splitting counts BOTH classes: a body's inverse mass is shared
+    # across every contact that can impulse it this iteration.
+    counts = pair_counts + static_count
 
     # Sleeping bodies are immovable inside the solve (Jolt island semantics:
     # a sleeping island is excluded from the active set and acts as static
@@ -181,121 +198,134 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     awakef = body.awake.astype(jnp.float32)
     inv_mass = body.inv_mass * awakef
     inv_inertia = body.inv_inertia * awakef[:, None]
+    # World-space inverse inertia ONCE PER BODY (the old per-contact-row
+    # computation repeated it K+2 times per body).
+    iw = tmath.world_inv_inertia(body.quat, inv_inertia)       # [N, 3, 3]
+    c_body = jnp.maximum(counts, 1.0)
 
+    # ---------------- static class: dense [N, K] ----------------
+    nrm_s = static_cts.normal.reshape(n_bodies, K, 3)
+    pen_s = static_cts.penetration.reshape(n_bodies, K)
+    point_s = static_cts.point.reshape(n_bodies, K, 3)
+    fric_s = static_cts.friction.reshape(n_bodies, K)
+    rest_s = static_cts.restitution.reshape(n_bodies, K)
+    t1_s, t2_s = _tangent_basis(nrm_s)
+    r_s = point_s - body.pos[:, None, :]
+    d_s = jnp.stack([nrm_s, t1_s, t2_s], axis=2)           # [N, K, 3dir, 3]
+    rx_s = jnp.cross(r_s[:, :, None, :], d_s)              # [N, K, 3dir, 3]
+    term_s = jnp.einsum("nij,nkdj->nkdi", iw, rx_s)        # Iw (r x d)
+    k_s = ((inv_mass * c_body)[:, None, None]
+           + jnp.sum(rx_s * term_s, -1) * c_body[:, None, None])
+    k_s = jnp.maximum(k_s, 1e-9)
+    kn_s, kt1_s, kt2_s = k_s[:, :, 0], k_s[:, :, 1], k_s[:, :, 2]
+    an_s, at1_s, at2_s = term_s[:, :, 0], term_s[:, :, 1], term_s[:, :, 2]
+
+    # ---------------- pair class: gathered [P] ----------------
     # One packed gather row per contact side instead of 5 field gathers
-    # (pos3 | quat4 | inv_mass | inv_inertia3 | contact_count) — TPU
+    # (pos3 | quat4 | inv_mass | iw flattened | contact_count) — TPU
     # gathers dominate, and row width is nearly free next to row count.
     bview = jnp.concatenate([
-        body.pos, body.quat, inv_mass[:, None], inv_inertia,
-        counts[:, None],
-    ], axis=1)  # [N, 12]
-    va = bview[a]                                     # [C, 12]
-    vb = bview[b_pair]                                # [P, 12]
-    im_a = va[:, 7]
-    iw_a = tmath.world_inv_inertia(va[:, 3:7], va[:, 8:11])         # [C,3,3]
-    iw_b = tmath.world_inv_inertia(vb[:, 3:7], vb[:, 8:11])         # [P,3,3]
+        body.pos, inv_mass[:, None], c_body[:, None],
+        iw.reshape(n_bodies, 9),
+    ], axis=1)                                             # [N, 14]
+    va = bview[a_p]
+    vb = bview[b_p]
+    im_a, im_b = va[:, 3], vb[:, 3]
+    c_a, c_b = va[:, 4], vb[:, 4]
+    iw_a = va[:, 5:14].reshape(P, 3, 3)
+    iw_b = vb[:, 5:14].reshape(P, 3, 3)
+    r_a = pair_cts.point - va[:, :3]
+    r_b = pair_cts.point - vb[:, :3]
+    nrm_p = pair_cts.normal
+    t1_p, t2_p = _tangent_basis(nrm_p)
+    d_p = jnp.stack([nrm_p, t1_p, t2_p], axis=1)           # [P, 3dir, 3]
+    ra_x = jnp.cross(r_a[:, None, :], d_p)
+    rb_x = jnp.cross(r_b[:, None, :], d_p)
+    term_a = jnp.einsum("cij,cdj->cdi", iw_a, ra_x)
+    term_b = jnp.einsum("cij,cdj->cdi", iw_b, rb_x)
+    k_p = ((im_a * c_a + im_b * c_b)[:, None]
+           + jnp.sum(ra_x * term_a, -1) * c_a[:, None]
+           + jnp.sum(rb_x * term_b, -1) * c_b[:, None])
+    k_p = jnp.maximum(k_p, 1e-9)
+    kn_p, kt1_p, kt2_p = k_p[:, 0], k_p[:, 1], k_p[:, 2]
+    an_a, at1_a, at2_a = term_a[:, 0], term_a[:, 1], term_a[:, 2]
+    an_b, at1_b, at2_b = term_b[:, 0], term_b[:, 1], term_b[:, 2]
 
-    r_a = contacts.point - va[:, :3]
-    r_b = contacts.point[s_cap:] - vb[:, :3]          # [P, 3]
+    ab = jnp.concatenate([a_p, b_p])   # both pair sides' indices, hoisted
 
-    nrm = contacts.normal
-    t1, t2 = _tangent_basis(nrm)
-
-    c_a = jnp.maximum(va[:, 11], 1.0)
-    c_b = jnp.maximum(vb[:, 11], 1.0)                 # [P]
-
-    # Effective masses + angular application vectors for all 3 basis
-    # directions in TWO batched einsums (was 12 [C,3,3]x[C,3] dot_generals;
-    # ang_app recomputed exactly eff_mass's products).  b-side terms exist
-    # only on the pair slice.
-    d_all = jnp.stack([nrm, t1, t2], axis=1)               # [C, 3dir, 3]
-    ra_x = jnp.cross(r_a[:, None, :], d_all)               # [C, 3dir, 3]
-    rb_x = jnp.cross(r_b[:, None, :], d_all[s_cap:])       # [P, 3dir, 3]
-    term_a = jnp.einsum("cij,cdj->cdi", iw_a, ra_x)        # Iw_a (r_a x d)
-    term_b = jnp.einsum("cij,cdj->cdi", iw_b, rb_x)        # [P, 3dir, 3]
-    k_all = ((im_a * c_a + bside(vb[:, 7] * c_b))[:, None]
-             + jnp.sum(ra_x * term_a, -1) * c_a[:, None]
-             + bside(jnp.sum(rb_x * term_b, -1) * c_b[:, None]))
-    k_all = jnp.maximum(k_all, 1e-9)
-    kn, kt1, kt2 = k_all[:, 0], k_all[:, 1], k_all[:, 2]
-
-    pen = contacts.penetration
-
-    c_cap = contacts.capacity
-    ab = jnp.concatenate([a, b_pair])  # a sides [C] + pair b sides [P]
-
-    def rel_vel(linvel, angvel):
-        # ONE packed [C+P]-row gather for both contact sides per iteration
-        # (the static partition's b side is the immovable world — no rows).
-        # Payloads travel as bf16 (gather cost on TPU scales with bytes;
-        # velocities only need ~3 significant digits inside an iteration —
-        # the carried body state stays f32) and upcast after.
+    def rel_vels(linvel, angvel):
+        """(v_s [N,K,3] dense, v_p [P,3] via ONE packed [2P]-row gather).
+        Pair payloads travel as bf16 (gather cost on TPU scales with bytes;
+        velocities only need ~3 significant digits inside an iteration —
+        the carried body state stays f32) and upcast after."""
+        v_s = linvel[:, None, :] + jnp.cross(angvel[:, None, :], r_s)
         vview = jnp.concatenate([linvel, angvel], axis=1).astype(jnp.bfloat16)
         w = vview[ab].astype(jnp.float32)
-        wa, wb = w[:c_cap], w[c_cap:]
+        wa, wb = w[:P], w[P:]
         v_a = wa[:, :3] + jnp.cross(wa[:, 3:], r_a)
         v_b = wb[:, :3] + jnp.cross(wb[:, 3:], r_b)
-        return v_a - bside(v_b)
+        return v_s, v_a - v_b
 
-    v0 = rel_vel(body.linvel, body.angvel)
-    vn0 = jnp.sum(v0 * nrm, -1)
+    v0_s, v0_p = rel_vels(body.linvel, body.angvel)
+    vn0_s = jnp.sum(v0_s * nrm_s, -1)
+    vn0_p = jnp.sum(v0_p * nrm_p, -1)
+
     # Inactive restitution must NOT clamp the target to zero: a separated
     # (speculative) contact's target is pen/dt < 0 — it LIMITS approach
     # speed to exactly close the gap, it doesn't forbid approach.  (With a
     # 0.0 floor, slowly-approaching bodies hover at the speculative margin
     # ~4 cm above surfaces — caught by the golden-trajectory harness.)
-    restitution_target = jnp.where(vn0 < -params.restitution_threshold,
-                                   -contacts.restitution * vn0, -jnp.inf)
     # Velocity-level Baumgarte only for DEEP penetration (beyond what the
     # split-impulse position pass recovers per step): running full-strength
     # velocity bias on top of position correction double-corrects and pumps
-    # energy into resting stacks — a breathing limit cycle (sink ~4 cm,
-    # spring back, ~12-step period) that keeps every stacked body's
-    # velocity at 0.2-0.7 m/s forever, so stacks never sleep.  Jolt gets
-    # stack stability from split impulse alone (velocity solve targets
-    # vn=0 for resting contacts).
+    # energy into resting stacks — a breathing limit cycle that keeps every
+    # stacked body's velocity at 0.2-0.7 m/s forever, so stacks never
+    # sleep.  Jolt gets stack stability from split impulse alone.
     deep = 0.04  # m; position solve handles anything shallower
-    bias = jnp.where(pen > 0.0,
-                     jnp.minimum((params.baumgarte / dt)
-                                 * jnp.maximum(pen - deep, 0.0),
-                                 3.0),
-                     pen / dt)
-    target_vn = jnp.maximum(bias, restitution_target)
 
-    # Per-contact angular application vectors — the SAME products as the
-    # effective-mass terms above (dω = dln*An + dlt1*At1 + dlt2*At2 where
-    # A*_side = Iw_side (r_side × d)).  The b-side ones exist only for the
-    # pair slice [P].
-    an_a, at1_a, at2_a = term_a[:, 0], term_a[:, 1], term_a[:, 2]
-    an_b, at1_b, at2_b = term_b[:, 0], term_b[:, 1], term_b[:, 2]
+    def vn_target(pen, rest, vn0):
+        restitution_target = jnp.where(vn0 < -params.restitution_threshold,
+                                       -rest * vn0, -jnp.inf)
+        bias = jnp.where(pen > 0.0,
+                         jnp.minimum((params.baumgarte / dt)
+                                     * jnp.maximum(pen - deep, 0.0), 3.0),
+                         pen / dt)
+        return jnp.maximum(bias, restitution_target)
 
-    # Gather helpers for the incidence table.  Per-slot reduction weights
-    # W [N, CPB, 3seg]: seg 0 (linear impulse) = ±1 by side, seg 1 (ang_a
-    # block) = +1 on a-side slots, seg 2 (ang_b block) = -1 on b-side slots
-    # — dω_a = +Iw_a(r_a×P), dω_b = -Iw_b(r_b×P).  Folding side selection
-    # and validity into one bf16 multiply-reduce (einsum, f32 accumulation)
-    # deletes the per-iteration [N,CPB,9] upcast + sign/select elementwise
-    # pass that used to follow the gather.
+    target_s = vn_target(pen_s, rest_s, vn0_s)
+    target_p = vn_target(pair_cts.penetration, pair_cts.restitution, vn0_p)
+
+    # Pair apply machinery: per-slot reduction weights W [N, CPB, 3seg]:
+    # seg 0 (linear impulse) = ±1 by side, seg 1 (ang_a block) = +1 on
+    # a-side slots, seg 2 (ang_b block) = -1 on b-side slots — dω_a =
+    # +Iw_a(r_a×P), dω_b = -Iw_b(r_b×P).  Folding side selection and
+    # validity into one bf16 multiply-reduce (einsum, f32 accumulation).
     tbl = jnp.maximum(table, 0)
     signv = sign * (table >= 0)
     W = jnp.stack([signv, jnp.maximum(signv, 0.0), jnp.minimum(signv, 0.0)],
                   axis=2).astype(jnp.bfloat16)              # [N, CPB, 3]
     im_per_body = inv_mass[:, None]  # [N, 1]
 
-    def apply_impulses(linvel, angvel, dln, dlt1, dlt2):
-        # ONE packed gather per iteration: [imp | ang_a | ang_b] -> [C, 9].
-        imp = dln[:, None] * nrm + dlt1[:, None] * t1 + dlt2[:, None] * t2  # [C,3]
-        ang_c_a = dln[:, None] * an_a + dlt1[:, None] * at1_a + dlt2[:, None] * at2_a
-        ang_c_b = bside(dln[s_cap:, None] * an_b
-                        + dlt1[s_cap:, None] * at1_b
-                        + dlt2[s_cap:, None] * at2_b)
+    def apply_impulses(linvel, angvel, ds_n, ds_t1, ds_t2, dp_n, dp_t1, dp_t2):
+        # Static class: dense accumulate over the K axis — no scatter.
+        imp_s = (ds_n[..., None] * nrm_s + ds_t1[..., None] * t1_s
+                 + ds_t2[..., None] * t2_s) * validf_s[..., None]
+        dlin_s = jnp.sum(imp_s, axis=1)                     # [N, 3]
+        dang_s = jnp.sum((ds_n[..., None] * an_s
+                          + ds_t1[..., None] * at1_s
+                          + ds_t2[..., None] * at2_s)
+                         * validf_s[..., None], axis=1)
+        # Pair class: ONE packed gather [imp | ang_a | ang_b] -> [P, 9].
+        imp = dp_n[:, None] * nrm_p + dp_t1[:, None] * t1_p + dp_t2[:, None] * t2_p
+        ang_c_a = dp_n[:, None] * an_a + dp_t1[:, None] * at1_a + dp_t2[:, None] * at2_a
+        ang_c_b = dp_n[:, None] * an_b + dp_t1[:, None] * at1_b + dp_t2[:, None] * at2_b
         block = ((jnp.concatenate([imp, ang_c_a, ang_c_b], axis=1)
-                  * validf[:, None]).astype(jnp.bfloat16))
+                  * validf_p[:, None]).astype(jnp.bfloat16))
         g = block[tbl].reshape(n_bodies, cpb, 3, 3)         # [N,CPB,3seg,3]
         out = jnp.einsum("ncsw,ncs->nsw", g, W,
                          preferred_element_type=jnp.float32)  # [N,3seg,3]
-        linvel = linvel + im_per_body * out[:, 0]
-        angvel = angvel + out[:, 1] + out[:, 2]
+        linvel = linvel + im_per_body * (out[:, 0] + dlin_s)
+        angvel = angvel + out[:, 1] + out[:, 2] + dang_s
         return linvel, angvel
 
     def iteration(beta, carry):
@@ -303,62 +333,87 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
         # Plain mass-splitting Jacobi propagates force one contact-hop per
         # iteration, so a 10-deep stack (> iteration count) can never
         # converge in-step; the un-damped residual shows up as an artificial
-        # acoustic breathing mode (the whole stack bouncing at ~0.1 s
-        # period, velocities 0.5-1.5 m/s forever — which also blocks
-        # sleeping).  The normal-impulse subproblem is a convex QP, so
-        # momentum extrapolation is principled (O(1/k^2) vs O(1/k)) and
-        # costs zero extra gathers: velocities always correspond to the
-        # EXTRAPOLATED impulses y; l is the last projected (feasible) point.
-        linvel, angvel, yn, yt1, yt2, ln, lt1, lt2 = carry
-        v = rel_vel(linvel, angvel)
-        vn = jnp.sum(v * nrm, -1)
-        ln_new = jnp.maximum(yn + (target_vn - vn) / kn, 0.0)
+        # acoustic breathing mode.  The normal-impulse subproblem is a
+        # convex QP, so momentum extrapolation is principled (O(1/k^2) vs
+        # O(1/k)) and costs zero extra gathers: velocities always
+        # correspond to the EXTRAPOLATED impulses y; l is the last
+        # projected (feasible) point.  ys/ls carry (static, pair) tuples.
+        linvel, angvel, ys, ls, yp, lp = carry
+        v_s, v_p = rel_vels(linvel, angvel)
 
-        vt1 = jnp.sum(v * t1, -1)
-        vt2 = jnp.sum(v * t2, -1)
-        max_f = contacts.friction * ln_new
-        lt1_new = jnp.clip(yt1 - vt1 / kt1, -max_f, max_f)
-        lt2_new = jnp.clip(yt2 - vt2 / kt2, -max_f, max_f)
+        vn = jnp.sum(v_s * nrm_s, -1)
+        ln_s = jnp.maximum(ys[0] + (target_s - vn) / kn_s, 0.0)
+        vt1 = jnp.sum(v_s * t1_s, -1)
+        vt2 = jnp.sum(v_s * t2_s, -1)
+        mf = fric_s * ln_s
+        lt1_s = jnp.clip(ys[1] - vt1 / kt1_s, -mf, mf)
+        lt2_s = jnp.clip(ys[2] - vt2 / kt2_s, -mf, mf)
 
-        yn_new = ln_new + beta * (ln_new - ln)
-        yt1_new = lt1_new + beta * (lt1_new - lt1)
-        yt2_new = lt2_new + beta * (lt2_new - lt2)
+        vn = jnp.sum(v_p * nrm_p, -1)
+        ln_p = jnp.maximum(yp[0] + (target_p - vn) / kn_p, 0.0)
+        vt1 = jnp.sum(v_p * t1_p, -1)
+        vt2 = jnp.sum(v_p * t2_p, -1)
+        mf = pair_cts.friction * ln_p
+        lt1_p = jnp.clip(yp[1] - vt1 / kt1_p, -mf, mf)
+        lt2_p = jnp.clip(yp[2] - vt2 / kt2_p, -mf, mf)
 
-        linvel, angvel = apply_impulses(linvel, angvel, yn_new - yn,
-                                        yt1_new - yt1, yt2_new - yt2)
-        return linvel, angvel, yn_new, yt1_new, yt2_new, ln_new, lt1_new, lt2_new
+        new_ls = (ln_s, lt1_s, lt2_s)
+        new_lp = (ln_p, lt1_p, lt2_p)
+        new_ys = tuple(l + beta * (l - l0) for l, l0 in zip(new_ls, ls))
+        new_yp = tuple(l + beta * (l - l0) for l, l0 in zip(new_lp, lp))
+
+        linvel, angvel = apply_impulses(
+            linvel, angvel,
+            *(yn - yo for yn, yo in zip(new_ys, ys)),
+            *(yn - yo for yn, yo in zip(new_yp, yp)))
+        return linvel, angvel, new_ys, new_ls, new_yp, new_lp
 
     # --- Warm start: look up last step's accumulated impulses by contact
-    # identity and pre-apply them before iterating. ---
-    zeros = jnp.zeros_like(kn)
+    # identity (ONE packed gather over static + pair rows) and pre-apply
+    # them before iterating. ---
     linvel0, angvel0 = body.linvel, body.angvel
+    a_s_flat = static_cts.a
     if cache is not None:
-        h = _cache_hash(a, contacts.key, cache.size)
-        row = cache.data[h]                      # ONE [C,5] gather
+        a_all = jnp.concatenate([a_s_flat, a_p])
+        key_all = jnp.concatenate([static_cts.key, pair_cts.key])
+        valid_all = jnp.concatenate([static_cts.valid, valid_p])
+        h = _cache_hash(a_all, key_all, cache.size)
+        row = cache.data[h]                      # ONE [S+P, 5] gather
         kk = jax.lax.bitcast_convert_type(row[:, 0:2], jnp.int32)
-        hit = valid & (kk[:, 0] == a) & (kk[:, 1] == contacts.key)
+        hit = valid_all & (kk[:, 0] == a_all) & (kk[:, 1] == key_all)
         warm = jnp.where(hit[:, None], row[:, 2:5], 0.0)
-        ln0 = jnp.maximum(warm[:, 0], 0.0) * validf
-        max_f0 = contacts.friction * ln0
-        lt10 = jnp.clip(warm[:, 1], -max_f0, max_f0) * validf
-        lt20 = jnp.clip(warm[:, 2], -max_f0, max_f0) * validf
-        linvel0, angvel0 = apply_impulses(linvel0, angvel0, ln0, lt10, lt20)
+        S = a_s_flat.shape[0]
+        ln0_s = jnp.maximum(warm[:S, 0], 0.0).reshape(n_bodies, K) * validf_s
+        mf0 = fric_s * ln0_s
+        lt10_s = jnp.clip(warm[:S, 1].reshape(n_bodies, K), -mf0, mf0) * validf_s
+        lt20_s = jnp.clip(warm[:S, 2].reshape(n_bodies, K), -mf0, mf0) * validf_s
+        ln0_p = jnp.maximum(warm[S:, 0], 0.0) * validf_p
+        mf0 = pair_cts.friction * ln0_p
+        lt10_p = jnp.clip(warm[S:, 1], -mf0, mf0) * validf_p
+        lt20_p = jnp.clip(warm[S:, 2], -mf0, mf0) * validf_p
+        linvel0, angvel0 = apply_impulses(linvel0, angvel0, ln0_s, lt10_s,
+                                          lt20_s, ln0_p, lt10_p, lt20_p)
     else:
-        ln0 = lt10 = lt20 = zeros
+        ln0_s = lt10_s = lt20_s = jnp.zeros_like(kn_s)
+        ln0_p = lt10_p = lt20_p = jnp.zeros_like(kn_p)
 
     # Unrolled: an XLA while loop costs ~0.5 ms/iteration of fixed overhead
     # on TPU (carry copies + sync), comparable to the iteration body itself.
     # FISTA momentum schedule beta_k = k/(k+3): starts at 0 (plain projected
     # step) and grows; restarting every step keeps it stable under the
     # warm-start-shifted initial point.
-    carry = (linvel0, angvel0, ln0, lt10, lt20, ln0, lt10, lt20)
+    ls0 = (ln0_s, lt10_s, lt20_s)
+    lp0 = (ln0_p, lt10_p, lt20_p)
+    carry = (linvel0, angvel0, ls0, ls0, lp0, lp0)
     for k in range(config.solver_iters):
         # beta=0 on the LAST iteration leaves y == l, so the final
         # velocities already correspond to the feasible impulses and no
         # snap-back apply is needed (saves one gather+reduce pass).
         beta = k / (k + 3.0) if k < config.solver_iters - 1 else 0.0
         carry = iteration(beta, carry)
-    linvel, angvel, yn, yt1, yt2, ln, lt1, lt2 = carry
+    linvel, angvel, _ys, ls, _yp, lp = carry
+    ln_s, lt1_s, lt2_s = ls
+    ln_p, lt1_p, lt2_p = lp
 
     # --- Refresh the cache with this step's accumulated impulses, IN PLACE
     # (donated buffers): stale entries for vanished contacts persist, which
@@ -366,75 +421,84 @@ def solve_contacts(body: BodyState, contacts: Contacts, dt, params: SimParams,
     # feature key) contact reappears, and warm-starting a reappearing
     # contact from its last impulse is exactly the cache's purpose.  The
     # host resets the cache when body slots are reused (PhysicsWorld).
-    # Rebuilding from zeros cost two full-table materialisations + copies.
     if cache is not None:
-        h = _cache_hash(a, contacts.key, cache.size)
-        dst = jnp.where(valid, h, cache.size)
-        new_keys = jnp.stack([jnp.where(valid, a, -1),
-                              jnp.where(valid, contacts.key, 0)], axis=1)
+        lam_all = jnp.concatenate([
+            jnp.stack([ln_s.reshape(-1), lt1_s.reshape(-1),
+                       lt2_s.reshape(-1)], axis=1) * validf_s.reshape(-1, 1),
+            jnp.stack([ln_p, lt1_p, lt2_p], axis=1) * validf_p[:, None],
+        ])
+        dst = jnp.where(valid_all, h, cache.size)
+        new_keys = jnp.stack([jnp.where(valid_all, a_all, -1),
+                              jnp.where(valid_all, key_all, 0)], axis=1)
         new_row = jnp.concatenate([
-            jax.lax.bitcast_convert_type(new_keys, jnp.float32),
-            jnp.stack([ln, lt1, lt2], axis=1) * validf[:, None],
+            jax.lax.bitcast_convert_type(new_keys, jnp.float32), lam_all,
         ], axis=1)
         new_cache = SolverCache(
             data=cache.data.at[dst].set(new_row, mode="drop"))
     else:
         new_cache = None
-    return linvel, angvel, ln, table, sign, new_cache
+    return linvel, angvel, ln_p, table, sign, ln_s, new_cache
 
 
-def solve_positions(pos, body: BodyState, contacts: Contacts, table, sign,
+def solve_positions(pos, body: BodyState, static_cts: Contacts,
+                    pair_cts: Contacts, table, sign,
                     params: SimParams, config: SimConfig,
                     iters: int = 2, beta: float = 0.25):
     """Split-impulse position correction (Jolt runs 2 position iterations
     after its velocity solve): push residual penetration out by translating
     bodies directly, with mass-split weights, so deep stacks do not sink.
-    Uses the velocity solve's incidence table; rotation is left untouched
-    (translation-only NGS is the stable cheap variant).
+    Static rows use the dense body-blocked layout (no gathers/scatters —
+    see solve_contacts); pairs reuse the velocity solve's incidence table.
+    Rotation is left untouched (translation-only NGS is the stable cheap
+    variant).
     """
-    s_cap = config.static_contact_cap
-    a = contacts.a
-    b_pair = jnp.maximum(contacts.b[s_cap:], 0)    # partitioned layout
-    validf = contacts.valid.astype(jnp.float32)
-    nrm = contacts.normal
-
-    def bside(x_pair):
-        shape = (s_cap,) + x_pair.shape[1:]
-        return jnp.concatenate([jnp.zeros(shape, x_pair.dtype), x_pair])
+    n_bodies = body.capacity
+    K = static_cts.capacity // n_bodies
+    a = pair_cts.a
+    b = jnp.maximum(pair_cts.b, 0)
+    validf_p = pair_cts.valid.astype(jnp.float32)
+    nrm_p = pair_cts.normal
+    validf_s = static_cts.valid.reshape(n_bodies, K).astype(jnp.float32)
+    nrm_s = static_cts.normal.reshape(n_bodies, K, 3)
+    pen_s = static_cts.penetration.reshape(n_bodies, K)
 
     tbl = jnp.maximum(table, 0)
     tbl_valid = (table >= 0).astype(jnp.float32)[..., None]
     # Sleeping bodies are immovable (mirrors the velocity solve).
     im_per_body = (body.inv_mass * body.awake)[:, None]
+    pos0 = pos
     # ONE packed per-side gather (pos3 | inv_mass) for both the initial
-    # reference positions and the inverse masses — standalone [C] scalar
-    # gathers from [N] cost as much as a full row gather.  b side exists
-    # only on the pair slice.
+    # reference positions and the inverse masses — standalone [P] scalar
+    # gathers from [N] cost as much as a full row gather.
     view0 = jnp.concatenate([pos, im_per_body], axis=1)    # [N, 4]
     va0 = view0[a]
-    vb0 = view0[b_pair]                                    # [P, 4]
+    vb0 = view0[b]
     pos0_a, im_a = va0[:, :3], va0[:, 3]
     pos0_b = vb0[:, :3]
-    w_sum = jnp.maximum(im_a + bside(vb0[:, 3]), 1e-9)
+    w_sum = jnp.maximum(im_a + vb0[:, 3], 1e-9)
+    w_s = jnp.maximum(im_per_body[:, 0], 1e-9)[:, None]    # [N, 1]
 
-    c_cap = a.shape[0]
-    ab = jnp.concatenate([a, b_pair])
+    P = a.shape[0]
+    ab = jnp.concatenate([a, b])
 
     def it(first, pos):
+        # Static class: dense residual from this body's own displacement.
         if first:
-            # No displacement has been applied yet: dp == 0 exactly, so
-            # skip the two per-side position gathers of iteration 0.
-            pen_res = contacts.penetration
+            pen_res_s = pen_s
+            pen_res_p = pair_cts.penetration
         else:
-            pab = pos[ab]               # ONE [C+P]-row gather for both sides
-            dp = ((pab[:c_cap] - pos0_a)
-                  - bside(pab[c_cap:] - pos0_b))
-            pen_res = contacts.penetration - jnp.sum(dp * nrm, -1)
-        push = jnp.maximum(pen_res - params.contact_slop, 0.0) * beta
-        # Per-contact positional impulse along the normal, shared by inv mass.
-        imp = nrm * (push / w_sum * validf)[:, None]          # [C, 3]
-        g = imp[tbl] * sign[..., None] * tbl_valid            # [N, CPB, 3]
-        return pos + im_per_body * jnp.sum(g, axis=1)
+            dp_s = (pos - pos0)[:, None, :]                # [N, 1, 3]
+            pen_res_s = pen_s - jnp.sum(dp_s * nrm_s, -1)
+            pab = pos[ab]               # ONE [2P]-row gather for both sides
+            dp = (pab[:P] - pos0_a) - (pab[P:] - pos0_b)
+            pen_res_p = pair_cts.penetration - jnp.sum(dp * nrm_p, -1)
+        push_s = jnp.maximum(pen_res_s - params.contact_slop, 0.0) * beta
+        imp_s = nrm_s * (push_s / w_s * validf_s)[..., None]
+        dpos_s = jnp.sum(imp_s, axis=1)                    # [N, 3]
+        push_p = jnp.maximum(pen_res_p - params.contact_slop, 0.0) * beta
+        imp = nrm_p * (push_p / w_sum * validf_p)[:, None]   # [P, 3]
+        g = imp[tbl] * sign[..., None] * tbl_valid           # [N, CPB, 3]
+        return pos + im_per_body * (jnp.sum(g, axis=1) + dpos_s)
 
     for i in range(iters):
         pos = it(i == 0, pos)

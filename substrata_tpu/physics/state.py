@@ -426,7 +426,6 @@ class SimConfig:
         max_tri_candidates: int = 16,
         contacts_per_body: int = 16,
         max_active_contacts: int = 0,
-        static_contact_cap: int = 0,
         pairs_per_body: int = 8,
         pair_rebuild_interval: int = 4,
         present_shape_types: tuple = (True, True, True, True),
@@ -456,12 +455,18 @@ class SimConfig:
         self.contacts_per_body = contacts_per_body
         # Broadphase per-body pair emission cap (emitting body = lower slot).
         self.pairs_per_body = pairs_per_body
-        # Compacted contact buffer for the solver; 0 = auto heuristic.  The
-        # solver's incidence sort packs (body << (contact_bits+1) | contact
-        # << 1 | side) into a uint32, so bits(capacity) + contact_bits + 1
-        # must fit in 32 bits (the body field also carries the trash
-        # sentinel value == capacity) — the auto heuristic clamps to that
-        # budget and explicit values are validated here (better a
+        # Compacted BODY-PAIR contact buffer for the solver; 0 = auto
+        # heuristic.  Static-world contacts never go through this buffer:
+        # they stay in their raw body-blocked [capacity *
+        # static_contacts_per_body] layout, which the solver handles with
+        # dense reshapes (zero gathers) and which can never overflow — so
+        # ground contacts can never be evicted by pair load (r5 redesign;
+        # dropping them made piles sink into the floor).
+        # The solver's incidence sort packs (body << (contact_bits+1) |
+        # contact << 1 | side) into a uint32, so bits(capacity) +
+        # contact_bits + 1 must fit in 32 bits (the body field also carries
+        # the trash sentinel value == capacity) — the auto heuristic clamps
+        # to that budget and explicit values are validated here (better a
         # config-time error than a jit-time assert).
         contact_budget = (1 << (32 - 1 - max(capacity.bit_length(), 1))) - 1
         auto = min(2 * max_pairs + 4 * capacity, contact_budget)
@@ -473,22 +478,6 @@ class SimConfig:
                 f"for capacity={capacity}: the solver packs body and contact "
                 f"ids into one uint32 sort key (<= {contact_budget} contacts "
                 f"at this capacity)")
-        # The compacted contact buffer is PARTITIONED: rows [0, S) hold
-        # static-world contacts (b == -1), rows [S, max_active) hold body
-        # pairs.  The solver exploits the static layout to skip every b-side
-        # gather/einsum on static rows (they collide with the immovable
-        # world) — at 10k bodies roughly half of all contact rows, so the
-        # per-iteration gather traffic drops accordingly.  0 = auto: enough
-        # for the full static emission, capped at half the buffer.
-        if static_contact_cap:
-            if static_contact_cap >= self.max_active_contacts:
-                raise ValueError(
-                    "static_contact_cap must leave room for pair contacts")
-            self.static_contact_cap = static_contact_cap
-        else:
-            self.static_contact_cap = min(
-                capacity * static_contacts_per_body,
-                self.max_active_contacts // 2)
         # Broadphase temporal reuse: rebuild the pair list at most every this
         # many steps (1 = every step); the cached rebuild enlarges the pair
         # margin to cover worst-case motion over the window and PhysicsWorld

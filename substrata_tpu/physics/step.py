@@ -116,32 +116,41 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     body = body.replace(awake=body.awake
                         | (struck & body.alive & body.dynamic))
 
-    # 3. Narrowphase.
+    # 3. Narrowphase.  Two contact classes (r5 solver layout redesign):
+    # static-world contacts stay in their RAW body-blocked buffer (rows
+    # n*K..n*K+K-1 belong to body n) — never compacted, so ground contacts
+    # can never overflow and the solver handles them with dense reshapes
+    # instead of gathers/scatters; body-pair contacts are compacted to
+    # max_active_contacts rows and use the incidence-table machinery.
     pair_cts, pair_touching, bucket_overflow = narrowphase.pair_contacts(
         body, pair_a, pair_b, pair_valid, config, world.hulls)
     static_cts = narrowphase.static_contacts(body, world, hull_contact_verts, config)
-    # Partitioned compaction: static (ground) contacts own rows
-    # [0, static_contact_cap) so pair overflow can never evict them (bodies
-    # would fall through the ground during pile collapses), and the solver
-    # skips all b-side work on the static partition.
-    contacts, contact_overflow = narrowphase.compact_contacts_partitioned(
-        static_cts, pair_cts, config.static_contact_cap,
-        config.max_active_contacts - config.static_contact_cap)
+    contacts_p, contact_overflow = narrowphase.compact_contacts(
+        pair_cts, config.max_active_contacts)
 
     # 4. Solve velocity constraints (warm-started when a cache is threaded).
-    linvel, angvel, lambda_n, inc_table, inc_sign, new_cache = solver.solve_contacts(
-        body, contacts, dt, params, config, solver_cache)
+    (linvel, angvel, lambda_p, inc_table, inc_sign, lambda_s,
+     new_cache) = solver.solve_contacts(
+        body, static_cts, contacts_p, dt, params, config, solver_cache)
 
     # 5. Integrate + split-impulse position correction (Jolt: 2 position
     # iterations after the velocity solve — deep stacks sink without it).
     pos, quat = integrate.integrate_positions(body, linvel, angvel, dt)
-    pos = solver.solve_positions(pos, body, contacts, inc_table, inc_sign,
-                                 params, config)
+    pos = solver.solve_positions(pos, body, static_cts, contacts_p,
+                                 inc_table, inc_sign, params, config)
 
-    # 6. Sleeping.
+    # 6. Sleeping.  Wake propagation is pair-driven (static contacts never
+    # wake anything); deep static penetration keeps a body awake so
+    # depenetration can keep working on it (dense reduce, no gathers).
+    n_b = body.capacity
+    k_s = static_cts.capacity // n_b
+    deep_static = jnp.any(
+        (static_cts.valid & (static_cts.penetration > 0.1)).reshape(n_b, k_s),
+        axis=1)
     awake, sleep_timer, linvel, angvel = integrate.update_sleeping(
-        body, linvel, angvel, contacts.a, contacts.b, lambda_n, contacts.valid,
-        inc_table, inc_sign, dt, params, contact_pen=contacts.penetration)
+        body, linvel, angvel, contacts_p.a, contacts_p.b, lambda_p,
+        contacts_p.valid, inc_table, inc_sign, dt, params,
+        contact_pen=contacts_p.penetration, extra_deep=deep_static)
 
     new_body = body.replace(
         pos=pos, quat=quat, linvel=linvel, angvel=angvel,
@@ -161,9 +170,11 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     )
     diags = StepDiagnostics(
         num_pairs=num_pairs,
-        num_contacts=jnp.sum(contacts.valid),
+        num_contacts=jnp.sum(contacts_p.valid) + jnp.sum(static_cts.valid),
         num_awake=jnp.sum(awake & new_body.alive),
-        max_penetration=jnp.max(jnp.where(contacts.valid, contacts.penetration, 0.0)),
+        max_penetration=jnp.maximum(
+            jnp.max(jnp.where(contacts_p.valid, contacts_p.penetration, 0.0)),
+            jnp.max(jnp.where(static_cts.valid, static_cts.penetration, 0.0))),
     )
     if new_pair_cache is not None:
         # A wake means new pairs may be needed (a woken body had no pairs

@@ -748,12 +748,6 @@ class PhysicsWorld:
             cfg.max_pairs = max(512, self._base_config.max_pairs // div)
             cfg.max_active_contacts = max(
                 1024, self._base_config.max_active_contacts // div)
-            # Keep the static partition proportional (and always leave pair
-            # room): calm worlds emit few static rows — sleeping bodies
-            # produce none — so the quartered cap is safe.
-            cfg.static_contact_cap = min(
-                max(256, self._base_config.static_contact_cap // div),
-                cfg.max_active_contacts // 2)
         return cfg
 
     def _switch_tier(self, tier: int):

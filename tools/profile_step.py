@@ -65,12 +65,15 @@ def main():
     scf = jax.jit(lambda b: narrowphase.static_contacts(b, sw, hull_cv, cfg))
     static_cts = timed("static contacts", scf, body)
 
-    pair_cts, _ = npf(body, pair_a, pair_b, pair_valid)
-    contacts = narrowphase.concat_contacts(pair_cts, static_cts)
-    print("   contacts valid:", int(jnp.sum(contacts.valid)))
+    pair_cts, _, _ = npf(body, pair_a, pair_b, pair_valid)
+    contacts_p, _ = narrowphase.compact_contacts(pair_cts,
+                                                 cfg.max_active_contacts)
+    print("   pair contacts valid:", int(jnp.sum(contacts_p.valid)),
+          " static valid:", int(jnp.sum(static_cts.valid)))
 
-    svf = jax.jit(lambda b, c: solver.solve_contacts(b, c, dt, params, cfg))
-    timed("solver (10 it)", svf, body, contacts)
+    svf = jax.jit(lambda b, s, c: solver.solve_contacts(b, s, c, dt, params,
+                                                        cfg))
+    timed("solver (10 it)", svf, body, static_cts, contacts_p)
 
     full = jax.jit(lambda b: physics_step(b, sw, hull_cv, dt, params, cfg)[0])
     timed("full step", full, body)

@@ -72,19 +72,21 @@ def main():
     timed("static contacts", scf, body)
 
     pair_cts, _, _ = npf(body, pair_a, pair_b, pair_valid)
-    cc = jax.jit(lambda s, p: narrowphase.compact_contacts_partitioned(
-        s, p, cfg.static_contact_cap,
-        cfg.max_active_contacts - cfg.static_contact_cap))
-    contacts, _ = cc(static_cts, pair_cts)
-    timed("concat+compact", cc, static_cts, pair_cts)
-    print("   contacts valid:", int(jnp.sum(contacts.valid)))
+    cc = jax.jit(lambda p: narrowphase.compact_contacts(
+        p, cfg.max_active_contacts))
+    contacts_p, _ = cc(pair_cts)
+    timed("pair compact", cc, pair_cts)
+    print("   pair contacts valid:", int(jnp.sum(contacts_p.valid)),
+          " static valid:", int(jnp.sum(static_cts.valid)))
 
-    svf = jax.jit(lambda b, c, ca: solver.solve_contacts(b, c, dt, params, cfg, ca))
-    timed(f"solver ({cfg.solver_iters} it)", svf, body, contacts, cache)
+    svf = jax.jit(lambda b, s, p, ca: solver.solve_contacts(
+        b, s, p, dt, params, cfg, ca))
+    timed(f"solver ({cfg.solver_iters} it)", svf, body, static_cts,
+          contacts_p, cache)
 
     inc = jax.jit(lambda c: solver.build_incidence(c, body.capacity,
                                                    cfg.contacts_per_body))
-    timed("  build_incidence", inc, contacts)
+    timed("  build_incidence", inc, contacts_p)
 
     timed("FULL STEP (amortized)", run_step, body, cache, pcache)
 

@@ -94,9 +94,7 @@ def main():
         pa, pb, pv, npairs, _ = broadphase.find_pairs(body, cfg)
         pc, _, _ = narrowphase.pair_contacts(body, pa, pb, pv, cfg, sw.hulls)
         sc = narrowphase.static_contacts(body, sw, hull_cv, cfg)
-        cts, _ = narrowphase.compact_contacts_partitioned(
-            sc, pc, cfg.static_contact_cap,
-            cfg.max_active_contacts - cfg.static_contact_cap)
+        cts, _ = narrowphase.compact_contacts(pc, cfg.max_active_contacts)
         n = body.capacity
         deg = (jnp.zeros((n + 1,), jnp.int32)
                .at[jnp.where(cts.valid, cts.a, n)].add(1, mode="drop")
