@@ -37,8 +37,8 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+from substrata_tpu.runtime.jax_cache import bench_cache_dir
+jax.config.update("jax_compilation_cache_dir", bench_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 # Test hook: force a platform (e.g. a bogus one) to exercise the
 # outage-fallback path below without a real tunnel outage.  The axon

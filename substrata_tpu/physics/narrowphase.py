@@ -609,18 +609,28 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
     codes = jnp.clip(body.shape_type[a] * 4 + body.shape_type[b],
                      0, _NUM_CODES - 1)
 
-    # ONE shared sort groups pairs by combo code; each bucket is then a
-    # dynamic_slice at its run boundary (16 scatter-compactions cost ~0.7 ms
-    # each on TPU; one 32k sort is ~1 ms).  Boundaries come from counting
-    # codes below each value — jnp.searchsorted lowers to a slow while loop.
-    sort_codes = jnp.where(pair_valid, codes, _NUM_CODES)
-    order = jnp.argsort(sort_codes).astype(jnp.int32)
-    sorted_codes = sort_codes[order]
-    starts = jnp.sum(
-        sort_codes[None, :] < jnp.arange(_NUM_CODES + 1, dtype=jnp.int32)[:, None],
-        axis=1).astype(jnp.int32)
-
     present = list(config.present_shape_types)
+    active_codes = [c for c in range(_NUM_CODES)
+                    if present[c // 4] and present[c % 4]]
+    single_combo = len(active_codes) == 1
+    if single_combo:
+        # Homogeneous world (one shape type — e.g. an all-box scene): every
+        # valid pair has the same combo code, so the bucket IS the pair
+        # list.  Skip the grouping argsort entirely — a 16k argsort costs
+        # ~5.5 ms on TPU (sorts are the single most expensive primitive in
+        # the step's bookkeeping).
+        order = sorted_codes = starts = None
+    else:
+        # ONE shared sort groups pairs by combo code; each bucket is then a
+        # dynamic_slice at its run boundary (16 scatter-compactions cost
+        # ~0.7 ms each on TPU).  Boundaries come from counting codes below
+        # each value — jnp.searchsorted lowers to a slow while loop.
+        sort_codes = jnp.where(pair_valid, codes, _NUM_CODES)
+        order = jnp.argsort(sort_codes).astype(jnp.int32)
+        sorted_codes = sort_codes[order]
+        starts = jnp.sum(
+            sort_codes[None, :] < jnp.arange(_NUM_CODES + 1, dtype=jnp.int32)[:, None],
+            axis=1).astype(jnp.int32)
 
     batches = []
     touch_src = []  # (bucket_pair_idx, bucket_touching)
@@ -633,18 +643,27 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
             # compile time (even a 16-slot token bucket costs a kernel +
             # ~25 small gathers; 15 absent combos ≈ 400 launches/step).  A
             # stale present_shape_types config surfaces as overflow instead.
-            overflow = overflow + (starts[code + 1] - starts[code])
+            if not single_combo:
+                overflow = overflow + (starts[code + 1] - starts[code])
             continue
-        cap = min(cap, p)
-        start = jnp.minimum(starts[code], p - cap)
-        run_len = starts[code + 1] - starts[code]
-        src_all = jax.lax.dynamic_slice(order, (start,), (cap,))
-        # Mask slots outside this code's run (slice may span neighbours).
-        in_run = jax.lax.dynamic_slice(sorted_codes, (start,), (cap,)) == code
-        src = jnp.where(in_run, src_all, -1)
-        bvalid = src >= 0
-        overflow = overflow + jnp.maximum(run_len - cap, 0)
-        srcs = jnp.maximum(src, 0)
+        if single_combo:
+            # The bucket is the whole pair list, in place (no sort above).
+            cap = p
+            src = jnp.where(pair_valid,
+                            jnp.arange(p, dtype=jnp.int32), -1)
+            bvalid = pair_valid
+            srcs = jnp.arange(p, dtype=jnp.int32)
+        else:
+            cap = min(cap, p)
+            start = jnp.minimum(starts[code], p - cap)
+            run_len = starts[code + 1] - starts[code]
+            src_all = jax.lax.dynamic_slice(order, (start,), (cap,))
+            # Mask slots outside this code's run (slice may span neighbours).
+            in_run = jax.lax.dynamic_slice(sorted_codes, (start,), (cap,)) == code
+            src = jnp.where(in_run, src_all, -1)
+            bvalid = src >= 0
+            overflow = overflow + jnp.maximum(run_len - cap, 0)
+            srcs = jnp.maximum(src, 0)
         ba = a[srcs]
         bb_ = b[srcs]
         bva = pview[ba]
@@ -698,6 +717,9 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
                          key=jnp.zeros((1,), jnp.int32)),
                 jnp.zeros((p,), bool), overflow)
     contacts = concat_contacts(*batches)
+    if single_combo:
+        # Bucket rows are the pair list in place: no scatter-back needed.
+        return contacts, touch_src[0][1] & pair_valid, overflow
     # Per-pair touching mask for contact events (scatter each bucket back).
     touching = jnp.zeros((p + 1,), bool)
     for src, btouch in touch_src:

@@ -42,3 +42,16 @@ def cpu_cache_dir() -> str:
     d = f"{_CPU_CACHE_BASE}_{host_cpu_fingerprint()}"
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def bench_cache_dir() -> str:
+    """Compile-cache dir for bench.py / tools/bench_*: the shared TPU cache
+    by default, but the fingerprinted CPU cache whenever the run is forced
+    onto CPU (SUBSTRATA_BENCH_PLATFORM=cpu smoke runs) — CPU AOT entries
+    written into the TPU dir recreate the mixed-config SIGSEGV hazard the
+    split dirs exist to prevent (CLAUDE.md)."""
+    if os.environ.get("JAX_CACHE_DIR"):
+        return os.environ["JAX_CACHE_DIR"]
+    if os.environ.get("SUBSTRATA_BENCH_PLATFORM") == "cpu":
+        return cpu_cache_dir()
+    return "/root/.jax_cache"

@@ -15,8 +15,8 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+from substrata_tpu.runtime.jax_cache import bench_cache_dir
+jax.config.update("jax_compilation_cache_dir", bench_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 if os.environ.get("SUBSTRATA_BENCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["SUBSTRATA_BENCH_PLATFORM"])

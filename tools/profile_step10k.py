@@ -55,7 +55,14 @@ def main():
                                          c, pc)
         return nb, nc, npc
 
-    for _ in range(40):  # settle so contact load is realistic
+    # Settle UNDER CHURN (bench-style kicks every 30 steps) so the contact
+    # load matches the bench's sustained regime — from pristine piles the
+    # first 40 steps see ~half the real pair demand.
+    key = jax.random.PRNGKey(7)
+    for i in range(240):
+        if i % 30 == 0:
+            key, sub = jax.random.split(key)
+            state = bench._kick(state, sub)
         state, cache, pcache = run_step(state, cache, pcache)
     _ = float(np.asarray(state.pos)[0, 0])
     body = state

@@ -18,8 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+from substrata_tpu.runtime.jax_cache import bench_cache_dir
+jax.config.update("jax_compilation_cache_dir", bench_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import jax.numpy as jnp
