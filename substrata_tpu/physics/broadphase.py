@@ -337,6 +337,13 @@ class PairCache:
     pair_valid: jnp.ndarray  # [P] bool
     num_pairs: jnp.ndarray   # [] i32
     steps_left: jnp.ndarray  # [] i32; <= 0 forces a rebuild this step
+    # Pair-entry incidence table for the solver's BLOCKED contact layout
+    # (solver.build_incidence over narrowphase pair entries): entry
+    # occupancy is stable across the reuse window, so the ~5 ms table sort
+    # is paid once per rebuild.  physics_step refreshes these on rebuild
+    # steps; they ride along unchanged on reuse steps.
+    inc_table: jnp.ndarray   # [N, CPB] i32 (-1 empty)
+    inc_sign: jnp.ndarray    # [N, CPB] f32
 
 
 def empty_pair_cache(config: SimConfig) -> PairCache:
@@ -347,6 +354,10 @@ def empty_pair_cache(config: SimConfig) -> PairCache:
         pair_valid=jnp.zeros((p,), bool),
         num_pairs=jnp.int32(0),
         steps_left=jnp.int32(0),
+        inc_table=jnp.full((config.capacity, config.contacts_per_body),
+                           -1, jnp.int32),
+        inc_sign=jnp.zeros((config.capacity, config.contacts_per_body),
+                           jnp.float32),
     )
 
 
@@ -410,5 +421,7 @@ def find_pairs_cached(body: BodyState, cache: PairCache, dt,
                        cache.num_pairs, jnp.int32(0), cache.steps_left - 1),
             operand=None)
     new_cache = PairCache(pair_a=pa, pair_b=pb, pair_valid=pv,
-                          num_pairs=num, steps_left=left)
+                          num_pairs=num, steps_left=left,
+                          inc_table=cache.inc_table,
+                          inc_sign=cache.inc_sign)
     return pa, pb, pv, num, ov, new_cache

@@ -579,8 +579,40 @@ _MANIFOLD_WIDTH = [1, 1, 1, 1,
                    1, 4, 2, 4]
 
 
+def blocked_manifold_width(config: SimConfig, capacity: int) -> int:
+    """Manifold width for the PAIR-BLOCKED contact layout, or 0 when the
+    world must use the compacted layout.
+
+    In blocked mode every active bucket emits the SAME number of manifold
+    rows per pair slot (max width among active combos, narrower kernels
+    padded with invalid rows), so contact row r belongs to pair entry
+    r // wm — the solver then needs no per-step compaction and its
+    incidence table (a ~5 ms TPU sort) is built once per broadphase
+    rebuild window instead of every step.  Ineligible when:
+    - the padded row total exceeds the budget (row padding on very mixed
+      worlds would outgrow the compacted buffer's win), or
+    - the incidence sort key (body << entry_bits+1) cannot pack into u32.
+    """
+    present = list(config.present_shape_types)
+    active = [c for c in range(_NUM_CODES)
+              if present[c // 4] and present[c % 4]]
+    if not active:
+        return 0
+    wm = max(_MANIFOLD_WIDTH[c] for c in active)
+    entries = 0
+    for c in active:
+        cap = (config.max_pairs if c in _SAME_TYPE_CODES
+               else max(64, config.max_pairs // _MIXED_FRACTION))
+        entries += min(cap, config.max_pairs)
+    if entries * wm > 8 * config.max_pairs:
+        return 0
+    if max(capacity.bit_length(), 1) + max(entries.bit_length(), 1) + 1 > 32:
+        return 0
+    return wm
+
+
 def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
-                  config: SimConfig, hulls=None):
+                  config: SimConfig, hulls=None, blocked_wm: int = 0):
     """Generate manifolds for the broadphase pair list.
 
     TPU design: pairs are partitioned by shape-combo code into fixed-size
@@ -589,6 +621,11 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
     branch).  ``hulls`` (state.HullLibrary) feeds the generic convex SAT
     for hull combos.  Returns (Contacts, pair_touching [P] for contact
     events, bucket overflow count).
+
+    ``blocked_wm`` > 0 emits the PAIR-BLOCKED layout (see
+    blocked_manifold_width): every bucket pads its manifold to blocked_wm
+    rows and unoccupied pair slots mark their rows with a = -1, so the
+    solver can recover entry occupancy without a separate channel.
     """
     if hulls is None:
         from substrata_tpu.physics.state import empty_hull_library
@@ -689,11 +726,26 @@ def pair_contacts(body: BodyState, pair_a, pair_b, pair_valid,
         sensor_b = (bva[:, 14] > 0) | (bvb[:, 14] > 0)
         fr_b = combine_friction(bva[:, 12], bvb[:, 12])
         re_b = combine_restitution(bva[:, 13], bvb[:, 13])
-        wm = _MANIFOLD_WIDTH[code]
+        wm = blocked_wm or _MANIFOLD_WIDTH[code]
+        if pts.shape[1] < wm:
+            # Blocked layout: pad narrow kernels (sphere/capsule manifolds)
+            # with invalid rows so every pair entry spans exactly wm rows.
+            padw = wm - pts.shape[1]
+            pts = jnp.concatenate(
+                [pts, jnp.zeros((cap, padw, 3), pts.dtype)], axis=1)
+            pens = jnp.concatenate(
+                [pens, jnp.full((cap, padw), -1e9, pens.dtype)], axis=1)
+            valid = jnp.concatenate(
+                [valid, jnp.zeros((cap, padw), bool)], axis=1)
         cw = cap * wm
         slotw = jnp.tile(jnp.arange(wm, dtype=jnp.int32), cap)
+        # Blocked layout marks unoccupied pair slots with a = -1 so the
+        # solver can recover entry occupancy (rows are masked by `valid`
+        # either way; the compacted path keeps raw ids, its compaction
+        # drops invalid rows before any gather).
+        a_entry = jnp.where(bvalid, ba, -1) if blocked_wm else ba
         batches.append(Contacts(
-            a=jnp.repeat(ba, wm)[:cw],
+            a=jnp.repeat(a_entry, wm)[:cw],
             b=jnp.repeat(bb_, wm)[:cw],
             point=pts[:, :wm].reshape(cw, 3),
             normal=jnp.repeat(normal, wm, axis=0)[:cw],

@@ -93,11 +93,12 @@ def _tangent_basis(n):
     return t1, t2
 
 
-def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
-    """Per-body contact table.
+def build_incidence(entry_a, entry_b, entry_occ, n_bodies: int, cpb: int):
+    """Per-body ENTRY table (entries = compacted contact rows, or pair
+    slots in the blocked layout — see solve_contacts).
 
-    Returns (table [N, CPB] i32 contact index (-1 empty), sign [N, CPB] f32
-    (+1 if the body is contact.a, -1 if contact.b), counts [N] f32).
+    Returns (table [N, CPB] i32 entry index (-1 empty), sign [N, CPB] f32
+    (+1 if the body is entry a, -1 if entry b), counts [N] f32).
     Built with ONE sort of a packed i32 key (body<<(cbits+1) | contact<<1 |
     is_a) — no argsort payload — followed by ONE scatter of packed entries
     and a last-of-run scatter for the per-body counts (a colliding
@@ -108,18 +109,18 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
     Contacts beyond a body's CPB slots are dropped from impulse application
     for that body (their counterpart still sees them).
     """
-    c = contacts.capacity
+    c = entry_a.shape[0]
     cbits = max(c.bit_length(), 1)
     # uint32 key: body field (incl. the n_bodies trash sentinel) above
-    # contact<<1|is_a — 17 bits of body at the reference's 65536-body
-    # capacity still leaves room for 16384 compacted contacts.
+    # entry<<1|is_a — 17 bits of body at the reference's 65536-body
+    # capacity still leaves room for 16384 entries.
     assert n_bodies.bit_length() + cbits + 1 <= 32, \
-        "capacity*contacts too large for packed key"
-    static_b = contacts.b < 0
+        "capacity*entries too large for packed key"
+    static_b = entry_b < 0
     cidx = jnp.arange(c, dtype=jnp.uint32)
-    # Two records per contact: (a, is_a=1), (b, is_a=0); invalid -> n_bodies.
-    body_a = jnp.where(contacts.valid, contacts.a, n_bodies).astype(jnp.uint32)
-    body_b = jnp.where(contacts.valid & ~static_b, contacts.b,
+    # Two records per entry: (a, is_a=1), (b, is_a=0); empty -> n_bodies.
+    body_a = jnp.where(entry_occ, entry_a, n_bodies).astype(jnp.uint32)
+    body_b = jnp.where(entry_occ & ~static_b, entry_b,
                        n_bodies).astype(jnp.uint32)
     key = jnp.concatenate([
         (body_a << (cbits + 1)) | (cidx << 1) | jnp.uint32(1),
@@ -154,7 +155,8 @@ def build_incidence(contacts: Contacts, n_bodies: int, cpb: int):
 
 def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
                    dt, params: SimParams, config: SimConfig,
-                   cache: SolverCache | None = None):
+                   cache: SolverCache | None = None, *,
+                   wm: int = 1, table=None, sign=None):
     """Two-class contact solve (TPU layout redesign, r5).
 
     ``static_cts`` is the RAW body-blocked static-world buffer
@@ -167,28 +169,48 @@ def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
     accumulation is a sum over the K axis — where the previous design
     spent ~half its per-iteration gather bytes on static rows.
 
-    ``pair_cts`` is the compacted body-pair buffer [P]; it keeps the
-    incidence-table gather/apply machinery.
+    ``pair_cts`` holds body-pair contact rows grouped into ENTRIES of
+    ``wm`` rows sharing one (a, b) body pair:
+    - wm == 1: the compacted buffer — entries ARE contact rows, and the
+      per-body incidence table must be rebuilt every step (compaction
+      reshuffles rows).
+    - wm > 1 (narrowphase.pair_contacts blocked layout): entries are pair
+      slots, row r belongs to entry r // wm, unoccupied entries mark rows
+      with a = -1.  Entry occupancy is stable across a broadphase reuse
+      window, so the caller passes the (table, sign) built at the last
+      pair rebuild — deleting the per-step incidence sort (~5 ms at 10k),
+      the compaction (~4 ms), and shrinking every per-iteration gather
+      from per-row to per-entry.
 
-    Returns (linvel, angvel, pair lambda_n [P], pair table, pair sign,
+    Returns (linvel, angvel, pair lambda_n [Q, wm], pair table, pair sign,
     static lambda_n [N, K], cache').
     """
     n_bodies = body.capacity
     cpb = config.contacts_per_body
     K = static_cts.capacity // n_bodies
-    P = pair_cts.capacity
+    Q = pair_cts.capacity // wm          # pair entries
 
-    a_p = pair_cts.a
-    b_p = jnp.maximum(pair_cts.b, 0)
-    valid_p = pair_cts.valid
+    a_rows = pair_cts.a
+    a_e = a_rows.reshape(Q, wm)[:, 0]              # entry bodies
+    b_e = pair_cts.b.reshape(Q, wm)[:, 0]
+    a_eg = jnp.maximum(a_e, 0)                     # gather-safe
+    b_eg = jnp.maximum(b_e, 0)
+    valid_p = pair_cts.valid.reshape(Q, wm)
     validf_p = valid_p.astype(jnp.float32)
     valid_s = static_cts.valid.reshape(n_bodies, K)
     validf_s = valid_s.astype(jnp.float32)
 
-    table, sign, pair_counts = build_incidence(pair_cts, n_bodies, cpb)
-    static_count = jnp.sum(validf_s, axis=1)
+    if table is None:
+        entry_occ = (a_e >= 0) if wm > 1 else (valid_p[:, 0] & (a_e >= 0))
+        table, sign, _ = build_incidence(a_e, b_e, entry_occ, n_bodies, cpb)
     # Mass splitting counts BOTH classes: a body's inverse mass is shared
-    # across every contact that can impulse it this iteration.
+    # across every contact that can impulse it this iteration.  The pair
+    # side counts wm rows per tabled entry — exact for wm == 1, a safe
+    # overcount for blocked entries whose rows are partly invalid (a
+    # larger count only shrinks the per-iteration step; FISTA recovers
+    # the rate).
+    pair_counts = jnp.sum((table >= 0).astype(jnp.float32), axis=1) * wm
+    static_count = jnp.sum(validf_s, axis=1)
     counts = pair_counts + static_count
 
     # Sleeping bodies are immovable inside the solve (Jolt island semantics:
@@ -220,50 +242,55 @@ def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
     kn_s, kt1_s, kt2_s = k_s[:, :, 0], k_s[:, :, 1], k_s[:, :, 2]
     an_s, at1_s, at2_s = term_s[:, :, 0], term_s[:, :, 1], term_s[:, :, 2]
 
-    # ---------------- pair class: gathered [P] ----------------
-    # One packed gather row per contact side instead of 5 field gathers
-    # (pos3 | quat4 | inv_mass | iw flattened | contact_count) — TPU
-    # gathers dominate, and row width is nearly free next to row count.
+    # ---------------- pair class: [Q entries x wm rows] ----------------
+    # One packed gather row per ENTRY side instead of 5 field gathers
+    # (pos3 | inv_mass | count | iw flattened) — TPU gathers dominate, row
+    # width is nearly free next to row count, and all wm manifold rows of
+    # an entry share the gathered body state by broadcast.
     bview = jnp.concatenate([
         body.pos, inv_mass[:, None], c_body[:, None],
         iw.reshape(n_bodies, 9),
     ], axis=1)                                             # [N, 14]
-    va = bview[a_p]
-    vb = bview[b_p]
+    va = bview[a_eg]                                       # [Q, 14]
+    vb = bview[b_eg]
     im_a, im_b = va[:, 3], vb[:, 3]
     c_a, c_b = va[:, 4], vb[:, 4]
-    iw_a = va[:, 5:14].reshape(P, 3, 3)
-    iw_b = vb[:, 5:14].reshape(P, 3, 3)
-    r_a = pair_cts.point - va[:, :3]
-    r_b = pair_cts.point - vb[:, :3]
-    nrm_p = pair_cts.normal
+    iw_a = va[:, 5:14].reshape(Q, 3, 3)
+    iw_b = vb[:, 5:14].reshape(Q, 3, 3)
+    point_p = pair_cts.point.reshape(Q, wm, 3)
+    r_a = point_p - va[:, None, :3]                        # [Q, wm, 3]
+    r_b = point_p - vb[:, None, :3]
+    nrm_p = pair_cts.normal.reshape(Q, wm, 3)
+    fric_p = pair_cts.friction.reshape(Q, wm)
+    rest_p = pair_cts.restitution.reshape(Q, wm)
+    pen_p = pair_cts.penetration.reshape(Q, wm)
     t1_p, t2_p = _tangent_basis(nrm_p)
-    d_p = jnp.stack([nrm_p, t1_p, t2_p], axis=1)           # [P, 3dir, 3]
-    ra_x = jnp.cross(r_a[:, None, :], d_p)
-    rb_x = jnp.cross(r_b[:, None, :], d_p)
-    term_a = jnp.einsum("cij,cdj->cdi", iw_a, ra_x)
-    term_b = jnp.einsum("cij,cdj->cdi", iw_b, rb_x)
-    k_p = ((im_a * c_a + im_b * c_b)[:, None]
-           + jnp.sum(ra_x * term_a, -1) * c_a[:, None]
-           + jnp.sum(rb_x * term_b, -1) * c_b[:, None])
+    d_p = jnp.stack([nrm_p, t1_p, t2_p], axis=2)           # [Q, wm, 3dir, 3]
+    ra_x = jnp.cross(r_a[:, :, None, :], d_p)
+    rb_x = jnp.cross(r_b[:, :, None, :], d_p)
+    term_a = jnp.einsum("qij,qwdj->qwdi", iw_a, ra_x)      # [Q, wm, 3dir, 3]
+    term_b = jnp.einsum("qij,qwdj->qwdi", iw_b, rb_x)
+    k_p = ((im_a * c_a + im_b * c_b)[:, None, None]
+           + jnp.sum(ra_x * term_a, -1) * c_a[:, None, None]
+           + jnp.sum(rb_x * term_b, -1) * c_b[:, None, None])
     k_p = jnp.maximum(k_p, 1e-9)
-    kn_p, kt1_p, kt2_p = k_p[:, 0], k_p[:, 1], k_p[:, 2]
-    an_a, at1_a, at2_a = term_a[:, 0], term_a[:, 1], term_a[:, 2]
-    an_b, at1_b, at2_b = term_b[:, 0], term_b[:, 1], term_b[:, 2]
+    kn_p, kt1_p, kt2_p = k_p[:, :, 0], k_p[:, :, 1], k_p[:, :, 2]
+    an_a, at1_a, at2_a = term_a[:, :, 0], term_a[:, :, 1], term_a[:, :, 2]
+    an_b, at1_b, at2_b = term_b[:, :, 0], term_b[:, :, 1], term_b[:, :, 2]
 
-    ab = jnp.concatenate([a_p, b_p])   # both pair sides' indices, hoisted
+    ab = jnp.concatenate([a_eg, b_eg])   # both entry sides, hoisted
 
     def rel_vels(linvel, angvel):
-        """(v_s [N,K,3] dense, v_p [P,3] via ONE packed [2P]-row gather).
+        """(v_s [N,K,3] dense, v_p [Q,wm,3] via ONE packed [2Q]-row gather).
         Pair payloads travel as bf16 (gather cost on TPU scales with bytes;
         velocities only need ~3 significant digits inside an iteration —
         the carried body state stays f32) and upcast after."""
         v_s = linvel[:, None, :] + jnp.cross(angvel[:, None, :], r_s)
         vview = jnp.concatenate([linvel, angvel], axis=1).astype(jnp.bfloat16)
         w = vview[ab].astype(jnp.float32)
-        wa, wb = w[:P], w[P:]
-        v_a = wa[:, :3] + jnp.cross(wa[:, 3:], r_a)
-        v_b = wb[:, :3] + jnp.cross(wb[:, 3:], r_b)
+        wa, wb = w[:Q], w[Q:]
+        v_a = wa[:, None, :3] + jnp.cross(wa[:, None, 3:], r_a)
+        v_b = wb[:, None, :3] + jnp.cross(wb[:, None, 3:], r_b)
         return v_s, v_a - v_b
 
     v0_s, v0_p = rel_vels(body.linvel, body.angvel)
@@ -293,7 +320,7 @@ def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
         return jnp.maximum(bias, restitution_target)
 
     target_s = vn_target(pen_s, rest_s, vn0_s)
-    target_p = vn_target(pair_cts.penetration, pair_cts.restitution, vn0_p)
+    target_p = vn_target(pen_p, rest_p, vn0_p)
 
     # Pair apply machinery: per-slot reduction weights W [N, CPB, 3seg]:
     # seg 0 (linear impulse) = ±1 by side, seg 1 (ang_a block) = +1 on
@@ -315,12 +342,17 @@ def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
                           + ds_t1[..., None] * at1_s
                           + ds_t2[..., None] * at2_s)
                          * validf_s[..., None], axis=1)
-        # Pair class: ONE packed gather [imp | ang_a | ang_b] -> [P, 9].
-        imp = dp_n[:, None] * nrm_p + dp_t1[:, None] * t1_p + dp_t2[:, None] * t2_p
-        ang_c_a = dp_n[:, None] * an_a + dp_t1[:, None] * at1_a + dp_t2[:, None] * at2_a
-        ang_c_b = dp_n[:, None] * an_b + dp_t1[:, None] * at1_b + dp_t2[:, None] * at2_b
-        block = ((jnp.concatenate([imp, ang_c_a, ang_c_b], axis=1)
-                  * validf_p[:, None]).astype(jnp.bfloat16))
+        # Pair class: rows fold into their entry (dense wm-axis sum), then
+        # ONE packed gather [imp | ang_a | ang_b] -> [Q, 9] via the table.
+        vp = validf_p[..., None]
+        imp = jnp.sum((dp_n[..., None] * nrm_p + dp_t1[..., None] * t1_p
+                       + dp_t2[..., None] * t2_p) * vp, axis=1)     # [Q, 3]
+        ang_c_a = jnp.sum((dp_n[..., None] * an_a + dp_t1[..., None] * at1_a
+                           + dp_t2[..., None] * at2_a) * vp, axis=1)
+        ang_c_b = jnp.sum((dp_n[..., None] * an_b + dp_t1[..., None] * at1_b
+                           + dp_t2[..., None] * at2_b) * vp, axis=1)
+        block = jnp.concatenate([imp, ang_c_a, ang_c_b],
+                                axis=1).astype(jnp.bfloat16)        # [Q, 9]
         g = block[tbl].reshape(n_bodies, cpb, 3, 3)         # [N,CPB,3seg,3]
         out = jnp.einsum("ncsw,ncs->nsw", g, W,
                          preferred_element_type=jnp.float32)  # [N,3seg,3]
@@ -353,7 +385,7 @@ def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
         ln_p = jnp.maximum(yp[0] + (target_p - vn) / kn_p, 0.0)
         vt1 = jnp.sum(v_p * t1_p, -1)
         vt2 = jnp.sum(v_p * t2_p, -1)
-        mf = pair_cts.friction * ln_p
+        mf = fric_p * ln_p
         lt1_p = jnp.clip(yp[1] - vt1 / kt1_p, -mf, mf)
         lt2_p = jnp.clip(yp[2] - vt2 / kt2_p, -mf, mf)
 
@@ -374,11 +406,12 @@ def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
     linvel0, angvel0 = body.linvel, body.angvel
     a_s_flat = static_cts.a
     if cache is not None:
-        a_all = jnp.concatenate([a_s_flat, a_p])
+        a_all = jnp.concatenate([a_s_flat, a_rows])
         key_all = jnp.concatenate([static_cts.key, pair_cts.key])
-        valid_all = jnp.concatenate([static_cts.valid, valid_p])
-        h = _cache_hash(a_all, key_all, cache.size)
-        row = cache.data[h]                      # ONE [S+P, 5] gather
+        valid_all = jnp.concatenate([static_cts.valid,
+                                     pair_cts.valid]) & (a_all >= 0)
+        h = _cache_hash(jnp.maximum(a_all, 0), key_all, cache.size)
+        row = cache.data[h]                      # ONE [S+Q*wm, 5] gather
         kk = jax.lax.bitcast_convert_type(row[:, 0:2], jnp.int32)
         hit = valid_all & (kk[:, 0] == a_all) & (kk[:, 1] == key_all)
         warm = jnp.where(hit[:, None], row[:, 2:5], 0.0)
@@ -387,10 +420,10 @@ def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
         mf0 = fric_s * ln0_s
         lt10_s = jnp.clip(warm[:S, 1].reshape(n_bodies, K), -mf0, mf0) * validf_s
         lt20_s = jnp.clip(warm[:S, 2].reshape(n_bodies, K), -mf0, mf0) * validf_s
-        ln0_p = jnp.maximum(warm[S:, 0], 0.0) * validf_p
-        mf0 = pair_cts.friction * ln0_p
-        lt10_p = jnp.clip(warm[S:, 1], -mf0, mf0) * validf_p
-        lt20_p = jnp.clip(warm[S:, 2], -mf0, mf0) * validf_p
+        ln0_p = jnp.maximum(warm[S:, 0], 0.0).reshape(Q, wm) * validf_p
+        mf0 = fric_p * ln0_p
+        lt10_p = jnp.clip(warm[S:, 1].reshape(Q, wm), -mf0, mf0) * validf_p
+        lt20_p = jnp.clip(warm[S:, 2].reshape(Q, wm), -mf0, mf0) * validf_p
         linvel0, angvel0 = apply_impulses(linvel0, angvel0, ln0_s, lt10_s,
                                           lt20_s, ln0_p, lt10_p, lt20_p)
     else:
@@ -425,7 +458,8 @@ def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
         lam_all = jnp.concatenate([
             jnp.stack([ln_s.reshape(-1), lt1_s.reshape(-1),
                        lt2_s.reshape(-1)], axis=1) * validf_s.reshape(-1, 1),
-            jnp.stack([ln_p, lt1_p, lt2_p], axis=1) * validf_p[:, None],
+            jnp.stack([ln_p.reshape(-1), lt1_p.reshape(-1),
+                       lt2_p.reshape(-1)], axis=1) * validf_p.reshape(-1, 1),
         ])
         dst = jnp.where(valid_all, h, cache.size)
         new_keys = jnp.stack([jnp.where(valid_all, a_all, -1),
@@ -443,21 +477,25 @@ def solve_contacts(body: BodyState, static_cts: Contacts, pair_cts: Contacts,
 def solve_positions(pos, body: BodyState, static_cts: Contacts,
                     pair_cts: Contacts, table, sign,
                     params: SimParams, config: SimConfig,
-                    iters: int = 2, beta: float = 0.25):
+                    iters: int = 2, beta: float = 0.25, wm: int = 1):
     """Split-impulse position correction (Jolt runs 2 position iterations
     after its velocity solve): push residual penetration out by translating
     bodies directly, with mass-split weights, so deep stacks do not sink.
     Static rows use the dense body-blocked layout (no gathers/scatters —
-    see solve_contacts); pairs reuse the velocity solve's incidence table.
+    see solve_contacts); pairs reuse the velocity solve's entry table.
     Rotation is left untouched (translation-only NGS is the stable cheap
     variant).
     """
     n_bodies = body.capacity
     K = static_cts.capacity // n_bodies
-    a = pair_cts.a
-    b = jnp.maximum(pair_cts.b, 0)
-    validf_p = pair_cts.valid.astype(jnp.float32)
-    nrm_p = pair_cts.normal
+    Q = pair_cts.capacity // wm
+    a_e = pair_cts.a.reshape(Q, wm)[:, 0]
+    b_e = pair_cts.b.reshape(Q, wm)[:, 0]
+    a_eg = jnp.maximum(a_e, 0)
+    b_eg = jnp.maximum(b_e, 0)
+    validf_p = pair_cts.valid.reshape(Q, wm).astype(jnp.float32)
+    nrm_p = pair_cts.normal.reshape(Q, wm, 3)
+    pen_p = pair_cts.penetration.reshape(Q, wm)
     validf_s = static_cts.valid.reshape(n_bodies, K).astype(jnp.float32)
     nrm_s = static_cts.normal.reshape(n_bodies, K, 3)
     pen_s = static_cts.penetration.reshape(n_bodies, K)
@@ -467,37 +505,39 @@ def solve_positions(pos, body: BodyState, static_cts: Contacts,
     # Sleeping bodies are immovable (mirrors the velocity solve).
     im_per_body = (body.inv_mass * body.awake)[:, None]
     pos0 = pos
-    # ONE packed per-side gather (pos3 | inv_mass) for both the initial
-    # reference positions and the inverse masses — standalone [P] scalar
-    # gathers from [N] cost as much as a full row gather.
+    # ONE packed per-ENTRY-side gather (pos3 | inv_mass) for both the
+    # initial reference positions and the inverse masses — standalone [Q]
+    # scalar gathers from [N] cost as much as a full row gather.
     view0 = jnp.concatenate([pos, im_per_body], axis=1)    # [N, 4]
-    va0 = view0[a]
-    vb0 = view0[b]
+    va0 = view0[a_eg]
+    vb0 = view0[b_eg]
     pos0_a, im_a = va0[:, :3], va0[:, 3]
     pos0_b = vb0[:, :3]
-    w_sum = jnp.maximum(im_a + vb0[:, 3], 1e-9)
+    w_sum = jnp.maximum(im_a + vb0[:, 3], 1e-9)[:, None]   # [Q, 1]
     w_s = jnp.maximum(im_per_body[:, 0], 1e-9)[:, None]    # [N, 1]
 
-    P = a.shape[0]
-    ab = jnp.concatenate([a, b])
+    ab = jnp.concatenate([a_eg, b_eg])
 
     def it(first, pos):
         # Static class: dense residual from this body's own displacement.
         if first:
             pen_res_s = pen_s
-            pen_res_p = pair_cts.penetration
+            pen_res_p = pen_p
         else:
             dp_s = (pos - pos0)[:, None, :]                # [N, 1, 3]
             pen_res_s = pen_s - jnp.sum(dp_s * nrm_s, -1)
-            pab = pos[ab]               # ONE [2P]-row gather for both sides
-            dp = (pab[:P] - pos0_a) - (pab[P:] - pos0_b)
-            pen_res_p = pair_cts.penetration - jnp.sum(dp * nrm_p, -1)
+            pab = pos[ab]               # ONE [2Q]-row gather for both sides
+            dp = ((pab[:Q] - pos0_a) - (pab[Q:] - pos0_b))[:, None, :]
+            pen_res_p = pen_p - jnp.sum(dp * nrm_p, -1)
         push_s = jnp.maximum(pen_res_s - params.contact_slop, 0.0) * beta
         imp_s = nrm_s * (push_s / w_s * validf_s)[..., None]
         dpos_s = jnp.sum(imp_s, axis=1)                    # [N, 3]
         push_p = jnp.maximum(pen_res_p - params.contact_slop, 0.0) * beta
-        imp = nrm_p * (push_p / w_sum * validf_p)[:, None]   # [P, 3]
-        g = imp[tbl] * sign[..., None] * tbl_valid           # [N, CPB, 3]
+        # Per-row positional impulse along the normal, folded into the
+        # entry (dense wm sum), then applied through the entry table.
+        imp = jnp.sum(nrm_p * (push_p / w_sum * validf_p)[..., None],
+                      axis=1)                              # [Q, 3]
+        g = imp[tbl] * sign[..., None] * tbl_valid         # [N, CPB, 3]
         return pos + im_per_body * (jnp.sum(g, axis=1) + dpos_s)
 
     for i in range(iters):

@@ -120,24 +120,47 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     # static-world contacts stay in their RAW body-blocked buffer (rows
     # n*K..n*K+K-1 belong to body n) — never compacted, so ground contacts
     # can never overflow and the solver handles them with dense reshapes
-    # instead of gathers/scatters; body-pair contacts are compacted to
-    # max_active_contacts rows and use the incidence-table machinery.
+    # instead of gathers/scatters.  Body-pair contacts use the PAIR-BLOCKED
+    # layout whenever the world supports it (blocked_manifold_width > 0):
+    # no per-step compaction, per-entry gathers, and an incidence table
+    # reused across the broadphase window; otherwise they are compacted to
+    # max_active_contacts rows with a per-step table.
+    wm = narrowphase.blocked_manifold_width(config, body.capacity)
     pair_cts, pair_touching, bucket_overflow = narrowphase.pair_contacts(
-        body, pair_a, pair_b, pair_valid, config, world.hulls)
+        body, pair_a, pair_b, pair_valid, config, world.hulls,
+        blocked_wm=wm)
     static_cts = narrowphase.static_contacts(body, world, hull_contact_verts, config)
-    contacts_p, contact_overflow = narrowphase.compact_contacts(
-        pair_cts, config.max_active_contacts)
+    if wm:
+        contacts_p = pair_cts
+        contact_overflow = jnp.int32(0)
+        if pair_cache is not None and rebuild_pairs is False:
+            # Reuse steps: pair entries are identical to the rebuild step's,
+            # so reuse its incidence table (the table sort is the single
+            # most expensive bookkeeping op in the step).
+            inc_table, inc_sign = pair_cache.inc_table, pair_cache.inc_sign
+        else:
+            n_e = pair_cts.capacity // wm
+            e_a = pair_cts.a.reshape(n_e, wm)[:, 0]
+            e_b = pair_cts.b.reshape(n_e, wm)[:, 0]
+            inc_table, inc_sign, _ = solver.build_incidence(
+                e_a, e_b, e_a >= 0, body.capacity, config.contacts_per_body)
+    else:
+        wm = 1
+        contacts_p, contact_overflow = narrowphase.compact_contacts(
+            pair_cts, config.max_active_contacts)
+        inc_table = inc_sign = None
 
     # 4. Solve velocity constraints (warm-started when a cache is threaded).
     (linvel, angvel, lambda_p, inc_table, inc_sign, lambda_s,
      new_cache) = solver.solve_contacts(
-        body, static_cts, contacts_p, dt, params, config, solver_cache)
+        body, static_cts, contacts_p, dt, params, config, solver_cache,
+        wm=wm, table=inc_table, sign=inc_sign)
 
     # 5. Integrate + split-impulse position correction (Jolt: 2 position
     # iterations after the velocity solve — deep stacks sink without it).
     pos, quat = integrate.integrate_positions(body, linvel, angvel, dt)
     pos = solver.solve_positions(pos, body, static_cts, contacts_p,
-                                 inc_table, inc_sign, params, config)
+                                 inc_table, inc_sign, params, config, wm=wm)
 
     # 6. Sleeping.  Wake propagation is pair-driven (static contacts never
     # wake anything); deep static penetration keeps a body awake so
@@ -147,10 +170,21 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
     deep_static = jnp.any(
         (static_cts.valid & (static_cts.penetration > 0.1)).reshape(n_b, k_s),
         axis=1)
+    # Entry-level views for sleeping (entries = rows when wm == 1);
+    # lambda_p is [n_e, wm] from the solver, invalid rows masked out.
+    n_e = contacts_p.capacity // wm
+    row_valid = contacts_p.valid.reshape(n_e, wm)
+    e_a = contacts_p.a.reshape(n_e, wm)[:, 0]
+    e_b = contacts_p.b.reshape(n_e, wm)[:, 0]
+    e_valid = jnp.any(row_valid, axis=1)
+    e_imp = jnp.max(jnp.where(row_valid, lambda_p, 0.0), axis=1)
+    e_pen = jnp.max(jnp.where(row_valid,
+                              contacts_p.penetration.reshape(n_e, wm),
+                              -1e9), axis=1)
     awake, sleep_timer, linvel, angvel = integrate.update_sleeping(
-        body, linvel, angvel, contacts_p.a, contacts_p.b, lambda_p,
-        contacts_p.valid, inc_table, inc_sign, dt, params,
-        contact_pen=contacts_p.penetration, extra_deep=deep_static)
+        body, linvel, angvel, e_a, e_b, e_imp, e_valid,
+        inc_table, inc_sign, dt, params,
+        contact_pen=e_pen, extra_deep=deep_static)
 
     new_body = body.replace(
         pos=pos, quat=quat, linvel=linvel, angvel=angvel,
@@ -186,7 +220,11 @@ def physics_step(body: BodyState, world: StaticWorld, hull_contact_verts,
                                jnp.linalg.norm(linvel, axis=-1), 0.0)
         fast_wake = jnp.max(woke_speed) > 1.0
         new_pair_cache = new_pair_cache.replace(
-            steps_left=jnp.where(fast_wake, 0, new_pair_cache.steps_left))
+            steps_left=jnp.where(fast_wake, 0, new_pair_cache.steps_left),
+            # Blocked layout: persist the entry incidence table so reuse
+            # steps skip the table sort (inc_table is the freshly-built
+            # table on rebuild steps, the carried one on reuse steps).
+            inc_table=inc_table, inc_sign=inc_sign)
         return new_body, new_cache, new_pair_cache, events, diags
     if solver_cache is not None:
         return new_body, new_cache, events, diags

@@ -71,7 +71,10 @@ def main():
     pair_a, pair_b, pair_valid, n_pairs, _ = timed("broadphase", bp, body)
     print("   pairs:", int(n_pairs))
 
-    npf = jax.jit(lambda b, pa, pb, pv: narrowphase.pair_contacts(b, pa, pb, pv, cfg))
+    wm = narrowphase.blocked_manifold_width(cfg, 10_240) or 1
+    print(f"   blocked manifold width: {wm}")
+    npf = jax.jit(lambda b, pa, pb, pv: narrowphase.pair_contacts(
+        b, pa, pb, pv, cfg, blocked_wm=wm if wm > 1 else 0))
     timed("pair narrowphase", npf, body, pair_a, pair_b, pair_valid)
 
     scf = jax.jit(lambda b: narrowphase.static_contacts(b, sw, hull_cv, cfg))
@@ -79,21 +82,28 @@ def main():
     timed("static contacts", scf, body)
 
     pair_cts, _, _ = npf(body, pair_a, pair_b, pair_valid)
-    cc = jax.jit(lambda p: narrowphase.compact_contacts(
-        p, cfg.max_active_contacts))
-    contacts_p, _ = cc(pair_cts)
-    timed("pair compact", cc, pair_cts)
+    if wm == 1:
+        cc = jax.jit(lambda p: narrowphase.compact_contacts(
+            p, cfg.max_active_contacts))
+        contacts_p, _ = cc(pair_cts)
+        timed("pair compact", cc, pair_cts)
+    else:
+        contacts_p = pair_cts
     print("   pair contacts valid:", int(jnp.sum(contacts_p.valid)),
           " static valid:", int(jnp.sum(static_cts.valid)))
 
     svf = jax.jit(lambda b, s, p, ca: solver.solve_contacts(
-        b, s, p, dt, params, cfg, ca))
-    timed(f"solver ({cfg.solver_iters} it)", svf, body, static_cts,
+        b, s, p, dt, params, cfg, ca, wm=wm))
+    timed(f"solver ({cfg.solver_iters} it, wm={wm})", svf, body, static_cts,
           contacts_p, cache)
 
-    inc = jax.jit(lambda c: solver.build_incidence(c, body.capacity,
-                                                   cfg.contacts_per_body))
-    timed("  build_incidence", inc, contacts_p)
+    n_e = contacts_p.capacity // wm
+    e_a = contacts_p.a.reshape(n_e, wm)[:, 0]
+    e_b = contacts_p.b.reshape(n_e, wm)[:, 0]
+    e_occ = (e_a >= 0) if wm > 1 else contacts_p.valid
+    inc = jax.jit(lambda a, b, o: solver.build_incidence(
+        a, b, o, body.capacity, cfg.contacts_per_body))
+    timed("  build_incidence (1/window)", inc, e_a, e_b, e_occ)
 
     timed("FULL STEP (amortized)", run_step, body, cache, pcache)
 
