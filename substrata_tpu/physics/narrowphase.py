@@ -324,8 +324,25 @@ def _box_box(pa, qa, hea, pb, qb, heb):
         pens = jnp.where(vmask, depth, -1e9)
         return pts, pens, n_world, vmask
 
-    pts_a, pens_a, n_a, val_a = face_manifold(pa, qa, hea, pb, qb, heb, sep_a)
-    pts_b, pens_b, n_b, val_b = face_manifold(pb, qb, heb, pa, qa, hea, sep_b)
+    # ONE face_manifold call on the SELECTED reference box (was two — one
+    # per candidate reference — with a select after; the manifold build is
+    # ~40% of this kernel and the unselected one was pure waste).
+    p_ref = jnp.where(use_b_face, pb, pa)
+    q_ref = jnp.where(use_b_face, qb, qa)
+    he_ref = jnp.where(use_b_face, heb, hea)
+    p_inc = jnp.where(use_b_face, pa, pb)
+    q_inc = jnp.where(use_b_face, qa, qb)
+    he_inc = jnp.where(use_b_face, hea, heb)
+    sep_sel = jnp.where(use_b_face, sep_b, sep_a)
+    pts_f, pens_f, n_f, val_f = face_manifold(p_ref, q_ref, he_ref,
+                                              p_inc, q_inc, he_inc, sep_sel)
+    # face_manifold's normal points ref -> inc; contact normal is b -> a.
+    # Downstream select flips the A-ref normal (-n_a) to get b->a; n_f
+    # already matches both conventions (A->B when ref=A, B->A when ref=B).
+    pts_a = pts_b = pts_f
+    pens_a = pens_b = pens_f
+    val_a = val_b = val_f
+    n_a = n_b = n_f
 
     # Edge-edge single point (one-hot arithmetic throughout — dynamic
     # indexing lowers to vmapped gathers).
