@@ -791,6 +791,12 @@ class ClientApp:
                 if ob.physics_object is not None
                 and ob.physics_object.motion_type != static]
         obs = self._nonstatic_wobs
+        # Skip objects whose device row did not change this tick (sleeping
+        # bodies — in a settled serving world nearly all of them): the
+        # changed mask is one vectorised compare in sync_transforms.
+        changed = self.physics_world.last_sync_changed
+        if changed is not None:
+            obs = [ob for ob in obs if changed[ob.physics_object.slot]]
         n = len(obs)
         if not n:
             return

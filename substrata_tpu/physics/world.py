@@ -230,6 +230,40 @@ def _scatter_velocities(state: BodyState, idx, linvel, angvel, awake):
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_transforms_wake(state: BodyState, idx, pos, rot, linvel, angvel,
+                             vel_ok, centers, radii):
+    """Transform-only host write + region wake in ONE device program.
+
+    The serving tick's hot mutations (remote snapshot inserts, kinematic
+    script moves) change pos/rot/vel only — the full 20-field
+    _scatter_updates program plus a separate _wake_in_regions dispatch
+    cost 2-4 extra device programs per tick on the remote runtime (~2 ms
+    launch bubble each; the networked tick's dominant host cost).
+    Velocities scatter only where the caller provided them (vel_ok):
+    writing a possibly depth-stale mirror velocity would regress the
+    device state in pipelined mode."""
+    cap = state.pos.shape[0]
+    vidx = jnp.where(vel_ok, idx, cap)
+    new = state.replace(
+        pos=state.pos.at[idx].set(pos, mode="drop"),
+        quat=state.quat.at[idx].set(rot, mode="drop"),
+        linvel=state.linvel.at[vidx].set(linvel, mode="drop"),
+        angvel=state.angvel.at[vidx].set(angvel, mode="drop"),
+        awake=state.awake.at[idx].set(True, mode="drop"),
+        sleep_timer=state.sleep_timer.at[idx].set(0.0, mode="drop"),
+    )
+    # Region wake (teleports vacate their old location: Jolt activates
+    # bodies in the moved body's old AABB).
+    d2 = jnp.sum((new.pos[:, None, :] - centers[None]) ** 2, -1)
+    r = radii[None] + new.bound_radius[:, None] + 0.3
+    hit = jnp.any(d2 <= r * r, axis=1) & new.alive & new.dynamic
+    return new.replace(
+        awake=new.awake | hit,
+        sleep_timer=jnp.where(hit, 0.0, new.sleep_timer),
+    )
+
+
 class PhysicsWorld:
     """The engine-facing world object.  One instance per simulated world."""
 
@@ -300,6 +334,10 @@ class PhysicsWorld:
         self._free = list(range(self.config.capacity - 1, -1, -1))
         self._dirty: dict[int, PhysicsObject] = {}
         self._vel_dirty: dict[int, PhysicsObject] = {}
+        # Transform-only host writes (snapshot inserts, kinematic moves):
+        # flushed by the light _scatter_transforms_wake program instead of
+        # the 20-field full scatter.  slot -> (ob, has_velocity).
+        self._xform_dirty: dict[int, tuple] = {}
 
         # Hull library staging (uploaded on flush when it grows).
         self._hulls = empty_hull_library()
@@ -316,6 +354,8 @@ class PhysicsWorld:
         self.last_diags = None
         self._steps = 0
         self._nonstatic_objs = None      # lazy [(slot, ob)] cache
+        self._prev_sync_block = None     # changed-row filter (sync_transforms)
+        self.last_sync_changed = None    # [N] bool; consumers skip unchanged
         self._structural_dirty = False   # mutations that invalidate pairs
 
         # Pipelined readback mode (remote-runtime serving): see
@@ -563,13 +603,18 @@ class PhysicsWorld:
                     and np.linalg.norm(ob.linvel)
                     > np.linalg.norm(old_vel) + 0.25)):
             self._structural_dirty = True
+        self._note_host_write(ob.slot)
         if scale is not None and not np.allclose(scale, ob.scale):
             ob.scale = np.asarray(scale, np.float32)
             ob.shape = shape_factories.scaled(ob.shape, ob.scale)
             if ob.shape.shape_type == int(ShapeType.HULL) and ob.shape.hull_verts is not None:
                 ob.shape.params[0] = self._intern_hull(ob.shape)
-        self._note_host_write(ob.slot)
-        self._dirty[ob.slot] = (ob, True)
+            self._dirty[ob.slot] = (ob, True)      # shape changed: full row
+        else:
+            # Transform-only (the dominant serving-path case: remote
+            # snapshot inserts): light flush program.
+            self._xform_dirty[ob.slot] = (ob, linvel is not None
+                                          or angvel is not None)
 
     def note_motion_type_changed(self, ob: PhysicsObject):
         """Callers that flip ob.motion_type directly (script attach makes
@@ -622,7 +667,7 @@ class PhysicsWorld:
         ob.pos = pos
         ob.rot = rot
         self._note_host_write(ob.slot)
-        self._dirty[ob.slot] = (ob, True)
+        self._xform_dirty[ob.slot] = (ob, True)
 
     def set_linear_and_angular_vel(self, ob: PhysicsObject, linvel, angvel,
                                    activate: bool = True):
@@ -649,19 +694,6 @@ class PhysicsWorld:
             self.solver_cache = solver_mod.empty_solver_cache(
                 solver_mod.cache_size_for(self.config))
             self._cache_stale = False
-        if self._wake_regions:
-            K = 16  # fixed pad so the jit cache stays warm
-            regs = self._wake_regions
-            self._wake_regions = []
-            for i in range(0, len(regs), K):
-                chunk = regs[i:i + K]
-                centers = np.zeros((K, 3), np.float32)
-                radii = np.full((K,), -1e9, np.float32)  # pad never matches
-                for j, (c, r) in enumerate(chunk):
-                    centers[j] = c
-                    radii[j] = r
-                self.state = _wake_in_regions(
-                    self.state, jnp.asarray(centers), jnp.asarray(radii))
         if self._hulls_dirty:
             self.static_world = self.static_world.replace(hulls=self._hulls)
             self._hulls_dirty = False
@@ -716,6 +748,54 @@ class PhysicsWorld:
                     jnp.asarray(f(lambda o: o.shape.bound_radius, ())),
                     jnp.asarray(f(lambda o: o.shape.volume, ())),
                 )
+        if self._xform_dirty or self._wake_regions:
+            # Transform-only writes + teleport region wakes fused into ONE
+            # device program per <=128-record chunk (the full scatter above
+            # already carried any slot that also had a structural change).
+            items = [(s, o, hv) for s, (o, hv) in self._xform_dirty.items()
+                     if s not in self._dirty]
+            self._xform_dirty.clear()
+            regs = self._wake_regions
+            self._wake_regions = []
+            k, RK = 128, 64
+            for i in range(0, max(len(items), 1), k):
+                chunk = items[i:i + k]
+                pad = k - len(chunk)
+                idx = np.full((k,), self.config.capacity, np.int32)
+                pos = np.zeros((k, 3), np.float32)
+                rot = np.zeros((k, 4), np.float32)
+                lv = np.zeros((k, 3), np.float32)
+                av = np.zeros((k, 3), np.float32)
+                vok = np.zeros((k,), bool)
+                for j, (s, o, hv) in enumerate(chunk):
+                    idx[j] = s
+                    pos[j] = o.pos
+                    rot[j] = o.rot
+                    lv[j] = o.linvel
+                    av[j] = o.angvel
+                    vok[j] = hv
+                rchunk = regs[i // k * RK:(i // k + 1) * RK]
+                centers = np.zeros((RK, 3), np.float32)
+                radii = np.full((RK,), -1e9, np.float32)  # pad never matches
+                for j, (c, r) in enumerate(rchunk[:RK]):
+                    centers[j] = c
+                    radii[j] = r
+                self.state = _scatter_transforms_wake(
+                    self.state, jnp.asarray(idx), jnp.asarray(pos),
+                    jnp.asarray(rot), jnp.asarray(lv), jnp.asarray(av),
+                    jnp.asarray(vok), jnp.asarray(centers),
+                    jnp.asarray(radii))
+            # Region overflow beyond the fused chunks (rare: mass removals).
+            extra = regs[max((len(items) + k - 1) // k, 1) * RK:]
+            for i in range(0, len(extra), 16):
+                chunk2 = extra[i:i + 16]
+                centers = np.zeros((16, 3), np.float32)
+                radii = np.full((16,), -1e9, np.float32)
+                for j, (c, r) in enumerate(chunk2):
+                    centers[j] = c
+                    radii[j] = r
+                self.state = _wake_in_regions(
+                    self.state, jnp.asarray(centers), jnp.asarray(radii))
         if self._vel_dirty:
             items = list(self._vel_dirty.items())
             self._vel_dirty.clear()
@@ -771,7 +851,7 @@ class PhysicsWorld:
         transfer, so per-field event reads dominated the serving path at
         10k bodies (56 ms/step of round trips)."""
         had_mutations = bool(self._dirty or self._vel_dirty
-                             or self._wake_regions)
+                             or self._xform_dirty or self._wake_regions)
         # Fully-asleep worlds SKIP the device step outright: with zero awake
         # bodies nothing can change on device (sleeping bodies receive no
         # forces; any wake source — adds, moves, velocity writes, removals,
@@ -863,7 +943,7 @@ class PhysicsWorld:
         mode, synchronously otherwise)."""
         from substrata_tpu.physics.character import JUMP_PERIOD
         had_mutations = bool(self._dirty or self._vel_dirty
-                             or self._wake_regions)
+                             or self._xform_dirty or self._wake_regions)
         # No fully-asleep skip here: the player update must run every tick
         # (gravity, input) even over a sleeping world.
         self._flush()
@@ -1006,9 +1086,25 @@ class PhysicsWorld:
             self._nonstatic_objs = [
                 (slot, ob) for slot, ob in self.objects.items()
                 if ob.motion_type != static]
+        # CHANGED-ROW filter: sleeping bodies' rows are bit-identical
+        # between ticks, so one vectorised [N,14] compare against the
+        # previous block skips their per-object Python mirror writes — in
+        # a mostly-settled serving world that's nearly all of them
+        # (measured 2.1 ms/tick of mirror loop at 12k objects).  Slots the
+        # host wrote since the block was dispatched stay "changed" so
+        # their WorldObject mirrors track the host value immediately.
+        if (self._prev_sync_block is not None
+                and self._prev_sync_block.shape == block.shape):
+            changed = (block != self._prev_sync_block).any(axis=1)
+        else:
+            changed = np.ones((block.shape[0],), bool)
+        for slot in self._mirror_skip:
+            changed[slot] = True
+        self._prev_sync_block = block
+        self.last_sync_changed = changed
         skip = self._mirror_skip
         for slot, ob in self._nonstatic_objs:
-            if slot not in skip:
+            if changed[slot] and slot not in skip:
                 ob.pos = pos[slot]
                 ob.rot = rot[slot]
                 ob.linvel = lv[slot]

@@ -111,30 +111,44 @@ def main():
                   file=sys.stderr, flush=True)
 
     # Sender streams snapshots for its dynamic objects (10 Hz per object, in
-    # slices like the reference's send pass).
+    # slices like the reference's send pass) FROM ITS OWN THREAD — the
+    # sender is a separate client; its 64 SSL writes per tick (~9 ms) must
+    # not serialize into the viewer's measured tick.
     dyn_uids = [uid for uid, ob in list(viewer.world_state.objects_snapshot().items())
                 if ob.is_dynamic()][:N_DYNAMIC]
-    rng = np.random.default_rng(1)
+
+    import threading
+    stop_evt = threading.Event()
+
+    def sender_stream():
+        rng = np.random.default_rng(1)
+        tick = 0
+        while not stop_evt.is_set():
+            sl = dyn_uids[tick % 3::3]
+            for uid in sl[:64]:
+                pos = np.array([rng.uniform(-180, 180),
+                                rng.uniform(-180, 180),
+                                rng.uniform(1, 4)], np.float32)
+                sender.send_physics_snapshot(
+                    uid, pos, np.array([0, 0, 0, 1], np.float32),
+                    np.zeros(3, np.float32), np.zeros(3, np.float32))
+            tick += 1
+            stop_evt.wait(1 / TICK_HZ)
+
+    st = threading.Thread(target=sender_stream, daemon=True)
+    st.start()
 
     n_ticks = 30 if _SMOKE else 150
     phase_acc: dict[str, float] = {}
     t0 = time.perf_counter()
     for tick in range(n_ticks):
-        # ~10 Hz snapshot stream: every tick, 1/3 of dynamic objects update.
-        sl = dyn_uids[tick % 3::3]
-        gt = (viewer.world_state.global_time()
-              if viewer.world_state is not None else 0.0)
-        for uid in sl[:64]:
-            pos = np.array([rng.uniform(-180, 180), rng.uniform(-180, 180),
-                            rng.uniform(1, 4)], np.float32)
-            sender.send_physics_snapshot(
-                uid, pos, np.array([0, 0, 0, 1], np.float32),
-                np.zeros(3, np.float32), np.zeros(3, np.float32))
         app.timer_event(1 / TICK_HZ)
         for k, v in app.phase_ms.items():
             phase_acc[k] = phase_acc.get(k, 0.0) + v
     wall = time.perf_counter() - t0
     ticks_per_sec = n_ticks / wall
+    stop_evt.set()
+    st.join(timeout=2)
 
     print(json.dumps({
         "metric": f"networked client ticks/sec, {N_OBJECTS}-object world",
