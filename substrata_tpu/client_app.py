@@ -278,7 +278,15 @@ class ClientApp:
             friction=ob.friction, restitution=ob.restitution,
             collidable=ob.is_collidable() and static_mesh is None,
             userdata=ob)
-        ob.physics_object = self.physics_world.add_object(phys)
+        if static_mesh is not None:
+            # Static mesh content collides via the merged trimesh; the
+            # object's identity (ownership, scripts, ray-hit resolution)
+            # lives on a VIRTUAL anchor that consumes no device body slot
+            # — a 12k-object world needs device capacity only for its
+            # actual dynamic bodies (world.add_virtual_anchor).
+            ob.physics_object = self.physics_world.add_virtual_anchor(phys)
+        else:
+            ob.physics_object = self.physics_world.add_object(phys)
         if static_mesh is not None and ob.is_collidable():
             wverts = _world_space_verts(static_mesh[0], ob.pos, ob.quat,
                                         ob.scale)

@@ -356,6 +356,7 @@ class PhysicsWorld:
         self._nonstatic_objs = None      # lazy [(slot, ob)] cache
         self._prev_sync_block = None     # changed-row filter (sync_transforms)
         self.last_sync_changed = None    # [N] bool; consumers skip unchanged
+        self._next_virtual = self.config.capacity   # virtual anchor ids
         self._structural_dirty = False   # mutations that invalidate pairs
 
         # Pipelined readback mode (remote-runtime serving): see
@@ -522,8 +523,27 @@ class PhysicsWorld:
             self.config = cfg
         return ob
 
+    def add_virtual_anchor(self, ob: PhysicsObject) -> PhysicsObject:
+        """Identity-only anchor: an id in the VIRTUAL slot space
+        (>= capacity) that can own static-trimesh triangles and resolve
+        ray hits through self.objects, but consumes NO device body slot.
+        Static mesh content collides via the merged trimesh; a real 0.05 m
+        anchor body per static object made every capacity-proportional
+        device pass (static-contact samples, broadphase grid, transform
+        block) pay for ghosts — a 12k-object world needed a 12k-body
+        device state for ~500 actual dynamic bodies."""
+        vid = self._next_virtual
+        self._next_virtual += 1
+        ob.slot = vid
+        self.objects[vid] = ob
+        return ob
+
     def remove_object(self, ob: PhysicsObject):
         if ob.slot < 0:
+            return
+        if ob.slot >= self.config.capacity:      # virtual anchor
+            self.objects.pop(ob.slot, None)
+            ob.slot = -1
             return
         slot = ob.slot
         self.objects.pop(slot, None)
@@ -576,6 +596,10 @@ class PhysicsWorld:
     # ------------------------------------------------------------------
     def set_new_ob_to_world_transform(self, ob: PhysicsObject, pos, rot,
                                       linvel=None, angvel=None, scale=None):
+        if ob.slot >= self.config.capacity:      # virtual anchor: mirror only
+            ob.pos = np.asarray(pos, np.float32)
+            ob.rot = np.asarray(rot, np.float32)
+            return
         old_pos = ob.pos
         old_vel = ob.linvel
         ob.pos = np.asarray(pos, np.float32)
@@ -591,14 +615,19 @@ class PhysicsWorld:
             ob.linvel = np.asarray(linvel, np.float32)
         if angvel is not None:
             ob.angvel = np.asarray(angvel, np.float32)
-        # Pair-cache impact: a position SNAP is not travel — the rebuild
-        # margins (broadphase._pairs_rebuild: 0.08 m base + speed-at-rebuild
-        # * window * dt) budget velocity-predicted travel only, so any snap
-        # beyond the 8 cm base slack can outrun the cached pair list.
-        # Likewise a material speed-up exceeds the travel budgeted at
-        # rebuild time.  Sub-8cm corrections with near-unchanged speed (the
-        # dominant snapshot-insert case on the serving path) stay valid.
-        if (np.linalg.norm(ob.pos - old_pos) > 0.08
+        # Pair-cache impact: the rebuild margins
+        # (broadphase._pairs_rebuild: 0.08 m base + speed-at-rebuild *
+        # window * dt) budget each body's velocity-predicted travel over
+        # the whole reuse window — so a snapshot insert that lands WITHIN
+        # that envelope (a dejittered stream following the object's own
+        # motion, the dominant serving-path case: 10 Hz snapshots of a
+        # 3 m/s walker snap ~0.3 m along the budgeted path) keeps the
+        # cached pairs valid.  Only snaps beyond base + the body's
+        # budgeted travel (true teleports), or material speed-ups the
+        # margins never budgeted, invalidate.
+        window_travel = (float(np.linalg.norm(old_vel))
+                         * self.config.pair_rebuild_interval / 60.0)
+        if (np.linalg.norm(ob.pos - old_pos) > 0.08 + window_travel
                 or (linvel is not None
                     and np.linalg.norm(ob.linvel)
                     > np.linalg.norm(old_vel) + 0.25)):
@@ -623,8 +652,9 @@ class PhysicsWorld:
 
     def _note_host_write(self, slot: int):
         """Pipelined mode: protect a host-written mirror from being
-        regressed by stale in-flight transform blocks (see sync_transforms)."""
-        if self._sync_pipeline is not None:
+        regressed by stale in-flight transform blocks (see sync_transforms).
+        Virtual anchors (slot >= capacity) have no device row to protect."""
+        if self._sync_pipeline is not None and slot < self.config.capacity:
             self._mirror_skip[slot] = self._sync_pipeline.depth + 1
 
     def move_kinematic_object(self, ob: PhysicsObject, pos, rot, dt):

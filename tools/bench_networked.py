@@ -66,10 +66,17 @@ def build():
 
     viewer = Client("127.0.0.1", server.port)
     viewer.start()
-    cfg = (SimConfig(capacity=1024, max_pairs=2048, grid_dim=32,
+    # Device capacity holds the DYNAMIC bodies (+ headroom for loading
+    # placeholders): the 11.5k static cubes merge into the static trimesh
+    # with virtual anchors (world.add_virtual_anchor), exactly like the
+    # reference's one-Jolt-static-body-per-mesh world — a 12k-slot device
+    # state for ~500 dynamic bodies made every capacity-proportional pass
+    # (static samples vs 138k trimesh tris, broadphase grid, transform
+    # block) pay for ghosts.
+    cfg = (SimConfig(capacity=512, max_pairs=2048, grid_dim=32,
                      cell_size=4.0, solver_iters=7, pair_rebuild_interval=6)
            if _SMOKE else
-           SimConfig(capacity=12_288, max_pairs=16_384, grid_dim=96,
+           SimConfig(capacity=4_096, max_pairs=8_192, grid_dim=64,
                      cell_size=4.0, solver_iters=7, pair_rebuild_interval=6))
     # Pipelined readbacks (depth 3): the serving configuration for remote
     # TPU runtimes — host consumes step results 3 ticks (50 ms) late, far
@@ -78,6 +85,17 @@ def build():
     depth = int(os.environ.get("SUBSTRATA_PIPELINE_DEPTH", "3"))
     app = ClientApp(client=viewer, config=cfg, enable_audio=False,
                     pipeline_depth=depth)
+    # The unit-cube model resolves BEFORE object load, so static objects
+    # go straight to the trimesh (no placeholder-cube body transient) and
+    # dynamic objects get their real convex hull — the reference client
+    # behaves this way once its model cache is warm.
+    from substrata_tpu.shared.bmesh import write_bmesh
+    cv = np.array([[x, y, z] for x in (-.5, .5) for y in (-.5, .5)
+                   for z in (-.5, .5)], np.float32)
+    ct = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                   [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                   [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    app.resources["cube.bmesh"] = write_bmesh(cv, ct)
 
     # Replicate WITHOUT stepping physics (each tick is a full 12k-body
     # device step; waiting on the wire needs none of that).
@@ -121,17 +139,34 @@ def main():
     stop_evt = threading.Event()
 
     def sender_stream():
+        # Realistic owner-side motion (GUIClient.cpp:7390-7530 playback
+        # feeds dejittered CONTINUOUS trajectories, not teleports): each
+        # object wanders at walking-to-vehicle speed and snapshots sample
+        # its path at ~10 Hz (3-tick slices below + the per-object slice
+        # rotation = each object updates every ~0.05-0.1 s).  A rare
+        # respawn teleport (~2/s across 512 objects) keeps the
+        # invalidate-and-rebuild path honest.
         rng = np.random.default_rng(1)
+        nd = len(dyn_uids)
+        pos = rng.uniform([-180, -180, 1], [180, 180, 4],
+                          (nd, 3)).astype(np.float32)
+        vel = rng.normal(0, 2.0, (nd, 3)).astype(np.float32)
+        vel[:, 2] = 0.0
         tick = 0
         while not stop_evt.is_set():
-            sl = dyn_uids[tick % 3::3]
-            for uid in sl[:64]:
-                pos = np.array([rng.uniform(-180, 180),
-                                rng.uniform(-180, 180),
-                                rng.uniform(1, 4)], np.float32)
+            pos += vel * (1 / TICK_HZ)
+            if tick % 60 == 0:      # wander: re-steer a few objects
+                steer = rng.integers(0, nd, 32)
+                vel[steer] = rng.normal(0, 2.0, (32, 3)).astype(np.float32)
+                vel[steer, 2] = 0.0
+            idxs = np.arange(nd)[tick % 3::3][:64]
+            if tick % 30 == 0 and len(idxs):   # occasional respawn teleport
+                pos[idxs[0]] = rng.uniform([-180, -180, 1], [180, 180, 4])
+            for k in idxs:
                 sender.send_physics_snapshot(
-                    uid, pos, np.array([0, 0, 0, 1], np.float32),
-                    np.zeros(3, np.float32), np.zeros(3, np.float32))
+                    dyn_uids[int(k)], pos[k],
+                    np.array([0, 0, 0, 1], np.float32),
+                    vel[k], np.zeros(3, np.float32))
             tick += 1
             stop_evt.wait(1 / TICK_HZ)
 
