@@ -357,6 +357,7 @@ class PhysicsWorld:
         self._prev_sync_block = None     # changed-row filter (sync_transforms)
         self.last_sync_changed = None    # [N] bool; consumers skip unchanged
         self._next_virtual = self.config.capacity   # virtual anchor ids
+        self._hull_ids: dict = {}        # content hash -> hull library id
         self._structural_dirty = False   # mutations that invalidate pairs
 
         # Pipelined readback mode (remote-runtime serving): see
@@ -565,9 +566,23 @@ class PhysicsWorld:
                                    float(ob.shape.bound_radius)))
 
     def _intern_hull(self, shape) -> int:
+        # Content-addressed dedup (the reference shares physics shapes per
+        # mesh URL, PhysicsWorld.cpp shape manager): a replicated world
+        # instancing one model across hundreds of objects must intern ONE
+        # hull, not one per object.
+        import hashlib
+        key = hashlib.sha1(
+            np.ascontiguousarray(shape.hull_verts).tobytes()
+            + (np.ascontiguousarray(shape.hull_planes).tobytes()
+               if shape.hull_planes is not None else b"")
+        ).digest()
+        cached = self._hull_ids.get(key)
+        if cached is not None:
+            return cached
         if self._num_hulls >= self._hulls.capacity:
             raise RuntimeError("hull library full")
         h = self._num_hulls
+        self._hull_ids[key] = h
         mv = self._hulls.max_verts
         v = shape.hull_verts[:mv]
         pad = np.zeros((mv, 3), np.float32)

@@ -175,15 +175,23 @@ def main():
 
     n_ticks = 30 if _SMOKE else 150
     phase_acc: dict[str, float] = {}
+    tick_ms = np.zeros(n_ticks)
     t0 = time.perf_counter()
     for tick in range(n_ticks):
+        t1 = time.perf_counter()
         app.timer_event(1 / TICK_HZ)
+        tick_ms[tick] = (time.perf_counter() - t1) * 1e3
         for k, v in app.phase_ms.items():
             phase_acc[k] = phase_acc.get(k, 0.0) + v
     wall = time.perf_counter() - t0
     ticks_per_sec = n_ticks / wall
     stop_evt.set()
     st.join(timeout=2)
+    print(f"# tick ms p50={np.percentile(tick_ms, 50):.1f} "
+          f"p90={np.percentile(tick_ms, 90):.1f} "
+          f"max={tick_ms.max():.1f}", file=sys.stderr, flush=True)
+    print("# " + app.physics_world.get_diagnostics().replace("\n", " | "),
+          file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": f"networked client ticks/sec, {N_OBJECTS}-object world",
