@@ -895,17 +895,22 @@ class ClientApp:
         if slots:
             idx = np.array(slots)
             due, pos, rot, lv, av = ws.snapshots.due_physics_snapshots(idx, global_time)
-            for k in np.nonzero(due)[0]:
-                local = self.objects[uids[k]]
-                phys = local.physics_object
-                old_pos = phys.pos.copy()
-                old_rot = phys.rot.copy()
-                ws.snapshots.set_smoothing_from_correction(
-                    slots[k], old_pos, old_rot, pos[k], rot[k])
-                self.physics_world.set_new_ob_to_world_transform(
-                    phys, pos[k], rot[k], linvel=lv[k], angvel=av[k])
-                phys.smooth_translation = ws.snapshots.smooth_translation[slots[k]]
-                phys.smooth_rotation = ws.snapshots.smooth_rotation[slots[k]]
+            dk = np.nonzero(due)[0]
+            if len(dk):
+                due_obs = [self.objects[uids[int(k)]].physics_object
+                           for k in dk]
+                old_pos = np.stack([p.pos for p in due_obs])
+                old_rot = np.stack([p.rot for p in due_obs])
+                dslots = idx[dk]
+                ws.snapshots.set_smoothing_from_corrections(
+                    dslots, old_pos, old_rot, pos[dk], rot[dk])
+                self.physics_world.set_new_ob_transforms_batch(
+                    due_obs, pos[dk], rot[dk], lv[dk], av[dk])
+                st = ws.snapshots.smooth_translation
+                sr = ws.snapshots.smooth_rotation
+                for j, p in enumerate(due_obs):
+                    p.smooth_translation = st[dslots[j]]
+                    p.smooth_rotation = sr[dslots[j]]
         ws.snapshots.decay_smoothing(dt)
 
     def _audio_occlusion_pass(self):

@@ -186,6 +186,23 @@ class SnapshotRings:
             w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
         ], np.float32)
 
+    def set_smoothing_from_corrections(self, idx: np.ndarray, old_pos,
+                                       old_rot, new_pos, new_rot):
+        """Batched set_smoothing_from_correction: one vectorized call per
+        playback tick instead of one Python call per due object (the
+        12k-object networked tick inserts ~N_dyn/6 snapshots per tick)."""
+        self.smooth_translation[idx] = np.asarray(old_pos) - np.asarray(new_pos)
+        o = np.asarray(old_rot, np.float32)
+        n = np.asarray(new_rot, np.float32) * np.array([-1, -1, -1, 1],
+                                                       np.float32)
+        x1, y1, z1, w1 = o[:, 0], o[:, 1], o[:, 2], o[:, 3]
+        x2, y2, z2, w2 = n[:, 0], n[:, 1], n[:, 2], n[:, 3]
+        self.smooth_rotation[idx] = np.stack([
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2], axis=1).astype(np.float32)
+
     def decay_smoothing(self, dt: float):
         """smooth_change_factor = 1 - 3*min(0.1, dt) per tick
         (GUIClient.cpp:6634-6638), applied to ALL objects at once."""

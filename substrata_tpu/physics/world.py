@@ -660,6 +660,51 @@ class PhysicsWorld:
             self._xform_dirty[ob.slot] = (ob, linvel is not None
                                           or angvel is not None)
 
+    def set_new_ob_transforms_batch(self, obs, pos, rot, linvel, angvel):
+        """Batched transform-only set_new_ob_to_world_transform for the
+        snapshot-playback hot path (GUIClient.cpp:7459-7489 inserts
+        ~N_dyn/6 snapshots per tick): ONE vectorized pass computes the
+        teleport-wake and pair-invalidation tests for all K objects, then
+        a tight mirror-update loop.  No scale/shape changes (remote
+        playback never changes shapes); linvel/angvel always provided."""
+        K = len(obs)
+        if K == 0:
+            return
+        pos = np.asarray(pos, np.float32)
+        rot = np.asarray(rot, np.float32)
+        linvel = np.asarray(linvel, np.float32)
+        angvel = np.asarray(angvel, np.float32)
+        old_pos = np.stack([o.pos for o in obs])
+        old_vel = np.stack([o.linvel for o in obs])
+        brad = np.fromiter((o.shape.bound_radius for o in obs), np.float32, K)
+        dist = np.linalg.norm(pos - old_pos, axis=1)
+        teleport = dist > 0.5 * brad + 0.1
+        window_travel = (np.linalg.norm(old_vel, axis=1)
+                         * self.config.pair_rebuild_interval / 60.0)
+        structural = ((dist > 0.08 + window_travel)
+                      | (np.linalg.norm(linvel, axis=1)
+                         > np.linalg.norm(old_vel, axis=1) + 0.25))
+        if structural.any():
+            self._structural_dirty = True
+        for k in np.nonzero(teleport)[0]:
+            self._wake_regions.append((old_pos[k].copy(), float(brad[k])))
+        depth_skip = (self._sync_pipeline.depth + 1
+                      if self._sync_pipeline is not None else None)
+        cap = self.config.capacity
+        xd = self._xform_dirty
+        ms = self._mirror_skip
+        for k, ob in enumerate(obs):
+            ob.pos = pos[k]
+            ob.rot = rot[k]
+            ob.linvel = linvel[k]
+            ob.angvel = angvel[k]
+            s = ob.slot
+            if s >= cap:           # virtual anchor: mirror only
+                continue
+            if depth_skip is not None:
+                ms[s] = depth_skip
+            xd[s] = (ob, True)
+
     def note_motion_type_changed(self, ob: PhysicsObject):
         """Callers that flip ob.motion_type directly (script attach makes
         an object kinematic) must invalidate the non-static mirror cache."""

@@ -287,6 +287,84 @@ def test_smoothing_decay():
     assert abs(rings.smooth_translation[0, 0]) < 0.05
 
 
+def test_batched_smoothing_matches_scalar():
+    """set_smoothing_from_corrections (the playback hot path) must compute
+    exactly what N scalar set_smoothing_from_correction calls compute."""
+    rng = np.random.default_rng(3)
+    k = 17
+    old_pos = rng.normal(size=(k, 3)).astype(np.float32)
+    new_pos = rng.normal(size=(k, 3)).astype(np.float32)
+
+    def rand_quat(n):
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    old_rot, new_rot = rand_quat(k), rand_quat(k)
+    a, b = SnapshotRings(32), SnapshotRings(32)
+    idx = rng.permutation(32)[:k]
+    for i in range(k):
+        a.set_smoothing_from_correction(idx[i], old_pos[i], old_rot[i],
+                                        new_pos[i], new_rot[i])
+    b.set_smoothing_from_corrections(idx, old_pos, old_rot, new_pos, new_rot)
+    np.testing.assert_allclose(a.smooth_translation, b.smooth_translation,
+                               atol=1e-6)
+    np.testing.assert_allclose(a.smooth_rotation, b.smooth_rotation,
+                               atol=1e-6)
+
+
+def test_batched_transform_insert_matches_scalar():
+    """PhysicsWorld.set_new_ob_transforms_batch must leave identical
+    mirrors, dirty sets, wake regions, and structural flags as the scalar
+    set_new_ob_to_world_transform loop it replaces."""
+    from substrata_tpu import MotionType, PhysicsObject, PhysicsWorld
+    from substrata_tpu.physics import shapes
+    from substrata_tpu.physics.state import SimConfig
+
+    rng = np.random.default_rng(5)
+
+    def build():
+        w = PhysicsWorld(SimConfig(capacity=64, max_pairs=256, grid_dim=16,
+                                   cell_size=4.0))
+        w.set_ground_plane(0.0)
+        obs = [w.add_object(PhysicsObject(
+            shape=shapes.make_sphere(0.4),
+            pos=np.array([i * 2.0, 0, 1], np.float32),
+            motion_type=int(MotionType.DYNAMIC))) for i in range(12)]
+        w.think(1 / 60)
+        return w, obs
+
+    pos = rng.normal(size=(12, 3)).astype(np.float32) * 3
+    rot = np.tile(np.array([0, 0, 0, 1], np.float32), (12, 1))
+    lv = rng.normal(size=(12, 3)).astype(np.float32)
+    av = rng.normal(size=(12, 3)).astype(np.float32) * 0.1
+
+    wa, oa = build()
+    for i, o in enumerate(oa):
+        wa.set_new_ob_to_world_transform(o, pos[i], rot[i],
+                                         linvel=lv[i], angvel=av[i])
+    wb, ob = build()
+    wb.set_new_ob_transforms_batch(ob, pos, rot, lv, av)
+
+    for x, y in zip(oa, ob):
+        np.testing.assert_allclose(x.pos, y.pos)
+        np.testing.assert_allclose(x.linvel, y.linvel)
+        np.testing.assert_allclose(x.angvel, y.angvel)
+    assert wa._structural_dirty == wb._structural_dirty
+    assert sorted(wa._xform_dirty) == sorted(wb._xform_dirty)
+    assert len(wa._wake_regions) == len(wb._wake_regions)
+    for (ca, ra), (cb, rb) in zip(wa._wake_regions, wb._wake_regions):
+        np.testing.assert_allclose(ca, cb)
+        assert ra == rb
+    # Both settle identically afterwards.
+    for _ in range(30):
+        wa.think(1 / 60)
+        wb.think(1 / 60)
+    wa.sync_transforms()
+    wb.sync_transforms()
+    for x, y in zip(oa, ob):
+        np.testing.assert_allclose(x.pos, y.pos, atol=1e-5)
+
+
 def test_resource_upload_download_roundtrip(server, tmp_path):
     """Network asset transfer (Protocol.h:167-170 + connection types
     501/502): client A uploads a resource, the server broadcasts
