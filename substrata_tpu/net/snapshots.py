@@ -68,6 +68,9 @@ class SnapshotRings:
         self.smooth_translation = np.zeros((n, 3), np.float32)
         self.smooth_rotation = np.zeros((n, 4), np.float32)
         self.smooth_rotation[:, 3] = 1.0
+        # Slots with non-identity smoothing: decay touches only these
+        # (decaying the full N-row ring cost ~2 ms/tick at 12k objects).
+        self._smooth_active: set = set()
         self.last_snapshot_local_time = np.full(n, -1e18, np.float64)
 
     def insert_snapshot(self, idx: int, pos, rot, linvel, angvel,
@@ -185,6 +188,7 @@ class SnapshotRings:
             w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
             w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
         ], np.float32)
+        self._smooth_active.add(int(idx))
 
     def set_smoothing_from_corrections(self, idx: np.ndarray, old_pos,
                                        old_rot, new_pos, new_rot):
@@ -202,19 +206,35 @@ class SnapshotRings:
             w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
             w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
             w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2], axis=1).astype(np.float32)
+        self._smooth_active.update(int(i) for i in np.asarray(idx))
 
     def decay_smoothing(self, dt: float):
         """smooth_change_factor = 1 - 3*min(0.1, dt) per tick
-        (GUIClient.cpp:6634-6638), applied to ALL objects at once."""
+        (GUIClient.cpp:6634-6638).  Only slots with live smoothing decay
+        (decaying the full N-row ring cost ~2 ms/tick at 12k objects);
+        fully-decayed slots snap to identity and leave the active set.
+        All writes are IN PLACE so per-object row views stay valid."""
+        if not self._smooth_active:
+            return
+        act = np.fromiter(self._smooth_active, np.int64,
+                          len(self._smooth_active))
         f = 1.0 - 3.0 * min(0.1, dt)
-        self.smooth_translation *= f
+        st = self.smooth_translation[act] * f
+        self.smooth_translation[act] = st
         # Rotation decays toward identity by nlerp.
         ident = np.array([0, 0, 0, 1], np.float32)
-        q = self.smooth_rotation
-        q = np.where(np.sum(q * ident, axis=-1, keepdims=True) < 0, -q, q)
+        q = self.smooth_rotation[act]
+        q = np.where(q[:, 3:4] < 0, -q, q)
         q = q * f + ident * (1 - f)
-        self.smooth_rotation = q / np.maximum(
-            np.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
+        q /= np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
+        self.smooth_rotation[act] = q
+        done = ((np.abs(st).max(axis=1) < 1e-4)
+                & (np.abs(q - ident).max(axis=1) < 1e-4))
+        if done.any():
+            for s in act[done]:
+                self.smooth_translation[s] = 0.0
+                self.smooth_rotation[s] = ident
+                self._smooth_active.discard(int(s))
 
     def starved(self, indices: np.ndarray, local_time: float) -> np.ndarray:
         """Objects with no snapshot for 1 s should deactivate."""

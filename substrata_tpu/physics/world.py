@@ -132,34 +132,85 @@ def _think_step(body, static_world, hull_cv, dt, params, config,
                has_oversize=has_oversize)
 
 
-@partial(jax.jit, static_argnums=(5, 14, 15), donate_argnums=(0, 6, 7, 8))
-def _think_step_player(body, static_world, hull_cv, dt, params, config,
-                       solver_cache, pair_cache, char, move, jump_req,
-                       fly, sitting, exclude, rebuild_pairs=None,
-                       has_oversize=True):
-    """Fused serving substep: player character update THEN the world step
-    in one program (§3.1 steps 3c/3d) — halves the per-tick dispatch count
-    on remote runtimes.  Returns the packed player readback alongside the
-    step outputs (it rides the digest's pipeline entry)."""
+# Packed per-tick host-input block for the fused serving tick: ONE
+# device_put carries every small host value the substep needs (scalars,
+# the transform-write scatter, teleport wake regions).  On a tunneled
+# remote runtime each separate device_put/dispatch costs ~0.5-2 ms of
+# launch latency; the unfused path paid ~12 of them per tick.
+_TIN_K = 128          # transform-write rows per serving tick
+_TIN_R = 64           # teleport wake regions per serving tick
+_TIN_SCAL = 8         # dt, move[3], jump, fly, sitting, exclude-slot
+_O_IDX = _TIN_SCAL
+_O_POS = _O_IDX + _TIN_K
+_O_ROT = _O_POS + 3 * _TIN_K
+_O_LV = _O_ROT + 4 * _TIN_K
+_O_AV = _O_LV + 3 * _TIN_K
+_O_VOK = _O_AV + 3 * _TIN_K
+_O_CTR = _O_VOK + _TIN_K
+_O_RAD = _O_CTR + 3 * _TIN_R
+_TIN_TOTAL = _O_RAD + _TIN_R
+
+
+def _empty_tick_in(capacity: int) -> np.ndarray:
+    buf = np.zeros(_TIN_TOTAL, np.float32)
+    buf[_O_IDX:_O_POS].view(np.int32)[:] = capacity   # all rows dropped
+    buf[_O_RAD:] = -1e9                               # no wake regions
+    return buf
+
+
+@partial(jax.jit, static_argnums=(4, 9, 10), donate_argnums=(0, 5, 6, 7))
+def _serving_tick(body, static_world, hull_cv, params, config,
+                  solver_cache, pair_cache, char, tick_in,
+                  rebuild_pairs=None, has_oversize=True):
+    """The WHOLE serving substep as ONE device program consuming ONE packed
+    host->device transfer: host transform writes (snapshot playback,
+    kinematic moves, teleport wakes) -> player character update -> world
+    step -> event digest -> transform readback block (§3.1 steps 3c/3d +
+    6; GUIClient.cpp:5918 runs this loop at display rate).  Fusing the
+    five programs the tick previously dispatched removes the per-dispatch
+    tunnel latency that dominated the 12k-object networked tick."""
     from substrata_tpu.physics.character import _player_update_packed
     from substrata_tpu.physics.step import physics_step as _ps
+    dt = tick_in[0]
+    move = tick_in[1:4]
+    jump = tick_in[4] > 0
+    fly = tick_in[5] > 0
+    sitting = tick_in[6] > 0
+    exclude = jax.lax.bitcast_convert_type(tick_in[7], jnp.int32)
+    idx = jax.lax.bitcast_convert_type(tick_in[_O_IDX:_O_POS], jnp.int32)
+    pos = tick_in[_O_POS:_O_ROT].reshape(_TIN_K, 3)
+    rot = tick_in[_O_ROT:_O_LV].reshape(_TIN_K, 4)
+    lv = tick_in[_O_LV:_O_AV].reshape(_TIN_K, 3)
+    av = tick_in[_O_AV:_O_VOK].reshape(_TIN_K, 3)
+    vok = tick_in[_O_VOK:_O_CTR] > 0
+    centers = tick_in[_O_CTR:_O_RAD].reshape(_TIN_R, 3)
+    radii = tick_in[_O_RAD:]
+    body = _apply_transforms_wake(body, idx, pos, rot, lv, av, vok,
+                                  centers, radii)
     char2, packed = _player_update_packed(
-        char, body, static_world, move, jump_req, fly, sitting, dt, params,
+        char, body, static_world, move, jump, fly, sitting, dt, params,
         config, exclude)
     body2, sc, pc, events, diags = _ps(
         body, static_world, hull_cv, dt, params, config, solver_cache,
         pair_cache, rebuild_pairs=rebuild_pairs, has_oversize=has_oversize)
-    return body2, sc, pc, events, diags, char2, packed
+    digest = _digest_core(events, diags.num_contacts, diags.num_awake,
+                          pc.steps_left)
+    tblock = _tblock_core(body2)
+    return body2, sc, pc, events, diags, char2, packed, digest, tblock
+
+
+def _tblock_core(state: BodyState):
+    return jnp.concatenate([
+        state.pos.astype(jnp.float32), state.quat, state.linvel, state.angvel,
+        state.underwater.astype(jnp.float32)[:, None],
+    ], axis=1)
 
 
 @jax.jit
 def _transform_block(state: BodyState):
     """Pack the per-tick transform readback into one [N, 14] f32 array
     (pos3 | quat4 | linvel3 | angvel3 | underwater)."""
-    return jnp.concatenate([
-        state.pos.astype(jnp.float32), state.quat, state.linvel, state.angvel,
-        state.underwater.astype(jnp.float32)[:, None],
-    ], axis=1)
+    return _tblock_core(state)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -201,6 +252,10 @@ def _event_digest(events, num_contacts, num_awake,
                 identical timing to the old on-device lax.cond, which also
                 read the value the previous step produced)
     """
+    return _digest_core(events, num_contacts, num_awake, steps_left)
+
+
+def _digest_core(events, num_contacts, num_awake, steps_left):
     up, = jnp.nonzero(events.newly_awake, size=_EVK, fill_value=-1)
     down, = jnp.nonzero(events.newly_asleep, size=_EVK, fill_value=-1)
     wet, = jnp.nonzero(events.entered_water, size=_EVK, fill_value=-1)
@@ -243,6 +298,12 @@ def _scatter_transforms_wake(state: BodyState, idx, pos, rot, linvel, angvel,
     Velocities scatter only where the caller provided them (vel_ok):
     writing a possibly depth-stale mirror velocity would regress the
     device state in pipelined mode."""
+    return _apply_transforms_wake(state, idx, pos, rot, linvel, angvel,
+                                  vel_ok, centers, radii)
+
+
+def _apply_transforms_wake(state: BodyState, idx, pos, rot, linvel, angvel,
+                           vel_ok, centers, radii):
     cap = state.pos.shape[0]
     vidx = jnp.where(vel_ok, idx, cap)
     new = state.replace(
@@ -358,6 +419,7 @@ class PhysicsWorld:
         self.last_sync_changed = None    # [N] bool; consumers skip unchanged
         self._next_virtual = self.config.capacity   # virtual anchor ids
         self._hull_ids: dict = {}        # content hash -> hull library id
+        self._pending_tblock = None      # fused-tick transform block
         self._structural_dirty = False   # mutations that invalidate pairs
 
         # Pipelined readback mode (remote-runtime serving): see
@@ -773,7 +835,14 @@ class PhysicsWorld:
     # ------------------------------------------------------------------
     # Flush / think
     # ------------------------------------------------------------------
-    def _flush(self):
+    def _flush(self, defer_xforms: bool = False):
+        """Upload pending host mutations.  With ``defer_xforms`` the
+        transform-only writes + wake regions are RETURNED (as (items,
+        regions)) instead of dispatched when they fit the fused serving
+        tick's input block — the caller packs them into the step program's
+        single transfer; oversized batches fall back to the chunked
+        scatter here."""
+        deferred = None
         if self._static_trimesh_dirty:
             self._rebuild_static_trimesh()
             # New static geometry can sit under sleeping bodies; a rebuild
@@ -847,45 +916,49 @@ class PhysicsWorld:
             self._xform_dirty.clear()
             regs = self._wake_regions
             self._wake_regions = []
-            k, RK = 128, 64
-            for i in range(0, max(len(items), 1), k):
-                chunk = items[i:i + k]
-                pad = k - len(chunk)
-                idx = np.full((k,), self.config.capacity, np.int32)
-                pos = np.zeros((k, 3), np.float32)
-                rot = np.zeros((k, 4), np.float32)
-                lv = np.zeros((k, 3), np.float32)
-                av = np.zeros((k, 3), np.float32)
-                vok = np.zeros((k,), bool)
-                for j, (s, o, hv) in enumerate(chunk):
-                    idx[j] = s
-                    pos[j] = o.pos
-                    rot[j] = o.rot
-                    lv[j] = o.linvel
-                    av[j] = o.angvel
-                    vok[j] = hv
-                rchunk = regs[i // k * RK:(i // k + 1) * RK]
-                centers = np.zeros((RK, 3), np.float32)
-                radii = np.full((RK,), -1e9, np.float32)  # pad never matches
-                for j, (c, r) in enumerate(rchunk[:RK]):
-                    centers[j] = c
-                    radii[j] = r
-                self.state = _scatter_transforms_wake(
-                    self.state, jnp.asarray(idx), jnp.asarray(pos),
-                    jnp.asarray(rot), jnp.asarray(lv), jnp.asarray(av),
-                    jnp.asarray(vok), jnp.asarray(centers),
-                    jnp.asarray(radii))
-            # Region overflow beyond the fused chunks (rare: mass removals).
-            extra = regs[max((len(items) + k - 1) // k, 1) * RK:]
-            for i in range(0, len(extra), 16):
-                chunk2 = extra[i:i + 16]
-                centers = np.zeros((16, 3), np.float32)
-                radii = np.full((16,), -1e9, np.float32)
-                for j, (c, r) in enumerate(chunk2):
-                    centers[j] = c
-                    radii[j] = r
-                self.state = _wake_in_regions(
-                    self.state, jnp.asarray(centers), jnp.asarray(radii))
+            if (defer_xforms and len(items) <= _TIN_K
+                    and len(regs) <= _TIN_R):
+                deferred = (items, regs)
+            else:
+                k, RK = 128, 64
+                for i in range(0, max(len(items), 1), k):
+                    chunk = items[i:i + k]
+                    pad = k - len(chunk)
+                    idx = np.full((k,), self.config.capacity, np.int32)
+                    pos = np.zeros((k, 3), np.float32)
+                    rot = np.zeros((k, 4), np.float32)
+                    lv = np.zeros((k, 3), np.float32)
+                    av = np.zeros((k, 3), np.float32)
+                    vok = np.zeros((k,), bool)
+                    for j, (s, o, hv) in enumerate(chunk):
+                        idx[j] = s
+                        pos[j] = o.pos
+                        rot[j] = o.rot
+                        lv[j] = o.linvel
+                        av[j] = o.angvel
+                        vok[j] = hv
+                    rchunk = regs[i // k * RK:(i // k + 1) * RK]
+                    centers = np.zeros((RK, 3), np.float32)
+                    radii = np.full((RK,), -1e9, np.float32)  # pad never matches
+                    for j, (c, r) in enumerate(rchunk[:RK]):
+                        centers[j] = c
+                        radii[j] = r
+                    self.state = _scatter_transforms_wake(
+                        self.state, jnp.asarray(idx), jnp.asarray(pos),
+                        jnp.asarray(rot), jnp.asarray(lv), jnp.asarray(av),
+                        jnp.asarray(vok), jnp.asarray(centers),
+                        jnp.asarray(radii))
+                # Region overflow beyond the fused chunks (rare: mass removals).
+                extra = regs[max((len(items) + k - 1) // k, 1) * RK:]
+                for i in range(0, len(extra), 16):
+                    chunk2 = extra[i:i + 16]
+                    centers = np.zeros((16, 3), np.float32)
+                    radii = np.full((16,), -1e9, np.float32)
+                    for j, (c, r) in enumerate(chunk2):
+                        centers[j] = c
+                        radii[j] = r
+                    self.state = _wake_in_regions(
+                        self.state, jnp.asarray(centers), jnp.asarray(radii))
         if self._vel_dirty:
             items = list(self._vel_dirty.items())
             self._vel_dirty.clear()
@@ -902,6 +975,7 @@ class PhysicsWorld:
                 self.state = _scatter_velocities(
                     self.state, jnp.asarray(idx), jnp.asarray(lv), jnp.asarray(av),
                     jnp.ones((k,), bool))
+        return deferred
 
     def invalidate_pairs(self):
         """Force a broadphase rebuild at the next step (call after external
@@ -919,6 +993,44 @@ class PhysicsWorld:
             cfg.max_active_contacts = max(
                 1024, self._base_config.max_active_contacts // div)
         return cfg
+
+    def prewarm_tiers(self, player=None, dt: float = 1 / 60.0):
+        """Compile every auto-tier step variant up front — the capacity-
+        ladder analogue of pin_all_shape_types.  A mid-session tier switch
+        otherwise hitches the tick by a full XLA compile (~10-50 s on a
+        tunneled runtime); serving deployments call this once at load
+        time, and the persistent compilation cache makes it one-time per
+        configuration.  Uses throwaway device copies so the donated
+        arguments never consume the live state."""
+        if not self.auto_tier:
+            return
+        from substrata_tpu.physics import broadphase as broadphase_mod
+        from substrata_tpu.physics import solver as solver_mod
+        cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)   # noqa: E731
+        for tier in range(len(self.TIER_DIVS)):
+            cfg = self._tier_config(tier)
+            sc0 = solver_mod.empty_solver_cache(solver_mod.cache_size_for(cfg))
+            pc0 = broadphase_mod.empty_pair_cache(cfg)
+            for rebuild in (True, False):
+                if player is None:
+                    _think_step(cp(self.state), self.static_world,
+                                self._hull_contact_verts, jnp.float32(dt),
+                                self.params, cfg, cp(sc0), cp(pc0), rebuild,
+                                bool(self._oversize_slots))
+                else:
+                    # Serving clients tick through the fused serving-tick
+                    # program only; compile just that ladder (the plain-
+                    # step ladder compiles on demand if the session
+                    # switches to vehicle driving).
+                    buf = _empty_tick_in(cfg.capacity)
+                    buf[0] = dt
+                    buf[7:8].view(np.int32)[0] = player.proxy.slot
+                    _serving_tick(
+                        cp(self.state), self.static_world,
+                        self._hull_contact_verts, self.params, cfg,
+                        cp(sc0), cp(pc0), cp(player.state),
+                        jnp.asarray(buf), rebuild,
+                        bool(self._oversize_slots))
 
     def _switch_tier(self, tier: int):
         from substrata_tpu.physics import broadphase as broadphase_mod
@@ -980,15 +1092,18 @@ class PhysicsWorld:
         return events
 
     def _dispatch_digest(self, events, diags, rebuild,
-                         extra=None, on_extra=None):
+                         extra=None, on_extra=None, digest_dev=None):
         """Shared tail of think()/think_with_player(): pack the event
         digest, then either read it synchronously or push it through the
         readback pipeline (consumed depth steps late).  ``extra`` rides the
         same pipeline entry (its async copy overlaps the digest's);
-        ``on_extra(host_value)`` fires when it is consumed."""
-        digest_dev = _event_digest(events, diags.num_contacts,
-                                   diags.num_awake,
-                                   self.pair_cache.steps_left)
+        ``on_extra(host_value)`` fires when it is consumed.  The fused
+        serving tick computes the digest in-program and passes it via
+        ``digest_dev``."""
+        if digest_dev is None:
+            digest_dev = _event_digest(events, diags.num_contacts,
+                                       diags.num_awake,
+                                       self.pair_cache.steps_left)
         if self._digest_pipeline is not None:
             # Pipelined: consume the digest dispatched depth steps ago;
             # rebuild cadence runs host-side on the config interval.
@@ -1022,21 +1137,25 @@ class PhysicsWorld:
             on_extra(None if extra is None else np.asarray(extra))
 
     def think_with_player(self, dt: float, player, cur_time: float = 0.0):
-        """think() with the player character update FUSED into the same
-        device program (§3.1 order: player physics then the world step —
-        GUIClient.cpp:6418-6432).  One dispatch + one pipelined readback
-        entry per tick instead of two of each; the packed player readback
-        rides the digest's pipeline slot.
+        """think() with the player character update, the pending transform
+        writes (snapshot playback, kinematic moves, teleport wakes), the
+        event digest, and the transform readback block ALL FUSED into ONE
+        device program consuming ONE packed host transfer (§3.1 order:
+        host writes, player physics, then the world step —
+        GUIClient.cpp:6418-6432).  The serving tick previously dispatched
+        five programs plus ~12 small device_puts; on a tunneled remote
+        runtime their per-call launch latency dominated the 12k-object
+        networked tick.
 
         ``player`` is a physics.character.PlayerPhysics; its host mirrors
-        are refreshed via the same pipeline (depth ticks late in pipelined
-        mode, synchronously otherwise)."""
+        are refreshed via the readback pipeline (depth ticks late in
+        pipelined mode, synchronously otherwise)."""
         from substrata_tpu.physics.character import JUMP_PERIOD
         had_mutations = bool(self._dirty or self._vel_dirty
                              or self._xform_dirty or self._wake_regions)
         # No fully-asleep skip here: the player update must run every tick
         # (gravity, input) even over a sleeping world.
-        self._flush()
+        deferred = self._flush(defer_xforms=True)
         if had_mutations:
             if self._structural_dirty:
                 self.invalidate_pairs()
@@ -1045,20 +1164,46 @@ class PhysicsWorld:
         rebuild = self._force_pair_rebuild or self._host_steps_left <= 0
         self._force_pair_rebuild = False
         jump_req = (cur_time - player.last_jump_time) < JUMP_PERIOD
+        buf = _empty_tick_in(self.config.capacity)
+        buf[0] = dt
+        buf[1:4] = player.move_desired_vel
+        buf[4] = 1.0 if jump_req else 0.0
+        buf[5] = 1.0 if player.fly_mode else 0.0
+        buf[6] = 1.0 if player.sitting else 0.0
+        buf[7:8].view(np.int32)[0] = player.proxy.slot
+        if deferred is not None:
+            items, regs = deferred
+            idx_v = buf[_O_IDX:_O_POS].view(np.int32)
+            pos_v = buf[_O_POS:_O_ROT].reshape(_TIN_K, 3)
+            rot_v = buf[_O_ROT:_O_LV].reshape(_TIN_K, 4)
+            lv_v = buf[_O_LV:_O_AV].reshape(_TIN_K, 3)
+            av_v = buf[_O_AV:_O_VOK].reshape(_TIN_K, 3)
+            vok_v = buf[_O_VOK:_O_CTR]
+            for j, (s, o, hv) in enumerate(items):
+                idx_v[j] = s
+                pos_v[j] = o.pos
+                rot_v[j] = o.rot
+                lv_v[j] = o.linvel
+                av_v[j] = o.angvel
+                vok_v[j] = 1.0 if hv else 0.0
+            ctr_v = buf[_O_CTR:_O_RAD].reshape(_TIN_R, 3)
+            rad_v = buf[_O_RAD:]
+            for j, (c, r) in enumerate(regs):
+                ctr_v[j] = c
+                rad_v[j] = r
         (self.state, self.solver_cache, self.pair_cache, events, diags,
-         player.state, packed) = _think_step_player(
+         player.state, packed, digest_dev, tblock) = _serving_tick(
             self.state, self.static_world, self._hull_contact_verts,
-            jnp.float32(dt), self.params, self.config, self.solver_cache,
-            self.pair_cache, player.state,
-            jnp.asarray(player.move_desired_vel),
-            jnp.array(bool(jump_req)), jnp.array(player.fly_mode),
-            jnp.array(player.sitting), jnp.int32(player.proxy.slot),
-            rebuild, bool(self._oversize_slots))
+            self.params, self.config, self.solver_cache, self.pair_cache,
+            player.state, jnp.asarray(buf), rebuild,
+            bool(self._oversize_slots))
+        self._pending_tblock = tblock
         self.last_events = events
         self.last_diags = diags
         self._steps += 1
         self._dispatch_digest(events, diags, rebuild, extra=packed,
-                              on_extra=player._consume_packed)
+                              on_extra=player._consume_packed,
+                              digest_dev=digest_dev)
         player.zero_move_desired_vel()
         # Kinematic proxy follows the last-known foot position every tick.
         self.move_kinematic_object(player.proxy, player._capsule_center(),
@@ -1151,7 +1296,12 @@ class PhysicsWorld:
         inserts) are skipped until the pipeline catches up, so
         host-authoritative mirrors never regress to a stale device value.
         """
-        block_dev = _transform_block(self.state)             # [N, 14]
+        # The fused serving tick already computed this step's block in-
+        # program; dispatch the standalone pack only when think() ran
+        # unfused (or no step ran since the last sync).
+        block_dev, self._pending_tblock = (
+            (self._pending_tblock, None) if self._pending_tblock is not None
+            else (_transform_block(self.state), None))        # [N, 14]
         if self._sync_pipeline is not None:
             blk = self._sync_pipeline.push(block_dev)
             if blk is None:

@@ -120,18 +120,20 @@ def build():
 
 def main():
     server, sender, viewer, app = build()
-    # Warm: let object loading + first compiles happen outside the window.
+    # Compile the auto-tier ladder up front: a mid-measurement tier switch
+    # otherwise hitches one tick by a full XLA compile (observed 10-50 s on
+    # the tunnel), wrecking the mean.  One-time per config with the
+    # persistent compilation cache.
     t0 = time.time()
-    for i in range(60):
-        app.timer_event(1 / TICK_HZ)
-        if i % 10 == 0:
-            print(f"# warm tick {i}: {time.time()-t0:.1f} s",
-                  file=sys.stderr, flush=True)
+    app.physics_world.prewarm_tiers(player=app.player)
+    print(f"# tier prewarm: {time.time()-t0:.1f} s", file=sys.stderr,
+          flush=True)
 
     # Sender streams snapshots for its dynamic objects (10 Hz per object, in
     # slices like the reference's send pass) FROM ITS OWN THREAD — the
     # sender is a separate client; its 64 SSL writes per tick (~9 ms) must
-    # not serialize into the viewer's measured tick.
+    # not serialize into the viewer's measured tick.  It runs through the
+    # warm phase too, so the tier ladder settles under the measured load.
     dyn_uids = [uid for uid, ob in list(viewer.world_state.objects_snapshot().items())
                 if ob.is_dynamic()][:N_DYNAMIC]
 
@@ -173,6 +175,33 @@ def main():
     st = threading.Thread(target=sender_stream, daemon=True)
     st.start()
 
+    # Warm under load: object loading, remaining compiles, tier settling.
+    t0 = time.time()
+    n_warm = 30 if _SMOKE else 120
+    for i in range(n_warm):
+        app.timer_event(1 / TICK_HZ)
+        if i % 30 == 0:
+            print(f"# warm tick {i}: {time.time()-t0:.1f} s "
+                  f"tier={app.physics_world._tier}",
+                  file=sys.stderr, flush=True)
+
+    prof_acc: dict[str, float] = {}
+    if os.environ.get("SUBSTRATA_NET_PROF"):
+        # Attribute think-phase internals (flush / dispatch / digest-pop).
+        w = app.physics_world
+        for name in ("_flush", "_dispatch_digest"):
+            orig = getattr(w, name)
+
+            def timed(fn, nm):
+                def g(*a, **k):
+                    t1 = time.perf_counter()
+                    r = fn(*a, **k)
+                    prof_acc[nm] = (prof_acc.get(nm, 0.0)
+                                    + (time.perf_counter() - t1) * 1e3)
+                    return r
+                return g
+            setattr(w, name, timed(orig, name))
+
     n_ticks = 30 if _SMOKE else 150
     phase_acc: dict[str, float] = {}
     tick_ms = np.zeros(n_ticks)
@@ -190,6 +219,11 @@ def main():
     print(f"# tick ms p50={np.percentile(tick_ms, 50):.1f} "
           f"p90={np.percentile(tick_ms, 90):.1f} "
           f"max={tick_ms.max():.1f}", file=sys.stderr, flush=True)
+    if prof_acc:
+        print("# think internals ms/tick: "
+              + " ".join(f"{k}={v / n_ticks:.2f}"
+                         for k, v in prof_acc.items()),
+              file=sys.stderr, flush=True)
     print("# " + app.physics_world.get_diagnostics().replace("\n", " | "),
           file=sys.stderr, flush=True)
 
